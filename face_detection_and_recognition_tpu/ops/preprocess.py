@@ -1,0 +1,88 @@
+"""Fused image preprocessing: one jitted op per model family.
+
+Replaces the reference's scattered cv2 preprocessing — ``blobFromImage`` with
+BGR mean subtraction (``modules/opencv2_dnn/model.py:30-32``), yolov5's
+BGR->RGB + letterbox + /255 (``modules/yolov5_face/onnx/onnx_utils.py:9-22``),
+blazeface's x/127.5-1 (``modules/blazeface/blazeface.py:248-250``), facenet's
+prewhitening — with a single declarative ``PreprocessSpec`` executed as fused
+XLA elementwise ops on device. Layout is NHWC (TPU-native), not NCHW.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .geometry import GRAY_FILL, pad_resize_image, resize_bilinear, standardize_image
+
+
+@dataclasses.dataclass(frozen=True)
+class PreprocessSpec:
+    """Declarative preprocessing recipe.
+
+    Attributes:
+        size: model input (width, height); None keeps the input resolution.
+        resize: "letterbox" (aspect-preserving pad), "stretch", or "none".
+        bgr_to_rgb: swap channel order before normalization.
+        scale: multiplicative factor applied after mean subtraction.
+        mean: per-channel mean subtracted (in the post-swap channel order).
+        std: per-channel divisor (after scale), or None.
+        standardize: apply per-image prewhitening instead of mean/scale.
+        fill: letterbox fill color (pre-swap order, like the reference's BGR).
+    """
+
+    size: Optional[Tuple[int, int]] = None
+    resize: str = "letterbox"
+    bgr_to_rgb: bool = False
+    scale: float = 1.0
+    mean: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    std: Optional[Tuple[float, float, float]] = None
+    standardize: bool = False
+    fill: Tuple[float, float, float] = GRAY_FILL
+
+
+# Recipes matching each reference backend:
+YOLOV5_FACE = PreprocessSpec(size=(640, 640), bgr_to_rgb=True, scale=1 / 255.0)
+BLAZEFACE_FRONT = PreprocessSpec(
+    size=(128, 128), bgr_to_rgb=True, scale=1 / 127.5, mean=(127.5, 127.5, 127.5)
+)
+BLAZEFACE_BACK = dataclasses.replace(BLAZEFACE_FRONT, size=(256, 256))
+OPENCV_SSD = PreprocessSpec(size=(300, 300), mean=(104.0, 117.0, 123.0))
+AGE_GENDER = PreprocessSpec(
+    size=(227, 227),
+    resize="stretch",
+    mean=(78.4263377603, 87.7689143744, 114.895847746),
+)
+MOBILE_FACENET = PreprocessSpec(
+    size=(112, 112), resize="stretch", scale=1 / 127.5, mean=(127.5, 127.5, 127.5)
+)
+FACENET = PreprocessSpec(size=(160, 160), resize="stretch", standardize=True)
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def apply_preprocess(img: jnp.ndarray, spec: PreprocessSpec) -> jnp.ndarray:
+    """Preprocess one [H, W, 3] BGR image into a model-ready [h, w, 3] f32."""
+    x = img.astype(jnp.float32)
+    if spec.size is not None and spec.resize == "letterbox":
+        w, h = spec.size
+        x = pad_resize_image(x, (w, h), color=spec.fill)
+    elif spec.size is not None and spec.resize == "stretch":
+        w, h = spec.size
+        if x.shape[:2] != (h, w):
+            x = resize_bilinear(x, (h, w))
+    if spec.bgr_to_rgb:
+        x = x[..., ::-1]
+    if spec.standardize:
+        return standardize_image(x)
+    x = (x - jnp.asarray(spec.mean, jnp.float32)) * spec.scale
+    if spec.std is not None:
+        x = x / jnp.asarray(spec.std, jnp.float32)
+    return x
+
+
+def apply_preprocess_batch(imgs: jnp.ndarray, spec: PreprocessSpec) -> jnp.ndarray:
+    """Preprocess [B, H, W, 3] same-sized BGR images -> [B, h, w, 3] f32."""
+    return jax.vmap(lambda im: apply_preprocess(im, spec))(imgs)

@@ -1,0 +1,138 @@
+"""Numerical parity tests for geometry kernels vs cv2/numpy references.
+
+These mirror the reference's semantics at modules/utils/image.py — the
+cross-framework parity gate for the preprocessing chain.
+"""
+import cv2
+import numpy as np
+import pytest
+
+from face_detection_and_recognition_tpu.ops import boxes as B
+from face_detection_and_recognition_tpu.ops import geometry as G
+from face_detection_and_recognition_tpu.ops import preprocess as P
+
+
+def ref_pad_resize(img, new_size, color=(125, 125, 125)):
+    """Independent numpy/cv2 reimplementation of the reference letterbox."""
+    in_h, in_w = img.shape[:2]
+    new_w, new_h = new_size
+    scale = min(new_w / in_w, new_h / in_h)
+    sw, sh = int(in_w * scale), int(in_h * scale)
+    resized = cv2.resize(img, (sw, sh))
+    d_w, d_h = max(new_w - sw, 0), max(new_h - sh, 0)
+    top, bottom = d_h // 2, d_h - d_h // 2
+    left, right = d_w // 2, d_w - d_w // 2
+    return cv2.copyMakeBorder(
+        resized, top, bottom, left, right, cv2.BORDER_CONSTANT, value=color
+    )
+
+
+@pytest.mark.parametrize(
+    "in_hw,out_wh",
+    [((576, 1024), (640, 640)), ((480, 640), (300, 300)), ((720, 405), (256, 256)),
+     ((100, 100), (128, 128))],
+)
+def test_pad_resize_matches_cv2(rng, in_hw, out_wh):
+    img = rng.randint(0, 255, (*in_hw, 3)).astype(np.uint8)
+    ref = ref_pad_resize(img, out_wh).astype(np.float32)
+    got = np.asarray(G.pad_resize_image(img, out_wh))
+    assert got.shape == ref.shape
+    # bilinear rounding differences between cv2's fixed-point and XLA's float
+    # path stay within ~1 intensity level
+    assert np.abs(got - ref).max() <= 1.0 + 1e-4
+    # padded border must be exact
+    assert np.abs(got[0, 0] - ref[0, 0]).max() == 0
+
+
+def test_scale_coords_matches_reference():
+    # boxes detected on a 640x640 letterboxed view of a 576x1024 image
+    model_hw, orig_hw = (640, 640), (576, 1024)
+    coords = np.array(
+        [[100.0, 200.0, 300.0, 400.0], [0.0, 0.0, 640.0, 640.0]], np.float32
+    )
+
+    # reference math (modules/utils/image.py:79-99)
+    gain = min(model_hw[0] / orig_hw[0], model_hw[1] / orig_hw[1])
+    pad = ((model_hw[1] - orig_hw[1] * gain) / 2, (model_hw[0] - orig_hw[0] * gain) / 2)
+    ref = coords.copy()
+    ref[:, [0, 2]] -= pad[0]
+    ref[:, [1, 3]] -= pad[1]
+    ref /= gain
+    ref[:, [0, 2]] = ref[:, [0, 2]].clip(0, orig_hw[1])
+    ref[:, [1, 3]] = ref[:, [1, 3]].clip(0, orig_hw[0])
+
+    got = np.asarray(G.scale_coords(model_hw, coords, orig_hw))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_scale_coords_with_landmarks():
+    model_hw, orig_hw = (640, 640), (480, 640)
+    coords = np.random.RandomState(0).uniform(0, 640, (5, 14)).astype(np.float32)
+    got = np.asarray(G.scale_coords(model_hw, coords, orig_hw))
+    # x cols clipped to w, y cols to h
+    assert got[:, 0::2].max() <= orig_hw[1]
+    assert got[:, 1::2].max() <= orig_hw[0]
+
+
+def test_standardize_image_matches_reference(rng):
+    img = rng.randint(0, 255, (160, 160, 3)).astype(np.float32)
+    mean, std = img.mean(), img.std()
+    std_adj = max(std, 1.0 / np.sqrt(img.size))
+    ref = (img - mean) / std_adj
+    got = np.asarray(G.standardize_image(img))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+    # batched path
+    got_b = np.asarray(G.standardize_image(img[None]))
+    np.testing.assert_allclose(got_b[0], ref, rtol=1e-5, atol=1e-5)
+
+
+def test_iou_matrix_matches_scalar_reference(rng):
+    def ref_iou(b1, b2):
+        xd = min(b1[2], b2[2]) - max(b1[0], b2[0])
+        yd = min(b1[3], b2[3]) - max(b1[1], b2[1])
+        if xd < 0 or yd < 0:
+            return 0.0
+        inter = xd * yd
+        return inter / (
+            (b1[2] - b1[0]) * (b1[3] - b1[1]) + (b2[2] - b2[0]) * (b2[3] - b2[1]) - inter
+        )
+
+    bxs = rng.uniform(0, 100, (8, 2, 2))
+    bxs = np.concatenate([bxs.min(1), bxs.max(1)], axis=-1).astype(np.float32)
+    got = np.asarray(B.iou_matrix(bxs, bxs))
+    for i in range(8):
+        for j in range(8):
+            assert abs(got[i, j] - ref_iou(bxs[i], bxs[j])) < 1e-5
+
+
+def test_iou_plus1_convention():
+    # identical boxes => iou 1 under both conventions
+    b = np.array([[0.0, 0.0, 10.0, 10.0]], np.float32)
+    assert abs(float(B.iou_matrix(b, b, plus1=True, eps=1e-16)[0, 0]) - 1.0) < 1e-5
+    # +1 convention counts single-pixel boxes as area 1, not 0
+    p = np.array([[5.0, 5.0, 5.0, 5.0]], np.float32)
+    assert float(B.iou_matrix(p, p, plus1=True, eps=1e-16)[0, 0]) > 0.99
+
+
+def test_box_conversions_roundtrip(rng):
+    xyxy = rng.uniform(0, 100, (16, 4)).astype(np.float32)
+    xyxy[:, 2:] += xyxy[:, :2]
+    back = np.asarray(B.xywh2xyxy(B.xyxy2xywh(xyxy)))
+    np.testing.assert_allclose(back, xyxy, atol=1e-4)
+
+
+def test_preprocess_yolov5_spec(rng):
+    img = rng.randint(0, 255, (576, 1024, 3)).astype(np.uint8)
+    out = np.asarray(P.apply_preprocess(img, P.YOLOV5_FACE))
+    assert out.shape == (640, 640, 3)
+    assert 0.0 <= out.min() and out.max() <= 1.0
+    # reference: BGR->RGB then /255 on the letterboxed image
+    ref = ref_pad_resize(img[..., ::-1], (640, 640)).astype(np.float32) / 255.0
+    assert np.abs(out - ref).max() <= (1.0 / 255) + 1e-5
+
+
+def test_preprocess_blazeface_range(rng):
+    img = rng.randint(0, 255, (256, 256, 3)).astype(np.uint8)
+    out = np.asarray(P.apply_preprocess(img, P.BLAZEFACE_BACK))
+    assert out.shape == (256, 256, 3)
+    assert -1.0 - 1e-5 <= out.min() and out.max() <= 1.0 + 1e-5
