@@ -13,6 +13,12 @@ if "xla_force_host_platform_device_count" not in xla_flags:
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+# bit-parity tests vs torch/numpy references need true f32 convs/matmuls;
+# jax's default precision uses fast bf16-accumulation passes even on CPU.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
