@@ -24,6 +24,12 @@ def autopad(k: int, p: Optional[int] = None) -> int:
     return k // 2 if p is None else p
 
 
+def make_divisible_torch(x: float, divisor: int) -> int:
+    """Channel-width rounding used by the reference's parse_model
+    (``pytorch/utils/general.py`` make_divisible): ceil to a multiple."""
+    return int(math.ceil(x / divisor) * divisor)
+
+
 def channel_shuffle(x: jnp.ndarray, groups: int) -> jnp.ndarray:
     """ShuffleNet channel shuffle on NHWC tensors (common.py:21-31)."""
     b, h, w, c = x.shape

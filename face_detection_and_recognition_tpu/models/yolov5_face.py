@@ -1,0 +1,350 @@
+"""YOLOv5-face detector family, TPU-native.
+
+Architecture contract comes from the reference's yaml-driven model zoo
+(``modules/yolov5_face/pytorch/models/*.yaml`` parsed by ``yolo.py:260-327``)
+and the 16-outputs-per-anchor Detect head (``yolo.py:29-113``: xyxy+obj+10
+landmark coords + nc class scores). Three base graphs cover all 9 yamls:
+
+  * "p5": StemBlock + C3/SPP CSP net, detect at strides 8/16/32
+          (yolov5s/m/l via depth/width multiples)
+  * "p6": same with an extra P6/64 level (yolov5s6/m6/l6/n6)
+  * "shuffle": StemBlock + ShuffleNetV2 backbone (yolov5n, yolov5n-0.5)
+
+TPU-first design vs the reference:
+  * NHWC + bf16-ready blocks; channel widths follow the reference's
+    make_divisible(c * width_multiple, 8) rule so converted torch weights
+    drop in exactly.
+  * The Detect head emits raw [B, ny, nx, na, no] maps; grid/anchor decode
+    (``onnx_utils.py:30-73``) is one fused vectorized op over all levels.
+  * The custom +1px-IoU NMS (``onnx_utils.py:107-163``) runs as a masked
+    top-k + fori_loop kernel inside the same jitted program.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.boxes import xywh2xyxy
+from ..ops.nms import greedy_nms, sort_by_score
+from .layers import (C3, SPP, ConvBN, Dtype, Focus, ShuffleV2Block, StemBlock,
+                     make_divisible_torch)
+
+FACE_ANCHORS = (
+    ((4.0, 5.0), (8.0, 10.0), (13.0, 16.0)),
+    ((23.0, 29.0), (43.0, 55.0), (73.0, 105.0)),
+    ((146.0, 217.0), (231.0, 300.0), (335.0, 433.0)),
+)
+FACE_ANCHORS_P6 = (
+    ((6.0, 7.0), (9.0, 11.0), (13.0, 16.0)),
+    ((18.0, 23.0), (26.0, 33.0), (37.0, 47.0)),
+    ((54.0, 67.0), (77.0, 104.0), (112.0, 154.0)),
+    ((174.0, 238.0), (258.0, 355.0), (445.0, 568.0)),
+)
+
+# graph structure: list of (from, number, module, args) like the yamls
+_P5_GRAPH: List[Tuple[Any, int, str, list]] = [
+    # backbone
+    (-1, 1, "StemBlock", [64, 3, 2]),          # 0  P2/4
+    (-1, 3, "C3", [128]),                       # 1
+    (-1, 1, "Conv", [256, 3, 2]),               # 2  P3/8
+    (-1, 9, "C3", [256]),                       # 3
+    (-1, 1, "Conv", [512, 3, 2]),               # 4  P4/16
+    (-1, 9, "C3", [512]),                       # 5
+    (-1, 1, "Conv", [1024, 3, 2]),              # 6  P5/32
+    (-1, 1, "SPP", [1024, [3, 5, 7]]),          # 7
+    (-1, 3, "C3", [1024, False]),               # 8
+    # head
+    (-1, 1, "Conv", [512, 1, 1]),               # 9
+    (-1, 1, "Upsample", []),                    # 10
+    ([-1, 5], 1, "Concat", []),                 # 11
+    (-1, 3, "C3", [512, False]),                # 12
+    (-1, 1, "Conv", [256, 1, 1]),               # 13
+    (-1, 1, "Upsample", []),                    # 14
+    ([-1, 3], 1, "Concat", []),                 # 15
+    (-1, 3, "C3", [256, False]),                # 16  P3/8 out
+    (-1, 1, "Conv", [256, 3, 2]),               # 17
+    ([-1, 13], 1, "Concat", []),                # 18
+    (-1, 3, "C3", [512, False]),                # 19  P4/16 out
+    (-1, 1, "Conv", [512, 3, 2]),               # 20
+    ([-1, 9], 1, "Concat", []),                 # 21
+    (-1, 3, "C3", [1024, False]),               # 22  P5/32 out
+    ([16, 19, 22], 1, "Detect", []),            # 23
+]
+
+_P6_GRAPH: List[Tuple[Any, int, str, list]] = [
+    (-1, 1, "StemBlock", [64, 3, 2]),           # 0
+    (-1, 3, "C3", [128]),                        # 1
+    (-1, 1, "Conv", [256, 3, 2]),                # 2  P3/8
+    (-1, 9, "C3", [256]),                        # 3
+    (-1, 1, "Conv", [512, 3, 2]),                # 4  P4/16
+    (-1, 9, "C3", [512]),                        # 5
+    (-1, 1, "Conv", [768, 3, 2]),                # 6  P5/32
+    (-1, 3, "C3", [768]),                        # 7
+    (-1, 1, "Conv", [1024, 3, 2]),               # 8  P6/64
+    (-1, 1, "SPP", [1024, [3, 5, 7]]),           # 9
+    (-1, 3, "C3", [1024, False]),                # 10
+    (-1, 1, "Conv", [768, 1, 1]),                # 11
+    (-1, 1, "Upsample", []),                     # 12
+    ([-1, 7], 1, "Concat", []),                  # 13
+    (-1, 3, "C3", [768, False]),                 # 14
+    (-1, 1, "Conv", [512, 1, 1]),                # 15
+    (-1, 1, "Upsample", []),                     # 16
+    ([-1, 5], 1, "Concat", []),                  # 17
+    (-1, 3, "C3", [512, False]),                 # 18
+    (-1, 1, "Conv", [256, 1, 1]),                # 19
+    (-1, 1, "Upsample", []),                     # 20
+    ([-1, 3], 1, "Concat", []),                  # 21
+    (-1, 3, "C3", [256, False]),                 # 22  P3
+    (-1, 1, "Conv", [256, 3, 2]),                # 23
+    ([-1, 19], 1, "Concat", []),                 # 24
+    (-1, 3, "C3", [512, False]),                 # 25  P4
+    (-1, 1, "Conv", [512, 3, 2]),                # 26
+    ([-1, 15], 1, "Concat", []),                 # 27
+    (-1, 3, "C3", [768, False]),                 # 28  P5
+    (-1, 1, "Conv", [768, 3, 2]),                # 29
+    ([-1, 11], 1, "Concat", []),                 # 30
+    (-1, 3, "C3", [1024, False]),                # 31  P6
+    ([22, 25, 28, 31], 1, "Detect", []),         # 32
+]
+
+_SHUFFLE_GRAPH: List[Tuple[Any, int, str, list]] = [
+    (-1, 1, "StemBlock", [32, 3, 2]),            # 0  P2/4
+    (-1, 1, "ShuffleV2Block", [128, 2]),         # 1  P3/8
+    (-1, 3, "ShuffleV2Block", [128, 1]),         # 2
+    (-1, 1, "ShuffleV2Block", [256, 2]),         # 3  P4/16
+    (-1, 7, "ShuffleV2Block", [256, 1]),         # 4
+    (-1, 1, "ShuffleV2Block", [512, 2]),         # 5  P5/32
+    (-1, 3, "ShuffleV2Block", [512, 1]),         # 6
+    (-1, 1, "Conv", [128, 1, 1]),                # 7
+    (-1, 1, "Upsample", []),                     # 8
+    ([-1, 4], 1, "Concat", []),                  # 9
+    (-1, 1, "C3", [128, False]),                 # 10
+    (-1, 1, "Conv", [128, 1, 1]),                # 11
+    (-1, 1, "Upsample", []),                     # 12
+    ([-1, 2], 1, "Concat", []),                  # 13
+    (-1, 1, "C3", [128, False]),                 # 14  P3/8 out
+    (-1, 1, "Conv", [128, 3, 2]),                # 15
+    ([-1, 11], 1, "Concat", []),                 # 16
+    (-1, 1, "C3", [128, False]),                 # 17  P4/16 out
+    (-1, 1, "Conv", [128, 3, 2]),                # 18
+    ([-1, 7], 1, "Concat", []),                  # 19
+    (-1, 1, "C3", [128, False]),                 # 20  P5/32 out
+    ([14, 17, 20], 1, "Detect", []),             # 21
+]
+
+ARCHS: Dict[str, Dict[str, Any]] = {
+    "yolov5s": dict(graph=_P5_GRAPH, gd=0.33, gw=0.35, anchors=FACE_ANCHORS,
+                    strides=(8, 16, 32)),
+    "yolov5m": dict(graph=_P5_GRAPH, gd=0.67, gw=0.75, anchors=FACE_ANCHORS,
+                    strides=(8, 16, 32)),
+    "yolov5l": dict(graph=_P5_GRAPH, gd=1.0, gw=1.0, anchors=FACE_ANCHORS,
+                    strides=(8, 16, 32)),
+    "yolov5s6": dict(graph=_P6_GRAPH, gd=0.33, gw=0.50, anchors=FACE_ANCHORS_P6,
+                     strides=(8, 16, 32, 64)),
+    "yolov5m6": dict(graph=_P6_GRAPH, gd=0.67, gw=0.75, anchors=FACE_ANCHORS_P6,
+                     strides=(8, 16, 32, 64)),
+    "yolov5l6": dict(graph=_P6_GRAPH, gd=1.0, gw=1.0, anchors=FACE_ANCHORS_P6,
+                     strides=(8, 16, 32, 64)),
+    "yolov5n6": dict(graph=_P6_GRAPH, gd=1.0, gw=1.0, anchors=FACE_ANCHORS_P6,
+                     strides=(8, 16, 32, 64)),
+    "yolov5n": dict(graph=_SHUFFLE_GRAPH, gd=1.0, gw=1.0, anchors=FACE_ANCHORS,
+                    strides=(8, 16, 32)),
+    "yolov5n-0.5": dict(graph=_SHUFFLE_GRAPH, gd=1.0, gw=0.5, anchors=FACE_ANCHORS,
+                        strides=(8, 16, 32)),
+}
+
+
+def upsample2x_nearest(x: jnp.ndarray) -> jnp.ndarray:
+    """nn.Upsample(scale=2, mode=nearest) on NHWC."""
+    return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+
+
+class YoloV5FaceNet(nn.Module):
+    """Graph-executing flax module. Produces raw per-level detect maps
+    [B, ny, nx, na, no] (no = nc + 5 + 10), like the reference's export mode
+    (``yolo.py:54-63``) but NHWC."""
+
+    arch: str = "yolov5s"
+    nc: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        spec = ARCHS[self.arch]
+        gd, gw = spec["gd"], spec["gw"]
+        anchors = spec["anchors"]
+        na = len(anchors[0])
+        no = self.nc + 5 + 10
+
+        def depth(n: int) -> int:
+            return max(round(n * gd), 1) if n > 1 else n
+
+        def width(c: int) -> int:
+            return make_divisible_torch(c * gw, 8)
+
+        outputs: List[jnp.ndarray] = []
+        cur = x
+        for i, (frm, n, mod, args) in enumerate(spec["graph"]):
+            if mod == "Concat":
+                inp = jnp.concatenate(
+                    [cur if j == -1 else outputs[j] for j in frm], axis=-1
+                )
+                cur = inp
+            elif mod == "Detect":
+                maps = []
+                for li, j in enumerate(frm):
+                    m = nn.Conv(
+                        no * na, (1, 1), use_bias=True, dtype=self.dtype,
+                        name=f"detect_m{li}",
+                    )(outputs[j])
+                    b, ny, nx, _ = m.shape
+                    # channel layout [na, no] matches torch's
+                    # view(bs, na, no, ny, nx).permute(0,1,3,4,2)
+                    m = m.reshape(b, ny, nx, na, no).transpose(0, 3, 1, 2, 4)
+                    maps.append(m.astype(jnp.float32))
+                return maps
+            else:
+                inp = cur if frm == -1 else outputs[frm]
+                if mod == "Conv":
+                    c, k, s = args
+                    cur = ConvBN(width(c), k, s, dtype=self.dtype,
+                                 name=f"layer{i}")(inp, train)
+                elif mod == "C3":
+                    c = width(args[0])
+                    shortcut = args[1] if len(args) > 1 else True
+                    cur = C3(c, depth(n), shortcut, dtype=self.dtype,
+                             name=f"layer{i}")(inp, train)
+                elif mod == "SPP":
+                    cur = SPP(width(args[0]), tuple(args[1]), dtype=self.dtype,
+                              name=f"layer{i}")(inp, train)
+                elif mod == "StemBlock":
+                    c, k, s = args
+                    cur = StemBlock(width(c), k, s, dtype=self.dtype,
+                                    name=f"layer{i}")(inp, train)
+                elif mod == "ShuffleV2Block":
+                    c, s = width(args[0]), args[1]
+                    for r in range(depth(n)):
+                        inp = ShuffleV2Block(c, s, dtype=self.dtype,
+                                             name=f"layer{i}_{r}")(inp, train)
+                    cur = inp
+                elif mod == "Focus":
+                    c, k = args[0], args[1] if len(args) > 1 else 1
+                    cur = Focus(width(c), k, dtype=self.dtype,
+                                name=f"layer{i}")(inp, train)
+                elif mod == "Upsample":
+                    cur = upsample2x_nearest(inp)
+                else:
+                    raise ValueError(f"unknown module {mod}")
+            outputs.append(cur)
+        raise RuntimeError("graph has no Detect layer")
+
+
+def decode_heads(
+    maps: Sequence[jnp.ndarray],
+    anchors: Sequence[Sequence[Tuple[float, float]]],
+    strides: Sequence[int],
+    nc: int = 1,
+) -> jnp.ndarray:
+    """Fused grid/anchor decode over all levels (``onnx_utils.py:30-73``).
+
+    maps: per-level [B, na, ny, nx, no]. Returns [B, total, no] rows
+    [cx, cy, w, h, obj, l1x, l1y, ..., l5x, l5y, cls...] in INPUT PIXELS.
+    """
+    outs = []
+    for m, anc, stride in zip(maps, anchors, strides):
+        m = jnp.asarray(m)
+        b, na, ny, nx, no = m.shape
+        gy = jax.lax.broadcasted_iota(jnp.float32, (ny, nx), 0)
+        gx = jax.lax.broadcasted_iota(jnp.float32, (ny, nx), 1)
+        grid = jnp.stack([gx, gy], axis=-1)[None, None]           # [1,1,ny,nx,2]
+        anc = jnp.asarray(anc, jnp.float32).reshape(1, na, 1, 1, 2)
+
+        sig_cols = list(range(5)) + list(range(15, 15 + nc))
+        y = m.at[..., jnp.asarray(sig_cols)].set(
+            jax.nn.sigmoid(m[..., jnp.asarray(sig_cols)])
+        )
+        xy = (y[..., 0:2] * 2.0 - 0.5 + grid) * stride
+        wh = (y[..., 2:4] * 2.0) ** 2 * anc
+        lmk = y[..., 5:15].reshape(b, na, ny, nx, 5, 2) * anc[..., None, :] + (
+            grid[..., None, :] * stride
+        )
+        rest = y[..., 15:]
+        out = jnp.concatenate(
+            [xy, wh, y[..., 4:5], lmk.reshape(b, na, ny, nx, 10), rest], axis=-1
+        )
+        outs.append(out.reshape(b, -1, no))
+    return jnp.concatenate(outs, axis=1)
+
+
+@dataclasses.dataclass(frozen=True)
+class YoloV5FaceConfig:
+    arch: str = "yolov5s"
+    nc: int = 1
+    input_size: Tuple[int, int] = (640, 640)
+    conf_thres: float = 0.4
+    iou_thres: float = 0.3
+    max_candidates: int = 1024
+    max_det: int = 300
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def yolov5_face_postprocess(
+    pred: jnp.ndarray, cfg: YoloV5FaceConfig
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Custom yolov5-face NMS (``onnx_utils.py:107-163``) as a fixed-size
+    masked kernel: conf filter (obj >= conf_thres) -> top-k candidate select
+    -> greedy +1px-IoU NMS with >=thres suppression.
+
+    pred: [B, N, 16] decoded rows [cx, cy, w, h, obj, lmk x10, cls].
+    Returns dets [B, max_det, 16] rows [x1, y1, x2, y2, obj, lmk x10, cls_conf]
+    sorted by obj conf, and valid [B, max_det].
+    """
+
+    def per_image(p):
+        obj = p[:, 4]
+        valid = obj >= cfg.conf_thres
+        # top-k candidate selection keeps the NMS matrix small & static
+        k = min(cfg.max_candidates, p.shape[0])
+        scores = jnp.where(valid, obj, -1.0)
+        top_scores, idx = jax.lax.top_k(scores, k)
+        cand = p[idx]
+        cand_valid = top_scores >= cfg.conf_thres
+        boxes = xywh2xyxy(cand[:, :4])
+        cls_conf = jnp.max(cand[:, 15:], axis=-1, keepdims=True)
+        rows = jnp.concatenate([boxes, cand[:, 4:5], cand[:, 5:15], cls_conf], axis=-1)
+        out, out_valid = greedy_nms(
+            rows, cand_valid, cfg.iou_thres, cfg.max_det,
+            score_col=4, plus1=True, strict=False,
+        )
+        return out, out_valid
+
+    return jax.vmap(per_image)(pred)
+
+
+def make_yolov5_face(
+    cfg: YoloV5FaceConfig, rng: jax.Array = None, dtype=jnp.float32
+):
+    """Build net + params + a fully jitted detect function.
+
+    detect(variables, imgs [B,H,W,3] RGB in [0,1]) ->
+    (dets [B, max_det, 16] in input pixels, valid [B, max_det]).
+    """
+    net = YoloV5FaceNet(arch=cfg.arch, nc=cfg.nc, dtype=dtype)
+    w, h = cfg.input_size
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    variables = net.init(rng, jnp.zeros((1, h, w, 3), jnp.float32))
+    spec = ARCHS[cfg.arch]
+
+    @jax.jit
+    def detect(variables, imgs):
+        maps = net.apply(variables, imgs)
+        pred = decode_heads(maps, spec["anchors"], spec["strides"], cfg.nc)
+        return yolov5_face_postprocess(pred, cfg)
+
+    return net, variables, detect
