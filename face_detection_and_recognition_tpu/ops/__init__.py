@@ -1,1 +1,1 @@
-from . import boxes, geometry, nms, preprocess  # noqa: F401
+from . import boxes, crop, geometry, nms, preprocess  # noqa: F401

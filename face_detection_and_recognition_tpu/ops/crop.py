@@ -1,0 +1,91 @@
+"""Batched face crop + resize on device.
+
+Replaces the reference's per-box python crops + cv2.resize calls
+(``face_extraction/extract_faces_from_dataset.py:290-303``: crop offsets
+(-6, -1, +4, +5); ``modules/opencv2_dnn/model.py:148-152``: +-5px padding for
+the age/gender cascade; Triton server-side 112x112 crop,
+``face_detection_trt_server/models/yolov5_face_postprocess/1/model.py``).
+
+One gather-based bilinear sampler produces a fixed [K, h, w, C] stack of
+crops for ALL detections of an image in one op — no host round-trip between
+detector and embedder. Sampling uses half-pixel centers, matching
+cv2.resize(INTER_LINEAR) applied to the integer-cropped region.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+# the reference's feature-extraction crop offsets (x1, y1, x2, y2)
+EXTRACTION_OFFSETS = (-6.0, -1.0, 4.0, 5.0)
+
+
+@partial(jax.jit, static_argnames=("out_hw",))
+def crop_and_resize(
+    img: jnp.ndarray,
+    boxes: jnp.ndarray,
+    out_hw: Tuple[int, int],
+    valid: jnp.ndarray = None,
+) -> jnp.ndarray:
+    """Crop each xyxy box from ``img`` and bilinearly resize to ``out_hw``.
+
+    Args:
+        img: [H, W, C] float or uint8.
+        boxes: [K, 4] xyxy in pixels (float; clamped to image bounds; each
+            box is truncated to integers first, like python slicing in the
+            reference).
+        out_hw: output (height, width).
+        valid: optional [K] mask; invalid crops come back as zeros.
+    Returns:
+        [K, out_h, out_w, C] float32.
+    """
+    h, w = img.shape[:2]
+    oh, ow = out_hw
+    img = img.astype(jnp.float32)
+
+    x1 = jnp.clip(jnp.floor(boxes[:, 0]), 0, w - 1)
+    y1 = jnp.clip(jnp.floor(boxes[:, 1]), 0, h - 1)
+    x2 = jnp.clip(jnp.floor(boxes[:, 2]), x1 + 1, w)
+    y2 = jnp.clip(jnp.floor(boxes[:, 3]), y1 + 1, h)
+    cw, ch = x2 - x1, y2 - y1
+
+    def sample_one(bx1, by1, bcw, bch):
+        # half-pixel-center source coords for each output pixel
+        ys = by1 + (jnp.arange(oh, dtype=jnp.float32) + 0.5) * bch / oh - 0.5
+        xs = bx1 + (jnp.arange(ow, dtype=jnp.float32) + 0.5) * bcw / ow - 0.5
+        ys = jnp.clip(ys, by1, by1 + bch - 1)
+        xs = jnp.clip(xs, bx1, bx1 + bcw - 1)
+        y0 = jnp.clip(jnp.floor(ys), 0, h - 1)
+        x0 = jnp.clip(jnp.floor(xs), 0, w - 1)
+        y1i = jnp.clip(y0 + 1, 0, h - 1).astype(jnp.int32)
+        x1i = jnp.clip(x0 + 1, 0, w - 1).astype(jnp.int32)
+        wy = (ys - y0)[:, None, None]
+        wx = (xs - x0)[None, :, None]
+        y0 = y0.astype(jnp.int32)
+        x0 = x0.astype(jnp.int32)
+        top = img[y0][:, x0] * (1 - wx) + img[y0][:, x1i] * wx
+        bot = img[y1i][:, x0] * (1 - wx) + img[y1i][:, x1i] * wx
+        return top * (1 - wy) + bot * wy
+
+    crops = jax.vmap(sample_one)(x1, y1, cw, ch)
+    if valid is not None:
+        crops = jnp.where(valid[:, None, None, None], crops, 0.0)
+    return crops
+
+
+def pad_boxes(
+    boxes: jnp.ndarray,
+    offsets: Tuple[float, float, float, float],
+    img_wh: Tuple[int, int] = None,
+) -> jnp.ndarray:
+    """Apply per-corner crop offsets (e.g. EXTRACTION_OFFSETS or the
+    age/gender (-5,-5,+5,+5) padding); optionally clamp to image bounds."""
+    out = boxes + jnp.asarray(offsets, boxes.dtype)
+    if img_wh is not None:
+        w, h = img_wh
+        lim = jnp.asarray([w - 1, h - 1, w - 1, h - 1], boxes.dtype)
+        out = jnp.clip(out, 0.0, lim)
+    return out
