@@ -76,6 +76,53 @@ def crop_and_resize(
     return crops
 
 
+@partial(jax.jit, static_argnames=("out_hw",))
+def crop_and_resize_padded(
+    img: jnp.ndarray,
+    boxes: jnp.ndarray,
+    out_hw: Tuple[int, int],
+    valid: jnp.ndarray = None,
+) -> jnp.ndarray:
+    """Like crop_and_resize, but boxes may extend beyond the image: samples
+    that fall outside are ZERO instead of clamped — matching MTCNN's ``pad``
+    semantics (out-of-bounds crop regions placed into a zero canvas before
+    resizing, facenet align/detect_face.py).
+    """
+    h, w = img.shape[:2]
+    oh, ow = out_hw
+    img = img.astype(jnp.float32)
+
+    x1 = jnp.floor(boxes[:, 0])
+    y1 = jnp.floor(boxes[:, 1])
+    cw = jnp.maximum(jnp.floor(boxes[:, 2]) - x1, 1.0)
+    ch = jnp.maximum(jnp.floor(boxes[:, 3]) - y1, 1.0)
+
+    def sample_one(bx1, by1, bcw, bch):
+        ys = by1 + (jnp.arange(oh, dtype=jnp.float32) + 0.5) * bch / oh - 0.5
+        xs = bx1 + (jnp.arange(ow, dtype=jnp.float32) + 0.5) * bcw / ow - 0.5
+        y0f = jnp.floor(ys)
+        x0f = jnp.floor(xs)
+        wy = (ys - y0f)[:, None, None]
+        wx = (xs - x0f)[None, :, None]
+
+        def gather(yi, xi):
+            inb = ((yi >= 0)[:, None] & (yi < h)[:, None]
+                   & (xi >= 0)[None, :] & (xi < w)[None, :])
+            yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+            xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+            vals = img[yc][:, xc]
+            return jnp.where(inb[..., None], vals, 0.0)
+
+        top = gather(y0f, x0f) * (1 - wx) + gather(y0f, x0f + 1) * wx
+        bot = gather(y0f + 1, x0f) * (1 - wx) + gather(y0f + 1, x0f + 1) * wx
+        return top * (1 - wy) + bot * wy
+
+    crops = jax.vmap(sample_one)(x1, y1, cw, ch)
+    if valid is not None:
+        crops = jnp.where(valid[:, None, None, None], crops, 0.0)
+    return crops
+
+
 def pad_boxes(
     boxes: jnp.ndarray,
     offsets: Tuple[float, float, float, float],
