@@ -1,0 +1,178 @@
+"""Detector/embedder registry: one uniform build-and-detect interface.
+
+Replaces the reference's per-runtime ``Model``-subclass zoo (SURVEY.md §2.2):
+every backend becomes a registry entry whose ``build`` returns a jitted
+``detect(variables, imgs) -> (dets, valid)`` with a declarative preprocessing
+recipe attached. The engine composes these with postprocessing, cropping and
+embedding without knowing which architecture is underneath.
+
+Normalized detection contract (same as the reference's
+``modules/models/base.py``): rows [xmin, ymin, xmax, ymax, (lmk xy pairs...),
+conf] in [0, 1] wrt the model input size.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import preprocess as P
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorSpec:
+    """A detector registry entry.
+
+    build(rng, dtype, **overrides) -> (net, variables, detect) where
+    detect(variables, imgs [B,h,w,3] preprocessed) returns
+    (dets [B,K,4+L+1] NORMALIZED to input size, valid [B,K]).
+    """
+
+    name: str
+    input_size: Tuple[int, int]  # (width, height)
+    preprocess: P.PreprocessSpec
+    n_landmark_cols: int
+    build: Callable
+
+
+_REGISTRY = {}
+
+
+def register(spec: DetectorSpec):
+    _REGISTRY[spec.name] = spec
+    return spec
+
+
+def get(name: str) -> DetectorSpec:
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown detector '{name}'; have {sorted(_REGISTRY)}")
+    return _REGISTRY[name]
+
+
+def available():
+    return sorted(_REGISTRY)
+
+
+# ---------------- yolov5-face family ----------------
+
+
+def _build_yolov5(arch: str, input_size):
+    def build(rng=None, dtype=jnp.float32, **kw):
+        from .yolov5_face import YoloV5FaceConfig, make_yolov5_face
+
+        cfg = YoloV5FaceConfig(arch=arch, input_size=input_size, **kw)
+        net, variables, detect = make_yolov5_face(cfg, rng=rng, dtype=dtype)
+        iw, ih = cfg.input_size
+        scale = jnp.asarray([iw, ih] * 7 + [1.0], jnp.float32)
+
+        @jax.jit
+        def detect_norm(variables, imgs):
+            dets, valid = detect(variables, imgs)
+            # [x1,y1,x2,y2,obj,lmk x10, cls] pixels ->
+            # [x1,y1,x2,y2, lmk x10, obj] normalized (wrapper contract,
+            # modules/yolov5_face/model.py:28-35, landmarks preserved)
+            cols = jnp.concatenate(
+                [dets[..., :4], dets[..., 5:15], dets[..., 4:5]], axis=-1
+            )
+            return cols / scale, valid
+
+        return net, variables, detect_norm
+
+    return build
+
+
+for _arch in ("yolov5s", "yolov5m", "yolov5l", "yolov5n", "yolov5n-0.5",
+              "yolov5s6", "yolov5m6", "yolov5l6", "yolov5n6"):
+    register(
+        DetectorSpec(
+            name=_arch,
+            input_size=(640, 640),
+            preprocess=P.YOLOV5_FACE,
+            n_landmark_cols=10,
+            build=_build_yolov5(_arch, (640, 640)),
+        )
+    )
+
+
+# ---------------- blazeface ----------------
+
+
+def _build_blazeface(back: bool):
+    def build(rng=None, dtype=jnp.float32, **kw):
+        from .blazeface import BlazeFaceConfig, make_blazeface
+
+        cfg = BlazeFaceConfig(back_model=back, **kw)
+        net, variables, detect = make_blazeface(cfg, rng=rng, dtype=dtype)
+
+        @jax.jit
+        def detect_norm(variables, imgs):
+            dets, valid = detect(variables, imgs)  # already normalized 17-col
+            return dets, valid
+
+        return net, variables, detect_norm
+
+    return build
+
+
+register(DetectorSpec("blazeface-front", (128, 128), P.BLAZEFACE_FRONT, 12,
+                      _build_blazeface(False)))
+register(DetectorSpec("blazeface-back", (256, 256), P.BLAZEFACE_BACK, 12,
+                      _build_blazeface(True)))
+
+
+# ---------------- SSD family (OpenCV-DNN / OpenVINO equivalents) ----------------
+
+
+def _build_ssd(backbone: str, input_size):
+    def build(rng=None, dtype=jnp.float32, **kw):
+        from .ssd import SSDConfig, make_ssd_face
+
+        cfg = SSDConfig(backbone=backbone, input_size=input_size, **kw)
+        return make_ssd_face(cfg, rng=rng, dtype=dtype)
+
+    return build
+
+
+register(DetectorSpec("ssd-resnet10", (300, 300), P.OPENCV_SSD, 0,
+                      _build_ssd("resnet10", (300, 300))))
+register(DetectorSpec("ssd-mobilenetv2", (448, 448),
+                      dataclasses.replace(P.OPENCV_SSD, size=(448, 448)), 0,
+                      _build_ssd("mobilenetv2", (448, 448))))
+register(DetectorSpec("ssd-squeezenet", (300, 300), P.OPENCV_SSD, 0,
+                      _build_ssd("squeezenet", (300, 300))))
+
+
+# ---------------- MTCNN ----------------
+
+
+def _build_mtcnn():
+    def build(rng=None, dtype=jnp.float32, **kw):
+        from .mtcnn import MTCNN, MTCNNConfig
+
+        cascade = MTCNN(MTCNNConfig(**kw), rng=rng, dtype=dtype)
+
+        def detect_norm(variables, imgs):
+            # imgs: [B, H, W, 3] raw BGR uint8/float at native resolution
+            outs, valids = [], []
+            for i in range(imgs.shape[0]):
+                d, v = cascade(variables, imgs[i])
+                outs.append(d)
+                valids.append(v)
+            return jnp.stack(outs), jnp.stack(valids)
+
+        return cascade, cascade.variables(), detect_norm
+
+    return build
+
+
+register(
+    DetectorSpec(
+        name="mtcnn",
+        input_size=(-1, -1),  # native resolution
+        preprocess=P.PreprocessSpec(size=None, resize="none"),
+        n_landmark_cols=10,
+        build=_build_mtcnn(),
+    )
+)

@@ -1,0 +1,79 @@
+"""FaceEngine integration: registry build, golden-image smoke, batched
+detection, embedding, age/gender cascade. Uses small/cheap detector configs
+to keep CPU compile time down."""
+import numpy as np
+import pytest
+
+from face_detection_and_recognition_tpu.core.engine import EngineConfig, FaceEngine
+from face_detection_and_recognition_tpu.models import registry
+
+
+def test_registry_lists_all_reference_backends():
+    have = registry.available()
+    for name in ("yolov5s", "yolov5n", "blazeface-front", "blazeface-back",
+                 "ssd-resnet10", "ssd-mobilenetv2", "ssd-squeezenet", "mtcnn"):
+        assert name in have
+
+
+@pytest.fixture(scope="module")
+def blaze_engine():
+    return FaceEngine(EngineConfig(detector="blazeface-front", det_thres=0.3,
+                                   embedder="mobile_facenet",
+                                   with_age_gender=True, max_det=16))
+
+
+def test_detect_image_contract(blaze_engine, test_image_3faces):
+    post = blaze_engine.detect_image(test_image_3faces)
+    # random weights: any detections must respect the contract
+    assert post.boxes.shape[1] == 4
+    assert post.bbox_lmarks is None or post.bbox_lmarks.shape[1] == 12
+    h, w = test_image_3faces.shape[:2]
+    if len(post.boxes):
+        assert post.boxes[:, 0::2].max() <= w
+        assert post.boxes[:, 1::2].max() <= h
+        assert (post.bbox_confs > 0.3).all()
+
+
+def test_detect_batch_multiframe(blaze_engine, rng):
+    frames = rng.randint(0, 255, (4, 240, 320, 3)).astype(np.uint8)
+    d = blaze_engine.detect_batch(frames)
+    assert d.batch == 4
+    assert d.boxes.shape == (4, 16, 4)
+    results = d.to_numpy()
+    assert len(results) == 4
+
+
+def test_detect_raw_reference_contract(blaze_engine, test_image_3faces):
+    raw = blaze_engine.detect_raw(test_image_3faces)
+    assert raw.ndim == 2 and raw.shape[1] == 17
+    if len(raw):
+        assert (raw[:, :4] >= -0.5).all() and (raw[:, :4] <= 1.5).all()
+
+
+def test_embed_faces(blaze_engine, test_image_3faces):
+    boxes = np.array([[100.0, 100.0, 200.0, 220.0],
+                      [300.0, 150.0, 380.0, 260.0]], np.float32)
+    emb = blaze_engine.embed_faces(test_image_3faces, boxes,
+                                   offsets=(-6, -1, 4, 5))
+    assert emb.shape == (2, 512)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-5)
+
+
+def test_age_gender_cascade(blaze_engine, test_image_3faces):
+    post = blaze_engine.detect_age_gender(test_image_3faces)
+    assert post.bbox_labels is not None
+    assert len(post.bbox_labels) == len(post.boxes)
+    for lbl in post.bbox_labels:
+        gender, rest = lbl.split(":", 1)
+        assert gender in ("Male", "Female")
+
+
+def test_video_resolution_cache(blaze_engine, rng):
+    # two resolutions -> two cached pipelines, reused across calls
+    a = rng.randint(0, 255, (1, 120, 160, 3)).astype(np.uint8)
+    b = rng.randint(0, 255, (1, 90, 160, 3)).astype(np.uint8)
+    blaze_engine.detect_batch(a)
+    blaze_engine.detect_batch(b)
+    n = len(blaze_engine._pipeline_cache)
+    blaze_engine.detect_batch(a)
+    assert len(blaze_engine._pipeline_cache) == n
