@@ -15,6 +15,10 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 import jax  # noqa: E402
 
+# The image's axon TPU plugin overrides JAX_PLATFORMS, so force the CPU
+# backend through the config API (env vars alone are not honored).
+jax.config.update("jax_platforms", "cpu")
+
 # bit-parity tests vs torch/numpy references need true f32 convs/matmuls;
 # jax's default precision uses fast bf16-accumulation passes even on CPU.
 jax.config.update("jax_default_matmul_precision", "highest")
