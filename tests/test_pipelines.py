@@ -1,0 +1,178 @@
+"""Batch pipelines on synthetic class trees (the reference's test pattern:
+tmp-dir trees of random-noise JPEGs, similar_face_filtering/tests)."""
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+from face_detection_and_recognition_tpu.pipelines import (dataset, imdb_wiki,
+                                                          similarity, tracking)
+
+
+@pytest.fixture()
+def class_tree(tmp_path, rng):
+    for cls in ("class_a", "class_b"):
+        d = tmp_path / "data" / cls
+        d.mkdir(parents=True)
+        for i in range(3):
+            img = rng.randint(0, 255, (64, 64, 3)).astype(np.uint8)
+            cv2.imwrite(str(d / f"img{i}.jpg"), img)
+    # one tiny video in class_a
+    vw = cv2.VideoWriter(str(tmp_path / "data" / "class_a" / "vid.mp4"),
+                         cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 64))
+    for _ in range(25):
+        vw.write(rng.randint(0, 255, (64, 64, 3)).astype(np.uint8))
+    vw.release()
+    return tmp_path / "data"
+
+
+def test_walk_class_tree(class_tree):
+    items = dataset.walk_class_tree(str(class_tree))
+    kinds = [(i.class_name, i.kind) for i in items]
+    assert kinds.count(("class_a", "image")) == 3
+    assert kinds.count(("class_a", "video")) == 1
+    assert kinds.count(("class_b", "image")) == 3
+
+
+def test_video_fps_sampling(class_tree):
+    vid = [i for i in dataset.walk_class_tree(str(class_tree))
+           if i.kind == "video"][0]
+    frames = list(dataset.iter_media_frames(vid))
+    # 25 frames at 10fps -> every 10th frame: 0, 10, 20
+    assert [f[0] for f in frames] == [0, 10, 20]
+
+
+def test_prefetch_loader_completes(class_tree):
+    items = dataset.walk_class_tree(str(class_tree))
+    got = list(dataset.PrefetchLoader(items, num_workers=3))
+    assert len(got) == len(items)
+    assert all(len(frames) >= 1 for _, frames in got)
+
+
+def test_similarity_mean_and_threshold(rng):
+    ref = rng.normal(0, 1, (10, 16)).astype(np.float32)
+    mean, thr = similarity.ref_mean_and_threshold(ref)
+    np.testing.assert_allclose(mean, ref.mean(0), atol=1e-6)
+    assert thr == pytest.approx(np.linalg.norm(ref - ref.mean(0), axis=1).max())
+
+
+def test_similarity_distance_matrix(rng):
+    e = rng.normal(0, 1, (5, 8)).astype(np.float32)
+    m = rng.normal(0, 1, (3, 8)).astype(np.float32)
+    d = np.asarray(similarity.distance_matrix(e, m))
+    ref = np.linalg.norm(e[:, None] - m[None], axis=-1)
+    np.testing.assert_allclose(d, ref, atol=1e-4)
+
+
+def test_similar_face_filter_job(tmp_path, rng):
+    # build ref + data trees; embeddings keyed by filename hash so cluster
+    # membership is deterministic
+    for root in ("ref", "data"):
+        d = tmp_path / root / "person1"
+        d.mkdir(parents=True)
+    for i in range(4):
+        cv2.imwrite(str(tmp_path / "ref" / "person1" / f"r{i}.jpg"),
+                    rng.randint(0, 255, (32, 32, 3)).astype(np.uint8))
+    for i in range(6):
+        cv2.imwrite(str(tmp_path / "data" / "person1" / f"d{i}.jpg"),
+                    rng.randint(0, 255, (32, 32, 3)).astype(np.uint8))
+
+    def embed_fn(paths):
+        out = []
+        for p in paths:
+            base = os.path.basename(p)
+            if base.startswith("r") or base in ("d0.jpg", "d1.jpg"):
+                out.append(np.ones(8, np.float32))      # in-cluster
+            else:
+                out.append(np.full(8, 10.0, np.float32))  # far away
+        return np.stack(out)
+
+    job = similarity.SimilarFaceFilter(embed_fn, batch_size=4)
+    res = job.run(str(tmp_path / "data"), str(tmp_path / "ref"),
+                  str(tmp_path / "out"))
+    n_clean, n_total = res["person1"]
+    assert n_total == 6 and n_clean == 2
+    clean = os.listdir(tmp_path / "out" / "person1" / "clean")
+    assert sorted(clean) == ["d0.jpg", "d1.jpg"]
+    assert len(os.listdir(tmp_path / "out" / "person1" / "unclean")) == 4
+
+
+def test_topk_similar(rng):
+    g = np.eye(8, 16).astype(np.float32)
+    e = g[:3] + rng.normal(0, 0.01, (3, 16)).astype(np.float32)
+    scores, idx = similarity.topk_similar(e, g, k=2)
+    assert (idx[:, 0] == np.arange(3)).all()
+    assert (scores[:, 0] > 0.99).all()
+
+
+def test_tracker_gates():
+    tr = tracking.FaceTracker(metric="l2")
+    e1 = np.zeros(4, np.float32)
+    b1 = np.array([0, 0, 10, 10], np.float32)
+    fid1, new1 = tr.match_or_add(e1, b1)
+    assert new1
+    # close embedding + overlapping box -> same track
+    fid2, new2 = tr.match_or_add(e1 + 0.9 / 2, b1 + 1)
+    assert fid2 == fid1 and not new2
+    # far embedding, far box -> new track
+    fid3, new3 = tr.match_or_add(np.full(4, 5.0, np.float32),
+                                 np.array([50, 50, 60, 60], np.float32))
+    assert new3 and fid3 != fid1
+    # very close embedding, no overlap -> dist-only gate matches
+    fid4, new4 = tr.match_or_add(np.full(4, 5.0, np.float32) + 0.1,
+                                 np.array([200, 200, 210, 210], np.float32))
+    assert fid4 == fid3 and not new4
+    tr.reset()
+    assert tr.tracks == []
+
+
+def test_imdb_wiki_cleaning():
+    n = 6
+    meta = {
+        "full_path": np.array([f"im{i}.jpg" for i in range(n)]),
+        # datenum ~ year 1980 (715876 ~= 1960); vary
+        "dob": np.array([715876.0] * n),
+        "photo_taken": np.array([2000.0, 2000, 2000, 2000, 1900, 2000]),
+        "gender": np.array([1.0, np.nan, 1.0, 0.0, 1.0, 1.0]),
+        "face_score": np.array([1.5, 1.5, 0.2, 1.5, 1.5, 1.5]),
+        "second_face_score": np.array([np.nan, np.nan, np.nan, 2.0, np.nan,
+                                       np.nan]),
+    }
+    keep, report = imdb_wiki.clean_imdb_wiki(meta)
+    assert report.removed["nan_gender"] == 1
+    assert report.removed["low_det_score"] == 1
+    assert report.removed["multiple_faces"] == 1
+    assert report.removed["bad_age"] == 1  # photo 1900, born ~1960
+    assert report.kept == len(keep) == 2
+
+
+def test_age_groups():
+    assert imdb_wiki.age_to_group(5) == "0-13"
+    assert imdb_wiki.age_to_group(30) == "25-39"
+    assert imdb_wiki.age_to_group(150) is None
+
+
+def test_extract_faces_job_with_engine(class_tree, tmp_path):
+    """Full extraction job with a real (random-weight) engine: must complete,
+    write zero-padded features, and resume-skip on second run."""
+    from face_detection_and_recognition_tpu.core.engine import (EngineConfig,
+                                                                FaceEngine)
+    from face_detection_and_recognition_tpu.pipelines.extract_faces import \
+        extract_faces_from_dataset
+
+    engine = FaceEngine(EngineConfig(detector="blazeface-front",
+                                     det_thres=0.3, embedder="mobile_facenet",
+                                     max_det=8))
+    out = tmp_path / "out"
+    stats = extract_faces_from_dataset(engine, str(class_tree), str(out),
+                                       num_workers=2)
+    assert not stats.failed
+    assert sum(c["media"] for c in stats.classes.values()) == 7
+    # features zero-padded to [45, 512]
+    feats = np.load(out / "class_b" / "img0.npy")
+    assert feats.shape == (45, 512)
+    # resume: nothing left to do
+    stats2 = extract_faces_from_dataset(engine, str(class_tree), str(out),
+                                        num_workers=2)
+    assert sum(c["media"] for c in stats2.classes.values()) == 0
