@@ -1,0 +1,105 @@
+"""HTTP front door for FaceService — the thin cross-process shim.
+
+The reference's serving boundary is gRPC to Dockerized Triton
+(``triton_utils.py:13-36``); here the ensemble is in-process (service.py) and
+this stdlib HTTP server only exists for callers in other processes/languages.
+
+Protocol (JSON + base64 or raw JPEG bytes):
+    GET  /health               -> {"ready": true}
+    POST /detect   (image/jpeg body, query det_thres/bbox_area_thres)
+        -> {"bboxes": [[x1,y1,x2,y2],...], "confs": [...]}
+    POST /ensemble (image/jpeg body)
+        -> {"bboxes", "confs", "embeddings", "labels"}
+
+Run: python -m face_detection_and_recognition_tpu.serving.http_server
+"""
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import cv2
+import numpy as np
+
+from .service import FaceService, ServiceConfig
+
+
+def make_handler(service: FaceService):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):  # quiet
+            pass
+
+        def do_GET(self):
+            if urlparse(self.path).path == "/health":
+                self._send(200, {"ready": True})
+            else:
+                self._send(404, {"error": "not found"})
+
+        def _read_image(self):
+            length = int(self.headers.get("Content-Length", 0))
+            data = self.rfile.read(length)
+            img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+            return img
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            q = parse_qs(url.query)
+            img = self._read_image()
+            if img is None:
+                self._send(400, {"error": "cannot decode image"})
+                return
+            if url.path == "/detect":
+                dt = float(q["det_thres"][0]) if "det_thres" in q else None
+                at = (float(q["bbox_area_thres"][0])
+                      if "bbox_area_thres" in q else None)
+                faces, bboxes, confs = service.detect_faces(img, dt, at)
+                self._send(200, {
+                    "bboxes": bboxes.tolist(),
+                    "confs": confs.ravel().tolist(),
+                    "num_faces": int(faces.shape[0]),
+                })
+            elif url.path == "/ensemble":
+                out = service.detect_embed_classify(img)
+                self._send(200, {
+                    "bboxes": out["bboxes"].tolist(),
+                    "confs": out["confs"].ravel().tolist(),
+                    "embeddings": out["embeddings"].tolist(),
+                    "labels": out["labels"],
+                })
+            else:
+                self._send(404, {"error": "not found"})
+
+    return Handler
+
+
+def serve(cfg: ServiceConfig = None, host: str = "0.0.0.0", port: int = 8081,
+          block: bool = True):
+    service = FaceService(cfg or ServiceConfig())
+    service.ready()  # compile before accepting traffic
+    httpd = ThreadingHTTPServer((host, port), make_handler(service))
+    if block:
+        httpd.serve_forever()
+        return httpd
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    return httpd
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--port", type=int, default=8081)
+    ap.add_argument("--detector", default="yolov5s")
+    args = ap.parse_args()
+    serve(ServiceConfig(detector=args.detector), port=args.port)

@@ -1,0 +1,157 @@
+"""In-process face service — the Triton-ensemble equivalent.
+
+The reference serves four Docker-launched Triton servers (SURVEY.md §2.4):
+an ensemble graph (ONNX yolov5s + python-backend postprocess returning
+112x112 face crops, ``face_detection_trt_server``), a facenet embedder
+(160x160 prewhitened -> 128-d), and age/gender heads — all wired over gRPC
+with a 100-retry readiness ping.
+
+On TPU the whole ensemble collapses into XLA program composition: detector
+backbone -> decode/NMS -> batched crop -> embedder runs as fused jitted
+programs on HBM in ONE process; the container/gRPC/scheduler machinery
+disappears. ``FaceService`` exposes the same logical API surface, including
+the ensemble's exact I/O contract (faces [-1, 3, 112, 112] normalized to
+(-1, 1) CHW, bboxes, confs, and the [[0, 0, 0, 0]] no-face sentinel,
+``face_detection_trt_server/inference.py:94-98``). A thin HTTP front door
+(serving/http_server.py) survives for cross-process callers.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.engine import EngineConfig, FaceEngine
+from ..ops import preprocess as P
+from ..ops.crop import crop_and_resize
+from ..ops.geometry import standardize_image
+
+NO_FACE_SENTINEL = np.array([[0, 0, 0, 0]], np.float32)
+
+
+@dataclasses.dataclass
+class ServiceConfig:
+    detector: str = "yolov5s"
+    det_thres: float = 0.70
+    bbox_area_thres: float = 0.10
+    max_det: int = 32
+    face_size: Tuple[int, int] = (112, 112)
+    with_embedder: bool = True
+    with_age_gender: bool = True
+
+
+class FaceService:
+    """Single-process serving facade over a FaceEngine."""
+
+    def __init__(self, cfg: ServiceConfig = ServiceConfig()):
+        self.cfg = cfg
+        self.engine = FaceEngine(
+            EngineConfig(
+                detector=cfg.detector,
+                det_thres=cfg.det_thres,
+                bbox_area_thres=cfg.bbox_area_thres,
+                max_det=cfg.max_det,
+                embedder="mobile_facenet" if cfg.with_embedder else None,
+                with_age_gender=cfg.with_age_gender,
+            )
+        )
+
+    def ready(self) -> bool:
+        """Readiness probe (replaces the Triton 100-retry ping): runs a tiny
+        detection to force compilation."""
+        dummy = np.zeros((64, 64, 3), np.uint8)
+        self.engine.detect_image(dummy)
+        return True
+
+    # ---- ensemble contract (face_detection_trt_server) ----
+
+    def detect_faces(
+        self,
+        image_bgr: np.ndarray,
+        det_thres: Optional[float] = None,
+        bbox_area_thres: Optional[float] = None,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """image -> (faces [N, 3, 112, 112] in (-1, 1) CHW, bboxes [N, 4],
+        confs [N, 1]); no faces -> (empty, [[0, 0, 0, 0]], empty) like the
+        reference sentinel."""
+        eng = self.engine
+        if det_thres is not None or bbox_area_thres is not None:
+            # thresholds are call-time args in the ensemble contract
+            old = (eng.cfg.det_thres, eng.cfg.bbox_area_thres)
+            eng.cfg.det_thres = det_thres if det_thres is not None else old[0]
+            eng.cfg.bbox_area_thres = (
+                bbox_area_thres if bbox_area_thres is not None else old[1]
+            )
+            eng._pipeline_cache.clear()
+            try:
+                post = eng.detect_image(image_bgr)
+            finally:
+                eng.cfg.det_thres, eng.cfg.bbox_area_thres = old
+                eng._pipeline_cache.clear()
+        else:
+            post = eng.detect_image(image_bgr)
+
+        if not len(post.boxes):
+            return (np.zeros((0, 3, *self.cfg.face_size), np.float32),
+                    NO_FACE_SENTINEL.copy(), np.zeros((0, 1), np.float32))
+        crops = crop_and_resize(
+            jnp.asarray(image_bgr),
+            jnp.asarray(post.boxes, jnp.float32),
+            self.cfg.face_size,
+        )
+        faces = np.asarray((crops - 127.5) / 127.5)            # NHWC (-1,1)
+        faces = faces.transpose(0, 3, 1, 2)                    # contract: CHW
+        return (faces.astype(np.float32),
+                np.asarray(post.boxes, np.float32),
+                np.asarray(post.bbox_confs, np.float32)[:, None])
+
+    # ---- facenet server contract ----
+
+    def embed(self, faces_bgr: np.ndarray) -> np.ndarray:
+        """[N, H, W, 3] BGR face crops -> [N, D] embeddings (the facenet
+        server prewhitens 160x160 input; our embedder takes 112x112 with
+        (-1, 1) norm — same logical slot)."""
+        out = []
+        for f in faces_bgr:
+            out.append(
+                self.engine.embed_faces(
+                    f, np.asarray([[0, 0, f.shape[1], f.shape[0]]], np.float32)
+                )[0]
+            )
+        return np.stack(out) if out else np.zeros((0, 512), np.float32)
+
+    # ---- age/gender server contract ----
+
+    def age_gender(self, faces_bgr: np.ndarray):
+        """[N, H, W, 3] BGR crops -> (age_probs [N, 8], gender_probs [N, 2])
+        in one batched program (replaces two separate Triton servers)."""
+        import jax
+
+        crops = jnp.stack([
+            jnp.asarray(P.apply_preprocess(jnp.asarray(f), P.AGE_GENDER))
+            for f in faces_bgr
+        ])
+        a, g = self.engine._classify_ag(
+            self.engine.ag_vars[0], self.engine.ag_vars[1], crops
+        )
+        return np.asarray(a), np.asarray(g)
+
+    def detect_embed_classify(self, image_bgr: np.ndarray):
+        """The full ensemble in one call: detections + embeddings + age/gender
+        labels. This is the program Triton needed three containers for."""
+        faces_chw, bboxes, confs = self.detect_faces(image_bgr)
+        if faces_chw.shape[0] == 0:
+            return {"bboxes": bboxes, "confs": confs,
+                    "embeddings": np.zeros((0, 512), np.float32),
+                    "labels": []}
+        faces_bgr = ((faces_chw.transpose(0, 2, 3, 1) * 127.5) + 127.5).astype(
+            np.uint8
+        )
+        emb = self.embed(faces_bgr)
+        a, g = self.age_gender(faces_bgr)
+        from ..models.age_gender import labels_from_probs
+
+        return {"bboxes": bboxes, "confs": confs, "embeddings": emb,
+                "labels": list(labels_from_probs(a, g))}

@@ -1,0 +1,85 @@
+"""Serving layer: ensemble contract + HTTP front door (the reference never
+tested its Triton servers — SURVEY.md §4 'Not tested')."""
+import json
+import urllib.request
+
+import cv2
+import numpy as np
+import pytest
+
+from face_detection_and_recognition_tpu.serving import FaceService, ServiceConfig
+
+
+@pytest.fixture(scope="module")
+def service():
+    svc = FaceService(ServiceConfig(detector="blazeface-front",
+                                    det_thres=0.3, max_det=8))
+    assert svc.ready()
+    return svc
+
+
+def test_detect_faces_sentinel_contract(service, rng):
+    img = rng.randint(0, 255, (120, 160, 3)).astype(np.uint8)
+    faces, bboxes, confs = service.detect_faces(img)
+    if faces.shape[0] == 0:
+        np.testing.assert_array_equal(bboxes, [[0, 0, 0, 0]])
+        assert confs.shape == (0, 1)
+    else:
+        assert faces.shape[1:] == (3, 112, 112)
+        assert -1.0 - 1e-5 <= faces.min() and faces.max() <= 1.0 + 1e-5
+        assert bboxes.shape == (faces.shape[0], 4)
+
+
+def test_call_time_thresholds(service, rng):
+    img = rng.randint(0, 255, (120, 160, 3)).astype(np.uint8)
+    f1, _, _ = service.detect_faces(img, det_thres=0.999)
+    f2, _, _ = service.detect_faces(img, det_thres=0.0, bbox_area_thres=0.0)
+    assert f1.shape[0] <= f2.shape[0]
+
+
+def test_embed_and_age_gender(service, rng):
+    faces = rng.randint(0, 255, (2, 112, 112, 3)).astype(np.uint8)
+    emb = service.embed(faces)
+    assert emb.shape == (2, 512)
+    a, g = service.age_gender(faces)
+    assert a.shape == (2, 8) and g.shape == (2, 2)
+
+
+def test_full_ensemble(service, test_image_3faces):
+    out = service.detect_embed_classify(test_image_3faces)
+    assert set(out) == {"bboxes", "confs", "embeddings", "labels"}
+    assert len(out["labels"]) == len(out["embeddings"])
+
+
+def test_http_server_roundtrip(rng):
+    from face_detection_and_recognition_tpu.serving.http_server import serve
+
+    httpd = serve(ServiceConfig(detector="blazeface-front", det_thres=0.3,
+                                max_det=4, with_embedder=False,
+                                with_age_gender=False),
+                  host="127.0.0.1", port=18931, block=False)
+    try:
+        with urllib.request.urlopen("http://127.0.0.1:18931/health") as r:
+            assert json.load(r)["ready"] is True
+        img = rng.randint(0, 255, (64, 64, 3)).astype(np.uint8)
+        ok, enc = cv2.imencode(".jpg", img)
+        assert ok
+        req = urllib.request.Request(
+            "http://127.0.0.1:18931/detect?det_thres=0.5",
+            data=enc.tobytes(), method="POST",
+            headers={"Content-Type": "image/jpeg"},
+        )
+        with urllib.request.urlopen(req) as r:
+            out = json.load(r)
+        assert "bboxes" in out and "num_faces" in out
+        # garbage body -> clean 400
+        bad = urllib.request.Request(
+            "http://127.0.0.1:18931/detect", data=b"not an image",
+            method="POST")
+        try:
+            urllib.request.urlopen(bad)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        httpd.shutdown()
