@@ -42,10 +42,13 @@ def test_loose_boxes_pass_ap50_not_ap75():
 
 
 def test_duplicate_detections_penalized():
-    gts = {0: np.array([[10, 10, 20, 20]], float)}
-    dup = {0: np.array([[10, 10, 20, 20, 0.9], [11, 11, 20, 20, 0.8]], float)}
+    # a duplicate ranked above the second object's TP costs precision
+    gts = {0: np.array([[10, 10, 20, 20], [100, 100, 20, 20]], float)}
+    dup = {0: np.array([[10, 10, 20, 20, 0.9],
+                        [11, 11, 20, 20, 0.8],      # duplicate -> FP
+                        [100, 100, 20, 20, 0.7]], float)}
     m = evaluate_detections(gts, dup)
-    assert m["AP"] < 1.0  # second det is an unmatched FP
+    assert 0.5 < m["AP50"] < 1.0
 
 
 def test_parse_wider_annotations(tmp_path):
