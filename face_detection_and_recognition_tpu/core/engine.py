@@ -23,7 +23,6 @@ import numpy as np
 
 from ..models import registry
 from ..models.age_gender import labels_from_probs, make_age_gender
-from ..models.mobile_facenet import make_mobile_facenet
 from ..ops import preprocess as P
 from ..ops.crop import crop_and_resize, pad_boxes
 from .detections import Detections, PostProcessedDetection, postprocess_detections
@@ -55,12 +54,14 @@ class FaceEngine:
         self._pipeline_cache: Dict[Tuple[int, int, int], Any] = {}
 
         self.embed_net = self.embed_vars = self._embed = None
-        if cfg.embedder == "mobile_facenet":
-            self.embed_net, self.embed_vars, self._embed = make_mobile_facenet(
+        self.embed_spec = None
+        if cfg.embedder is not None:
+            from ..models.embedders import get_embedder
+
+            self.embed_spec = get_embedder(cfg.embedder)
+            self.embed_net, self.embed_vars, self._embed = self.embed_spec.build(
                 rng=jax.random.fold_in(rng, 1), dtype=cfg.dtype
             )
-        elif cfg.embedder is not None:
-            raise ValueError(f"unknown embedder {cfg.embedder}")
 
         self.ag_vars = self._classify_ag = None
         if cfg.with_age_gender:
@@ -134,21 +135,31 @@ class FaceEngine:
         crops) and produce [N, D] L2-normalized embeddings."""
         if self._embed is None:
             raise RuntimeError("engine built without an embedder")
+        spec = self.embed_spec
         if len(boxes) == 0:
-            return np.zeros((0, 512), np.float32)
+            return np.zeros((0, spec.dim), np.float32)
         h, w = img.shape[:2]
         b = jnp.asarray(boxes, jnp.float32)
         if offsets is not None:
             b = pad_boxes(b, offsets, img_wh=(w, h))
-        crops = crop_and_resize(jnp.asarray(img), b, (112, 112))
-        crops = (crops - 127.5) / 127.5  # BGR, mobile_facenet norm
+        ew, eh = spec.input_size
+        crops = crop_and_resize(jnp.asarray(img), b, (eh, ew))
+        if spec.rgb:
+            crops = crops[..., ::-1]
+        if spec.norm == "half":
+            crops = (crops - 127.5) / 127.5
+        elif spec.norm == "prewhiten":
+            from ..ops.geometry import standardize_image
+
+            crops = standardize_image(crops)
         return np.asarray(self._embed(self.embed_vars, crops))
 
     def detect_and_embed(self, img: np.ndarray):
         """Full ensemble on one image: detections + embeddings."""
         post = self.detect_image(img)
+        dim = self.embed_spec.dim if self.embed_spec else 512
         emb = self.embed_faces(img, post.boxes) if len(post.boxes) else (
-            np.zeros((0, 512), np.float32)
+            np.zeros((0, dim), np.float32)
         )
         return post, emb
 
