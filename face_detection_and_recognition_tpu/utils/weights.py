@@ -72,6 +72,99 @@ def convert_blazeface(sd: Mapping, back_model: bool = False) -> Dict:
     return {"params": params}
 
 
+def convert_yolov5_face(sd: Mapping, arch: str, nc: int = 1) -> Dict:
+    """Map a reference yolov5-face torch state dict (yaml-built ``Model``,
+    ``pytorch/models/yolo.py:260-327``) onto our ``YoloV5FaceNet`` tree.
+
+    Torch layers are ``model.{i}`` in graph order; our builder names them
+    ``layer{i}`` (``layer{i}_{r}`` for repeated ShuffleV2Blocks) with
+    deterministic ConvBN_k/Bottleneck_k child order, so the mapping is
+    purely structural.
+    """
+    from ..models.yolov5_face import ARCHS
+
+    spec = ARCHS[arch]
+    gd = spec["gd"]
+    params: Dict = {}
+    stats: Dict = {}
+
+    def depth(n):
+        return max(round(n * gd), 1) if n > 1 else n
+
+    def convbn(conv_p: str, bn_p: str):
+        p, s = bn_entries(sd, bn_p)
+        return (
+            {"Conv_0": conv_entry(sd, conv_p, bias=False), "BatchNorm_0": p},
+            {"BatchNorm_0": s},
+        )
+
+    def conv_module(tp: str):  # yolov5 Conv: .conv + .bn
+        return convbn(f"{tp}.conv", f"{tp}.bn")
+
+    def put(name: str, pair):
+        params[name], stats[name] = pair
+
+    def c3(tp: str, n_rep: int):
+        p: Dict = {}
+        s: Dict = {}
+        p["ConvBN_0"], s["ConvBN_0"] = conv_module(f"{tp}.cv1")
+        for j in range(n_rep):
+            bp: Dict = {}
+            bs: Dict = {}
+            bp["ConvBN_0"], bs["ConvBN_0"] = conv_module(f"{tp}.m.{j}.cv1")
+            bp["ConvBN_1"], bs["ConvBN_1"] = conv_module(f"{tp}.m.{j}.cv2")
+            p[f"Bottleneck_{j}"], s[f"Bottleneck_{j}"] = bp, bs
+        p["ConvBN_1"], s["ConvBN_1"] = conv_module(f"{tp}.cv2")
+        p["ConvBN_2"], s["ConvBN_2"] = conv_module(f"{tp}.cv3")
+        return p, s
+
+    def stem(tp: str):
+        p: Dict = {}
+        s: Dict = {}
+        for k, sub in enumerate(("stem_1", "stem_2a", "stem_2b", "stem_3")):
+            p[f"ConvBN_{k}"], s[f"ConvBN_{k}"] = conv_module(f"{tp}.{sub}")
+        return p, s
+
+    def spp(tp: str):
+        p: Dict = {}
+        s: Dict = {}
+        p["ConvBN_0"], s["ConvBN_0"] = conv_module(f"{tp}.cv1")
+        p["ConvBN_1"], s["ConvBN_1"] = conv_module(f"{tp}.cv2")
+        return p, s
+
+    def shuffle(tp: str, stride: int):
+        pairs = ([("branch1.0", "branch1.1"), ("branch1.2", "branch1.3")]
+                 if stride > 1 else [])
+        pairs += [("branch2.0", "branch2.1"), ("branch2.3", "branch2.4"),
+                  ("branch2.5", "branch2.6")]
+        p: Dict = {}
+        s: Dict = {}
+        for k, (cp, bp) in enumerate(pairs):
+            p[f"ConvBN_{k}"], s[f"ConvBN_{k}"] = convbn(f"{tp}.{cp}",
+                                                        f"{tp}.{bp}")
+        return p, s
+
+    for i, (frm, n, mod, args) in enumerate(spec["graph"]):
+        t = f"model.{i}"
+        if mod == "Conv":
+            put(f"layer{i}", conv_module(t))
+        elif mod == "C3":
+            put(f"layer{i}", c3(t, depth(n)))
+        elif mod == "SPP":
+            put(f"layer{i}", spp(t))
+        elif mod == "StemBlock":
+            put(f"layer{i}", stem(t))
+        elif mod == "ShuffleV2Block":
+            reps = depth(n)
+            for r in range(reps):
+                tp = t if reps == 1 else f"{t}.{r}"
+                put(f"layer{i}_{r}", shuffle(tp, args[1]))
+        elif mod == "Detect":
+            for li in range(len(frm)):
+                params[f"detect_m{li}"] = conv_entry(sd, f"{t}.m.{li}")
+    return {"params": params, "batch_stats": stats}
+
+
 def convert_mobile_facenet(sd: Mapping) -> Dict:
     """Map the reference MobileFaceNet state dict
     (mobile_facenet.py:104-154) onto our ``MobileFaceNet`` tree."""
