@@ -16,8 +16,8 @@ import numpy as np
 
 BASELINE_FPS = 13.0  # reference yolov5s-face on i9 CPU (BASELINE.md)
 FRAME_HW = (576, 1024)
-BATCH = 32
-ITERS = 20
+BATCH = 128  # measured throughput sweet spot on v5e-1 (32:884, 64:1606, 128:2060, 256:1832 fps)
+ITERS = 10
 
 
 def build_pipeline(dtype):
@@ -31,7 +31,7 @@ def build_pipeline(dtype):
 
     cfg = YoloV5FaceConfig(arch="yolov5s", input_size=(640, 640))
     net = YoloV5FaceNet(arch=cfg.arch, nc=cfg.nc, dtype=dtype)
-    variables = net.init(jax.random.PRNGKey(0),
+    variables = jax.jit(net.init)(jax.random.PRNGKey(0),
                          jnp.zeros((1, 640, 640, 3), jnp.float32))
     spec = ARCHS[cfg.arch]
 
@@ -66,28 +66,18 @@ def bench(dtype) -> float:
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     platform = jax.devices()[0].platform
-    fps_f32 = bench(np.float32)
-    try:
-        import jax.numpy as jnp
-
-        fps_bf16 = bench(jnp.bfloat16)
-    except Exception:
-        fps_bf16 = 0.0
-    fps = max(fps_f32, fps_bf16)
+    fps = bench(jnp.bfloat16)
     print(
         json.dumps(
             {
-                "metric": f"yolov5s-face e2e FPS @576x1024 ({platform}, batch {BATCH})",
+                "metric": f"yolov5s-face e2e FPS @576x1024 ({platform}, bf16, batch {BATCH})",
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / BASELINE_FPS, 2),
-                "detail": {
-                    "f32_fps": round(fps_f32, 2),
-                    "bf16_fps": round(fps_bf16, 2),
-                    "baseline_fps_i9cpu": BASELINE_FPS,
-                },
+                "detail": {"baseline_fps_i9cpu": BASELINE_FPS},
             }
         )
     )

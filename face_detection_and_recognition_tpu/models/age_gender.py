@@ -77,8 +77,8 @@ def make_age_gender(rng: jax.Array = None, dtype=jnp.float32):
     age_net = CaffeNetHead(num_classes=len(AGE_BUCKETS), dtype=dtype)
     gender_net = CaffeNetHead(num_classes=len(GENDERS), dtype=dtype)
     x0 = jnp.zeros((1, 227, 227, 3), jnp.float32)
-    age_vars = age_net.init(r1, x0)
-    gender_vars = gender_net.init(r2, x0)
+    age_vars = jax.jit(age_net.init)(r1, x0)
+    gender_vars = jax.jit(gender_net.init)(r2, x0)
 
     @jax.jit
     def classify(age_vars, gender_vars, crops):

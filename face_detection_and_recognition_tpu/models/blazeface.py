@@ -168,7 +168,7 @@ def make_blazeface(cfg: BlazeFaceConfig, rng: jax.Array = None, dtype=jnp.float3
     net = BlazeFaceNet(back_model=cfg.back_model, dtype=dtype)
     w, h = cfg.input_size
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    params = net.init(rng, jnp.zeros((1, h, w, 3), jnp.float32))
+    params = jax.jit(net.init)(rng, jnp.zeros((1, h, w, 3), jnp.float32))
     anchors = jnp.asarray(generate_anchors())
 
     @jax.jit

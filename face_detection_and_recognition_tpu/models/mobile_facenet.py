@@ -111,7 +111,7 @@ def make_mobile_facenet(
     """
     net = MobileFaceNet(embedding_size=embedding_size, dtype=dtype)
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    variables = net.init(rng, jnp.zeros((1, 112, 112, 3), jnp.float32))
+    variables = jax.jit(net.init)(rng, jnp.zeros((1, 112, 112, 3), jnp.float32))
 
     @jax.jit
     def embed(variables, crops):

@@ -175,9 +175,9 @@ class MTCNN:
         self.pnet = PNet(dtype=dtype)
         self.rnet = RNet(dtype=dtype)
         self.onet = ONet(dtype=dtype)
-        self.pnet_vars = self.pnet.init(r1, jnp.zeros((1, 12, 12, 3)))
-        self.rnet_vars = self.rnet.init(r2, jnp.zeros((1, 24, 24, 3)))
-        self.onet_vars = self.onet.init(r3, jnp.zeros((1, 48, 48, 3)))
+        self.pnet_vars = jax.jit(self.pnet.init)(r1, jnp.zeros((1, 12, 12, 3)))
+        self.rnet_vars = jax.jit(self.rnet.init)(r2, jnp.zeros((1, 24, 24, 3)))
+        self.onet_vars = jax.jit(self.onet.init)(r3, jnp.zeros((1, 48, 48, 3)))
         self._detect_cache = {}
 
     def variables(self):

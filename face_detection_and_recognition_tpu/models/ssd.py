@@ -246,7 +246,7 @@ def make_ssd_face(cfg: SSDConfig, rng: jax.Array = None, dtype=jnp.float32):
     net = SSDFaceNet(cfg=cfg, dtype=dtype)
     w, h = cfg.input_size
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    variables = net.init(rng, jnp.zeros((1, h, w, 3), jnp.float32))
+    variables = jax.jit(net.init)(rng, jnp.zeros((1, h, w, 3), jnp.float32))
     priors = jnp.asarray(generate_priors(cfg))
 
     @jax.jit

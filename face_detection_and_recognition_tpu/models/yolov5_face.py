@@ -338,7 +338,7 @@ def make_yolov5_face(
     net = YoloV5FaceNet(arch=cfg.arch, nc=cfg.nc, dtype=dtype)
     w, h = cfg.input_size
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    variables = net.init(rng, jnp.zeros((1, h, w, 3), jnp.float32))
+    variables = jax.jit(net.init)(rng, jnp.zeros((1, h, w, 3), jnp.float32))
     spec = ARCHS[cfg.arch]
 
     @jax.jit

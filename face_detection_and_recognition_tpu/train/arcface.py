@@ -40,7 +40,7 @@ def create_train_state(
     """Initialize embedder variables + class kernel + optimizer state."""
     net = MobileFaceNet(embedding_size=cfg.embedding_size, dtype=cfg.dtype)
     r1, r2 = jax.random.split(rng)
-    variables = net.init(
+    variables = jax.jit(net.init, static_argnames=('train',))(
         r1, jnp.zeros((1, *image_hw, 3), jnp.float32), train=True
     )
     kernel = jax.random.uniform(
