@@ -1,0 +1,223 @@
+"""Pallas TPU kernels for the hot postprocessing ops.
+
+Two production kernels:
+
+  * ``nms_fixpoint_pallas`` — greedy NMS over score-sorted boxes as a single
+    VMEM-resident kernel: the K x K IoU matrix is computed once on the VPU
+    and the suppression fixpoint iterates entirely on-chip (no HBM round
+    trips between passes). Exact same semantics as ops/nms.greedy_nms_mask's
+    sorted core.
+
+  * ``topk_gallery_pallas`` — streaming cosine top-k against a large gallery:
+    the gallery is processed in column blocks on the MXU with a running
+    top-k (scores+indices) carried in VMEM scratch, so the full [N, M]
+    similarity matrix never materializes in HBM. This is the production
+    similarity-search path for galleries far larger than HBM-friendly
+    sizes; pair with a "model"-axis sharded gallery for multi-chip.
+
+Both kernels run in interpreter mode on CPU (tests) and compiled on TPU.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _on_tpu() -> bool:
+    return jax.devices()[0].platform == "tpu"
+
+
+# ---------------- fused greedy NMS ----------------
+
+
+def _nms_kernel(boxes_ref, valid_ref, keep_ref, *, iou_thres: float,
+                plus1: bool, strict: bool, mode: str):
+    boxes = boxes_ref[:]                       # [K, 4] sorted by score desc
+    valid = valid_ref[:]                       # [1, K] f32 (1.0 = valid)
+    k = boxes.shape[0]
+    off = 1.0 if plus1 else 0.0
+
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    lt_x = jnp.maximum(x1[:, None], x1[None, :])
+    lt_y = jnp.maximum(y1[:, None], y1[None, :])
+    rb_x = jnp.minimum(x2[:, None], x2[None, :])
+    rb_y = jnp.minimum(y2[:, None], y2[None, :])
+    inter = jnp.clip(rb_x - lt_x + off, 0.0, None) * \
+        jnp.clip(rb_y - lt_y + off, 0.0, None)
+    area = (x2 - x1 + off) * (y2 - y1 + off)
+    if mode == "min":
+        denom = jnp.minimum(area[:, None], area[None, :])
+    else:
+        denom = area[:, None] + area[None, :] - inter
+        if plus1:
+            denom = denom + 1e-16
+    iou = inter / denom
+
+    overlaps = (iou > iou_thres) if strict else (iou >= iou_thres)
+    row = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    sup_higher = jnp.where(overlaps & (row < col), 1.0, 0.0)  # [K, K] f32
+
+    # fixpoint: S <- exists j<i alive(j) & overlap(j,i); converges to greedy.
+    # all state f32 [1, K] — avoids sub-128-lane bitwidth changes in Mosaic
+    # and keeps the matvec on the MXU.
+    def cond(c):
+        s, prev, it = c
+        return (it < 1) | jnp.any(s != prev)
+
+    def body(c):
+        s, _, it = c
+        keepv = valid * (1.0 - s)                           # [1, K]
+        sup = jnp.dot(keepv, sup_higher,
+                      preferred_element_type=jnp.float32)
+        new_s = jnp.where(sup > 0.0, 1.0, 0.0)
+        return new_s, s, it + 1
+
+    # derive carries from loaded data so their Mosaic layouts match the
+    # dot output inside the loop (replicated-layout zeros break relayout)
+    s0 = valid * 0.0
+    s_final, _, _ = jax.lax.while_loop(cond, body, (s0, s0 + 1.0, 0))
+    keep_ref[:] = valid * (1.0 - s_final)
+
+
+def nms_fixpoint_pallas(
+    boxes_sorted: jnp.ndarray,
+    valid_sorted: jnp.ndarray,
+    iou_thres: float,
+    plus1: bool = False,
+    strict: bool = True,
+    mode: str = "union",
+    interpret: bool = None,
+) -> jnp.ndarray:
+    """Greedy NMS keep-mask over score-sorted boxes, one VMEM kernel.
+
+    boxes_sorted: [K, 4] xyxy, highest score first. valid_sorted: [K] bool.
+    Returns keep [K] bool in sorted order.
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    k = boxes_sorted.shape[0]
+    kp = ((k + 127) // 128) * 128  # lane-align; padded rows are invalid
+    boxes_p = jnp.zeros((kp, 4), jnp.float32).at[:k].set(
+        boxes_sorted.astype(jnp.float32)
+    )
+    valid_p = jnp.zeros((1, kp), jnp.float32).at[0, :k].set(
+        valid_sorted.astype(jnp.float32)
+    )
+    kernel = functools.partial(_nms_kernel, iou_thres=float(iou_thres),
+                               plus1=plus1, strict=strict, mode=mode)
+    keep = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, kp), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
+        interpret=interpret,
+    )(boxes_p, valid_p)
+    return keep[0, :k] > 0.5
+
+
+# ---------------- streaming gallery top-k ----------------
+
+
+def _topk_kernel(q_ref, g_ref, scores_ref, idx_ref, run_s, run_i, *,
+                 block_m: int, k: int):
+    step = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+
+    @pl.when(step == 0)
+    def _():
+        run_s[:] = jnp.full_like(run_s, -1e30)
+        run_i[:] = jnp.zeros_like(run_i)
+
+    q = q_ref[:]                                   # [N, D]
+    g = g_ref[:]                                   # [block_m, D]
+    sims = jax.lax.dot_general(
+        q, g, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                              # [N, block_m]
+    base = step * block_m
+    cols = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1) + base
+
+    # merge block into the running top-k (kept sorted desc): k rounds of
+    # masked argmax against the pool. When the pool max beats slot j, they
+    # swap — the displaced run value re-enters the pool and can win a later
+    # slot; when it doesn't, the pool is left untouched so the same max
+    # competes at slot j+1.
+    rs = run_s[:]                                  # [N, k]
+    ri = run_i[:]
+    s = sims
+    c = cols
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, rs.shape, 1)
+    big = jnp.int32(1 << 30)
+    for slot in range(k):
+        best = jnp.max(s, axis=1)                  # [N]
+        # gather-free index selection: among score-ties pick the smallest
+        # gallery index (take_along_axis/argmax gathers don't lower in Mosaic)
+        ties = s >= best[:, None]
+        best_idx = jnp.min(jnp.where(ties, c, big), axis=1)
+        onehot = ties & (c == best_idx[:, None])
+        cur_s = rs[:, slot]
+        cur_i = ri[:, slot]
+        better = best > cur_s
+        at = slot_iota == slot
+        rs = jnp.where(at & better[:, None], best[:, None], rs)
+        ri = jnp.where(at & better[:, None], best_idx[:, None], ri)
+        s = jnp.where(onehot & better[:, None], cur_s[:, None], s)
+        c = jnp.where(onehot & better[:, None], cur_i[:, None], c)
+    run_s[:] = rs
+    run_i[:] = ri
+
+    @pl.when(step == nsteps - 1)
+    def _():
+        scores_ref[:] = run_s[:]
+        idx_ref[:] = run_i[:]
+
+
+def topk_gallery_pallas(
+    queries: jnp.ndarray,
+    gallery: jnp.ndarray,
+    k: int = 8,
+    block_m: int = 512,
+    interpret: bool = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k inner-product search of [N, D] queries against an [M, D]
+    gallery, streamed in blocks of ``block_m`` rows. Returns
+    (scores [N, k] desc, indices [N, k]).
+
+    M must be a multiple of block_m (pad the gallery with -inf-normed rows).
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    n, d = queries.shape
+    m = gallery.shape[0]
+    assert m % block_m == 0, "pad gallery to a multiple of block_m"
+    grid = (m // block_m,)
+    kernel = functools.partial(_topk_kernel, block_m=block_m, k=k)
+    scores, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n, d), lambda i: (0, 0)),
+            pl.BlockSpec((block_m, d), lambda i: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((n, k), lambda i: (0, 0)),
+            pl.BlockSpec((n, k), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, k), jnp.float32),
+            jax.ShapeDtypeStruct((n, k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n, k), jnp.float32),
+            pltpu.VMEM((n, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(queries.astype(jnp.float32), gallery.astype(jnp.float32))
+    return scores, idx

@@ -68,18 +68,43 @@ def filter_embeddings(
 
 
 def topk_similar(
-    embeddings: np.ndarray, gallery: np.ndarray, k: int = 5
+    embeddings: np.ndarray, gallery: np.ndarray, k: int = 5,
+    use_pallas: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Cosine top-k against a gallery — one matmul + lax.top_k."""
+    """Cosine top-k against a gallery.
+
+    use_pallas=True streams the gallery through the VMEM-resident Pallas
+    kernel (ops/pallas_kernels.topk_gallery_pallas) so the full [N, M]
+    similarity matrix never hits HBM — the production path for very large
+    galleries. Default is one XLA matmul + lax.top_k.
+    """
+
+    def normalize(a):
+        return a / np.linalg.norm(a, axis=1, keepdims=True).clip(1e-12)
+
+    e = normalize(np.asarray(embeddings, np.float32))
+    g = normalize(np.asarray(gallery, np.float32))
+    if use_pallas:
+        from ..ops.pallas_kernels import topk_gallery_pallas
+
+        block = 512
+        m = g.shape[0]
+        pad = (-m) % block
+        if pad:
+            g = np.concatenate([g, np.zeros((pad, g.shape[1]), np.float32)])
+        scores, idx = topk_gallery_pallas(jnp.asarray(e), jnp.asarray(g), k=k,
+                                          block_m=block)
+        scores, idx = np.asarray(scores), np.asarray(idx)
+        if pad:  # padded rows score 0; mask them out of the results
+            bad = idx >= m
+            scores = np.where(bad, -np.inf, scores)
+        return scores, idx
 
     @jax.jit
     def run(e, g):
-        e = e / jnp.linalg.norm(e, axis=1, keepdims=True).clip(1e-12)
-        g = g / jnp.linalg.norm(g, axis=1, keepdims=True).clip(1e-12)
-        sims = e @ g.T
-        return jax.lax.top_k(sims, k)
+        return jax.lax.top_k(e @ g.T, k)
 
-    scores, idx = run(jnp.asarray(embeddings), jnp.asarray(gallery))
+    scores, idx = run(jnp.asarray(e), jnp.asarray(g))
     return np.asarray(scores), np.asarray(idx)
 
 

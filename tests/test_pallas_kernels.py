@@ -1,0 +1,62 @@
+"""Pallas kernels in interpreter mode: exactness vs the jnp implementations."""
+import numpy as np
+import pytest
+
+from face_detection_and_recognition_tpu.ops import nms as N
+from face_detection_and_recognition_tpu.ops.pallas_kernels import (
+    nms_fixpoint_pallas, topk_gallery_pallas)
+from tests.test_nms import random_boxes, ref_greedy_nms
+
+
+@pytest.mark.parametrize("plus1,strict,mode", [
+    (False, True, "union"),
+    (True, False, "union"),
+    (True, False, "min"),
+])
+def test_nms_pallas_matches_loop_reference(rng, plus1, strict, mode):
+    n = 64
+    boxes = random_boxes(rng, n)
+    scores = rng.uniform(0.01, 1.0, n).astype(np.float32)
+    order = np.argsort(-scores, kind="stable")
+    sboxes, svalid = boxes[order], np.ones(n, bool)
+    keep_sorted = np.asarray(
+        nms_fixpoint_pallas(sboxes, svalid, 0.4, plus1=plus1, strict=strict,
+                            mode=mode, interpret=True)
+    )
+    kept_orig = sorted(order[np.nonzero(keep_sorted)[0]].tolist())
+    ref = sorted(ref_greedy_nms(boxes, scores, 0.4, plus1=plus1,
+                                strict=strict, mode=mode))
+    assert kept_orig == ref
+
+
+def test_nms_pallas_validity_mask(rng):
+    boxes = random_boxes(rng, 16)
+    valid = np.zeros(16, bool)
+    valid[:3] = True
+    keep = np.asarray(nms_fixpoint_pallas(boxes, valid, 0.5, interpret=True))
+    assert not keep[3:].any()
+
+
+def test_topk_gallery_matches_dense(rng):
+    n, d, m, k = 8, 32, 1024, 8
+    q = rng.normal(0, 1, (n, d)).astype(np.float32)
+    g = rng.normal(0, 1, (m, d)).astype(np.float32)
+    scores, idx = topk_gallery_pallas(q, g, k=k, block_m=256, interpret=True)
+    scores, idx = np.asarray(scores), np.asarray(idx)
+    dense = q @ g.T
+    ref_idx = np.argsort(-dense, axis=1)[:, :k]
+    ref_scores = np.take_along_axis(dense, ref_idx, axis=1)
+    np.testing.assert_allclose(scores, ref_scores, rtol=1e-4, atol=1e-4)
+    # indices may tie-swap; compare the score sets strictly, indices by score
+    for i in range(n):
+        np.testing.assert_allclose(dense[i, idx[i]], ref_scores[i],
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_topk_gallery_single_block(rng):
+    q = rng.normal(0, 1, (4, 16)).astype(np.float32)
+    g = rng.normal(0, 1, (128, 16)).astype(np.float32)
+    scores, idx = topk_gallery_pallas(q, g, k=4, block_m=128, interpret=True)
+    dense = q @ g.T
+    ref = np.sort(dense, axis=1)[:, ::-1][:, :4]
+    np.testing.assert_allclose(np.asarray(scores), ref, rtol=1e-4, atol=1e-4)
