@@ -1,0 +1,237 @@
+"""YOLOv5-face detector training: losses + data-parallel train step.
+
+The reference vendors the yolov5-face training losses as dead code
+(``pytorch/utils/loss.py``: CIoU box loss, BCE objectness/class loss,
+Wing-loss landmarks — SURVEY.md §2.6 notes no train.py exists). Here they are
+a live subsystem: pure jnp losses over the raw NHWC detect maps plus a jitted
+train step sharded over the mesh "data" axis, so detectors can be fine-tuned
+(e.g. on WIDER-FACE) rather than only imported.
+
+Target assignment follows the yolov5 recipe: for each ground-truth face,
+anchors with max(w_ratio, h_ratio) < 4 at the matching grid cell (and its two
+nearest neighbor cells) become positives.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.yolov5_face import ARCHS, YoloV5FaceNet
+from ..ops.boxes import xywh2xyxy
+
+
+def ciou(box1: jnp.ndarray, box2: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
+    """Complete IoU between [..., 4] xywh boxes (loss.py bbox_iou CIoU=True)."""
+    b1 = xywh2xyxy(box1)
+    b2 = xywh2xyxy(box2)
+    lt = jnp.maximum(b1[..., :2], b2[..., :2])
+    rb = jnp.minimum(b1[..., 2:], b2[..., 2:])
+    wh = jnp.clip(rb - lt, 0.0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    a1 = box1[..., 2] * box1[..., 3]
+    a2 = box2[..., 2] * box2[..., 3]
+    union = a1 + a2 - inter + eps
+    iou = inter / union
+    # enclosing box diagonal
+    c_lt = jnp.minimum(b1[..., :2], b2[..., :2])
+    c_rb = jnp.maximum(b1[..., 2:], b2[..., 2:])
+    c2 = jnp.sum((c_rb - c_lt) ** 2, axis=-1) + eps
+    rho2 = jnp.sum(((box1[..., :2] - box2[..., :2])) ** 2, axis=-1)
+    v = (4 / math.pi**2) * (
+        jnp.arctan(box2[..., 2] / (box2[..., 3] + eps))
+        - jnp.arctan(box1[..., 2] / (box1[..., 3] + eps))
+    ) ** 2
+    alpha = v / (v - iou + (1 + eps))
+    return iou - rho2 / c2 - jax.lax.stop_gradient(alpha) * v
+
+
+def wing_loss(pred: jnp.ndarray, target: jnp.ndarray, mask: jnp.ndarray,
+              w: float = 10.0, e: float = 2.0) -> jnp.ndarray:
+    """Wing loss for landmark regression (loss.py WingLoss), masked mean.
+
+    mask also zeroes out invisible landmarks (target < 0 convention)."""
+    c = w - w * math.log(1.0 + w / e)
+    d = jnp.abs(pred - target)
+    losses = jnp.where(d < w, w * jnp.log(1.0 + d / e), d - c)
+    losses = losses * mask
+    return jnp.sum(losses) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class DetTrainConfig:
+    arch: str = "yolov5n"
+    nc: int = 1
+    input_size: Tuple[int, int] = (640, 640)
+    max_targets: int = 32          # padded GT faces per image
+    box_gain: float = 0.05
+    obj_gain: float = 1.0
+    cls_gain: float = 0.5
+    lmk_gain: float = 0.005
+    anchor_t: float = 4.0          # anchor ratio threshold
+    lr: float = 0.01
+    momentum: float = 0.937
+    weight_decay: float = 5e-4
+
+
+def build_targets(
+    targets: jnp.ndarray,
+    target_valid: jnp.ndarray,
+    anchors: Sequence[Sequence[Tuple[float, float]]],
+    strides: Sequence[int],
+    grid_hw: Sequence[Tuple[int, int]],
+    anchor_t: float,
+) -> Dict[str, Any]:
+    """Dense target maps from padded GT.
+
+    targets: [B, T, 14] rows [cx, cy, w, h, lmk x10] in input pixels.
+    Returns per level: tobj [B,na,gh,gw], tbox [B,na,gh,gw,4] (xywh in grid
+    units relative to cell), tlmk [B,na,gh,gw,10], masks.
+    """
+    out = []
+    for anc, stride, (gh, gw) in zip(anchors, strides, grid_hw):
+        na = len(anc)
+        anc_arr = jnp.asarray(anc, jnp.float32) / stride      # grid units
+        t = targets / stride                                   # to grid units
+        cx, cy = t[..., 0], t[..., 1]
+        w, h = t[..., 2], t[..., 3]
+        gi = jnp.clip(cx.astype(jnp.int32), 0, gw - 1)         # [B, T]
+        gj = jnp.clip(cy.astype(jnp.int32), 0, gh - 1)
+        # anchor match: max ratio < anchor_t
+        r_w = w[..., None] / anc_arr[None, None, :, 0]
+        r_h = h[..., None] / anc_arr[None, None, :, 1]
+        ratio = jnp.maximum(
+            jnp.maximum(r_w, 1.0 / jnp.maximum(r_w, 1e-9)),
+            jnp.maximum(r_h, 1.0 / jnp.maximum(r_h, 1e-9)),
+        )
+        match = (ratio < anchor_t) & target_valid[..., None]   # [B, T, na]
+
+        b, tt = targets.shape[:2]
+        tobj = jnp.zeros((b, na, gh, gw), jnp.float32)
+        tbox = jnp.zeros((b, na, gh, gw, 4), jnp.float32)
+        tlmk = jnp.zeros((b, na, gh, gw, 10), jnp.float32)
+        lmk_mask = jnp.zeros((b, na, gh, gw, 10), jnp.float32)
+
+        bidx = jnp.broadcast_to(jnp.arange(b)[:, None, None], (b, tt, na))
+        aidx = jnp.broadcast_to(jnp.arange(na)[None, None, :], (b, tt, na))
+        gjb = jnp.broadcast_to(gj[..., None], (b, tt, na))
+        gib = jnp.broadcast_to(gi[..., None], (b, tt, na))
+
+        boxv = jnp.stack([cx - gi, cy - gj, w, h], axis=-1)     # cell-relative
+        boxb = jnp.broadcast_to(boxv[:, :, None, :], (b, tt, na, 4))
+        lmk = t[..., 4:14]
+        # landmarks relative to the cell in grid units
+        lmk_rel = lmk - jnp.stack([gi, gj] * 5, axis=-1).astype(jnp.float32)
+        lmkb = jnp.broadcast_to(lmk_rel[:, :, None, :], (b, tt, na, 10))
+        lmk_vis = jnp.broadcast_to(
+            (lmk[..., :] > 0).astype(jnp.float32)[:, :, None, :],
+            (b, tt, na, 10),
+        )
+
+        m = match.astype(jnp.float32)
+        tobj = tobj.at[bidx, aidx, gjb, gib].max(m)
+        tbox = tbox.at[bidx, aidx, gjb, gib].set(
+            jnp.where(match[..., None], boxb, 0.0), mode="drop"
+        )
+        tlmk = tlmk.at[bidx, aidx, gjb, gib].set(
+            jnp.where(match[..., None], lmkb, 0.0)
+        )
+        lmk_mask = lmk_mask.at[bidx, aidx, gjb, gib].set(
+            jnp.where(match[..., None], lmk_vis, 0.0)
+        )
+        out.append({
+            "tobj": tobj, "tbox": tbox, "tlmk": tlmk, "lmk_mask": lmk_mask,
+            "anchors": anc_arr,
+        })
+    return out
+
+
+def detection_loss(
+    maps: Sequence[jnp.ndarray],
+    targets_per_level: Sequence[Dict[str, Any]],
+    cfg: DetTrainConfig,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Total loss over raw detect maps [B, na, gh, gw, no]."""
+    lbox = lobj = llmk = lcls = 0.0
+    for m, t in zip(maps, targets_per_level):
+        pobj = m[..., 4]
+        pos = t["tobj"]                                # [B,na,gh,gw] 0/1
+        # box: sigmoid decode in grid units (xy in (-0.5,1.5), wh (2s)^2*anc)
+        pxy = jax.nn.sigmoid(m[..., 0:2]) * 2.0 - 0.5
+        pwh = (jax.nn.sigmoid(m[..., 2:4]) * 2.0) ** 2 * t["anchors"][None, :, None, None, :]
+        pbox = jnp.concatenate([pxy, pwh], axis=-1)
+        iou = ciou(pbox, t["tbox"])
+        lbox += jnp.sum((1.0 - iou) * pos) / jnp.maximum(jnp.sum(pos), 1.0)
+        # objectness: BCE with IoU-scored positives
+        tconf = pos * jnp.clip(jax.lax.stop_gradient(iou), 0.0, None)
+        lobj += optax.sigmoid_binary_cross_entropy(pobj, tconf).mean()
+        # landmarks: wing loss on anchor-scaled offsets
+        planc = m[..., 5:15] * jnp.tile(
+            t["anchors"][None, :, None, None, :], (1, 1, 1, 1, 5)
+        )
+        llmk += wing_loss(planc, t["tlmk"], t["lmk_mask"])
+        if cfg.nc > 1:
+            pcls = m[..., 15:]
+            lcls += optax.sigmoid_binary_cross_entropy(
+                pcls, jnp.zeros_like(pcls)
+            ).mean()
+        else:
+            # single class: BCE toward 1 at positives, masked
+            pcls = m[..., 15]
+            lcls += jnp.sum(
+                optax.sigmoid_binary_cross_entropy(pcls, pos) * pos
+            ) / jnp.maximum(jnp.sum(pos), 1.0)
+    total = (cfg.box_gain * lbox + cfg.obj_gain * lobj
+             + cfg.lmk_gain * llmk + cfg.cls_gain * lcls)
+    return total, {"box": lbox, "obj": lobj, "lmk": llmk, "cls": lcls}
+
+
+def create_det_train_state(cfg: DetTrainConfig, rng: jax.Array) -> Dict[str, Any]:
+    net = YoloV5FaceNet(arch=cfg.arch, nc=cfg.nc)
+    w, h = cfg.input_size
+    variables = jax.jit(net.init)(rng, jnp.zeros((1, h, w, 3), jnp.float32))
+    tx = optax.chain(
+        optax.add_decayed_weights(cfg.weight_decay),
+        optax.sgd(cfg.lr, momentum=cfg.momentum),
+    )
+    return {
+        "net": net, "cfg": cfg, "tx": tx,
+        "params": variables["params"],
+        "batch_stats": variables["batch_stats"],
+        "opt_state": tx.init(variables["params"]),
+    }
+
+
+def make_det_train_step(state: Dict[str, Any]):
+    """Jittable step(params, batch_stats, opt_state, images, targets,
+    target_valid) -> (new..., loss, metrics). images [B,H,W,3] in [0,1]."""
+    net: YoloV5FaceNet = state["net"]
+    cfg: DetTrainConfig = state["cfg"]
+    tx = state["tx"]
+    spec = ARCHS[cfg.arch]
+    w, h = cfg.input_size
+    grid_hw = [(h // s, w // s) for s in spec["strides"]]
+
+    def loss_fn(params, batch_stats, images, targets, target_valid):
+        maps, updates = net.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images, train=True, mutable=["batch_stats"],
+        )
+        tpl = build_targets(targets, target_valid, spec["anchors"],
+                            spec["strides"], grid_hw, cfg.anchor_t)
+        total, metrics = detection_loss(maps, tpl, cfg)
+        return total, (updates["batch_stats"], metrics)
+
+    def step(params, batch_stats, opt_state, images, targets, target_valid):
+        (loss, (new_stats, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, batch_stats, images, targets, target_valid)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_stats, new_opt, loss, metrics
+
+    return step

@@ -1,0 +1,73 @@
+"""Detection training: loss properties and one train step on tiny shapes."""
+import jax
+import numpy as np
+import pytest
+
+from face_detection_and_recognition_tpu.train import detection as D
+
+
+def test_ciou_identity_and_disjoint():
+    a = np.array([[50.0, 50.0, 20.0, 20.0]], np.float32)
+    assert float(D.ciou(a, a)[0]) == pytest.approx(1.0, abs=1e-5)
+    b = np.array([[200.0, 200.0, 20.0, 20.0]], np.float32)
+    assert float(D.ciou(a, b)[0]) < 0.0  # disjoint: iou 0 minus center penalty
+
+
+def test_wing_loss_properties():
+    p = np.zeros((4,), np.float32)
+    t = np.zeros((4,), np.float32)
+    m = np.ones((4,), np.float32)
+    assert float(D.wing_loss(p, t, m)) == pytest.approx(0.0, abs=1e-6)
+    # small errors follow the log branch, large the linear branch
+    small = float(D.wing_loss(p + 1.0, t, m))
+    large = float(D.wing_loss(p + 100.0, t, m))
+    assert 0 < small < large
+    # mask zeroes contributions
+    assert float(D.wing_loss(p + 100.0, t, np.zeros(4, np.float32))) == 0.0
+
+
+def test_train_step_decreases_loss_and_updates():
+    cfg = D.DetTrainConfig(arch="yolov5n", input_size=(128, 128),
+                           max_targets=4, lr=0.05)
+    state = D.create_det_train_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(D.make_det_train_step(state))
+
+    rng = np.random.RandomState(0)
+    images = rng.uniform(0, 1, (2, 128, 128, 3)).astype(np.float32)
+    # two GT faces in image 0, one in image 1
+    targets = np.zeros((2, 4, 14), np.float32)
+    targets[0, 0, :4] = [40, 40, 24, 30]
+    targets[0, 1, :4] = [90, 80, 16, 20]
+    targets[1, 0, :4] = [64, 64, 40, 50]
+    targets[..., 4:] = 50.0  # dummy visible landmarks
+    valid = np.zeros((2, 4), bool)
+    valid[0, :2] = True
+    valid[1, 0] = True
+
+    p, bs, opt = state["params"], state["batch_stats"], state["opt_state"]
+    losses = []
+    for _ in range(5):
+        p, bs, opt, loss, metrics = step(p, bs, opt, images, targets, valid)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+    for k in ("box", "obj", "lmk", "cls"):
+        assert np.isfinite(float(metrics[k]))
+
+
+def test_build_targets_places_positives():
+    import jax.numpy as jnp
+
+    from face_detection_and_recognition_tpu.models.yolov5_face import ARCHS
+
+    spec = ARCHS["yolov5n"]
+    targets = np.zeros((1, 2, 14), np.float32)
+    targets[0, 0, :4] = [40, 40, 24, 30]  # stride-8 cell (5, 5)
+    valid = np.array([[True, False]])
+    tpl = D.build_targets(jnp.asarray(targets), jnp.asarray(valid),
+                          spec["anchors"], spec["strides"],
+                          [(16, 16), (8, 8), (4, 4)], 4.0)
+    # the P3 level must have at least one positive at cell (5,5)
+    tobj = np.asarray(tpl[0]["tobj"])
+    assert tobj[0, :, 5, 5].max() == 1.0
+    assert tobj.sum() == tobj[0, :, 5, 5].sum()  # nowhere else
