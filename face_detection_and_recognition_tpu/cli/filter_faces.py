@@ -1,0 +1,63 @@
+"""CLI: similar-face filtering against per-class reference images.
+
+Equivalent of ``similar_face_filtering/filter_faces_using_reference.py``:
+builds a mean embedding + max-distance threshold per class from reference
+images and routes unfiltered images into clean/unclean.
+
+    python -m face_detection_and_recognition_tpu.cli.filter_faces \
+        -d data/ -r refs/ -t out/ --embedder facenet
+"""
+from __future__ import annotations
+
+import argparse
+
+import cv2
+import numpy as np
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("-d", "--data_dir", required=True)
+    ap.add_argument("-r", "--ref_dir", required=True)
+    ap.add_argument("-t", "--target_dir", required=True)
+    ap.add_argument("--embedder", default="facenet",
+                    help="embedder registry name (reference uses 128-d facenet)")
+    ap.add_argument("--batch", type=int, default=32)
+    args = ap.parse_args(argv)
+
+    from ..models.embedders import get_embedder
+    from ..ops import preprocess as P
+    from ..ops.geometry import resize_bilinear, standardize_image
+    from ..pipelines.similarity import SimilarFaceFilter
+
+    spec = get_embedder(args.embedder)
+    _, variables, embed = spec.build()
+    ew, eh = spec.input_size
+
+    def embed_paths(paths):
+        import jax.numpy as jnp
+
+        imgs = []
+        for p in paths:
+            img = cv2.imread(p)
+            if img is None:
+                img = np.zeros((eh, ew, 3), np.uint8)
+            x = resize_bilinear(jnp.asarray(img), (eh, ew))
+            if spec.rgb:
+                x = x[..., ::-1]
+            if spec.norm == "half":
+                x = (x - 127.5) / 127.5
+            else:
+                x = standardize_image(x)
+            imgs.append(x)
+        return np.asarray(embed(variables, jnp.stack(imgs)))
+
+    job = SimilarFaceFilter(embed_paths, batch_size=args.batch)
+    res = job.run(args.data_dir, args.ref_dir, args.target_dir)
+    for cls, (clean, total) in sorted(res.items()):
+        print(f"{cls}: {clean}/{total} clean")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,58 @@
+"""Model export: serialized StableHLO artifacts via jax.export.
+
+The reference ships per-runtime exporters (ONNX for blazeface / yolov5-face /
+mobile_facenet, ``modules/*/onnx_export.py``; TF savedmodels and OpenVINO IRs
+for the rest). The TPU-native equivalent is one exporter: any jitted function
+(detector pipeline, embedder, ensemble) serializes to a portable StableHLO
+artifact that any PJRT runtime (TPU/CPU/GPU) can reload and execute without
+python model code.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax
+import numpy as np
+
+
+def export_jitted(
+    fn: Callable, example_args: Sequence[Any], path: str
+) -> None:
+    """Serialize ``jax.jit(fn)(*example_args)`` to ``path`` (StableHLO)."""
+    from jax import export as jexport
+
+    args = [jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype)
+            for a in example_args]
+    exported = jexport.export(jax.jit(fn))(*args)
+    with open(path, "wb") as f:
+        f.write(exported.serialize())
+
+
+def load_exported(path: str):
+    """Reload a serialized artifact; returns a callable .call(*args)."""
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        exported = jexport.deserialize(f.read())
+    return exported
+
+
+def export_detector(engine, path: str, batch: int = 1) -> None:
+    """Export an engine's raw detect program (preprocessed input ->
+    normalized dets + valid) for serving runtimes."""
+    w, h = engine.spec.input_size
+    if (w, h) == (-1, -1):
+        raise ValueError("native-resolution cascades export per-resolution; "
+                         "use export_jitted with a concrete shape")
+    example = np.zeros((batch, h, w, 3), np.float32)
+    export_jitted(lambda imgs: engine._detect(engine.variables, imgs),
+                  [example], path)
+
+
+def export_embedder(engine, path: str, batch: int = 1) -> None:
+    if engine._embed is None:
+        raise ValueError("engine has no embedder")
+    ew, eh = engine.embed_spec.input_size
+    example = np.zeros((batch, eh, ew, 3), np.float32)
+    export_jitted(lambda crops: engine._embed(engine.embed_vars, crops),
+                  [example], path)
