@@ -108,6 +108,19 @@ class FaceEngine:
         with boxes/landmarks in original pixels."""
         return self._pipeline_for(tuple(imgs.shape[1:]))(self.variables, imgs)
 
+    def detect_batch_sharded(self, imgs: np.ndarray, mesh) -> Detections:
+        """Multi-chip data-parallel detection: the frame batch is sharded
+        over the mesh 'data' axis, variables replicated; XLA partitions the
+        whole preprocess+detect+postprocess program (SURVEY §2.7 item 1)."""
+        from ..parallel.sharding import batch_sharding, replicate_to_mesh
+
+        run = self._pipeline_for(tuple(imgs.shape[1:]))
+        variables = replicate_to_mesh(self.variables, mesh)
+        import jax
+
+        imgs = jax.device_put(np.asarray(imgs), batch_sharding(mesh, 4))
+        return run(variables, imgs)
+
     def detect_image(self, img: np.ndarray) -> PostProcessedDetection:
         """Single cv2 BGR image -> per-image ragged result (the reference's
         inference_img postprocessing contract)."""
