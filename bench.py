@@ -14,6 +14,13 @@ import time
 
 import numpy as np
 
+
+def _enable_compile_cache():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 BASELINE_FPS = 13.0  # reference yolov5s-face on i9 CPU (BASELINE.md)
 FRAME_HW = (576, 1024)
 BATCH = 128  # measured throughput sweet spot on v5e-1 (32:884, 64:1606, 128:2060, 256:1832 fps)
@@ -68,6 +75,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    _enable_compile_cache()
     platform = jax.devices()[0].platform
     fps = bench(jnp.bfloat16)
     print(

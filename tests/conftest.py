@@ -19,6 +19,11 @@ import jax  # noqa: E402
 # backend through the config API (env vars alone are not honored).
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compile cache: model-heavy tests recompile identical graphs on
+# every run otherwise (the 1-core host makes XLA compiles the suite's cost)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 # bit-parity tests vs torch/numpy references need true f32 convs/matmuls;
 # jax's default precision uses fast bf16-accumulation passes even on CPU.
 jax.config.update("jax_default_matmul_precision", "highest")
