@@ -26,7 +26,6 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     from ..models.embedders import get_embedder
-    from ..ops import preprocess as P
     from ..ops.geometry import resize_bilinear, standardize_image
     from ..pipelines.similarity import SimilarFaceFilter
 

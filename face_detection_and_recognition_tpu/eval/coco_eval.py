@@ -8,7 +8,7 @@ WIDER-FACE (``eval_face_detector.py:170-196``).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List
 
 import numpy as np
 

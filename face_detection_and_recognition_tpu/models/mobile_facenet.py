@@ -13,8 +13,6 @@ Input normalization matches ``modules/mobile_facenet/utils.py:5-18``:
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

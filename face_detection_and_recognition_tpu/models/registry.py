@@ -13,7 +13,7 @@ conf] in [0, 1] wrt the model input size.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

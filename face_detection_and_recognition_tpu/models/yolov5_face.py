@@ -22,7 +22,6 @@ TPU-first design vs the reference:
 from __future__ import annotations
 
 import dataclasses
-import math
 from functools import partial
 from typing import Any, Dict, List, Sequence, Tuple
 
@@ -31,7 +30,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.boxes import xywh2xyxy
-from ..ops.nms import greedy_nms, sort_by_score
+from ..ops.nms import greedy_nms
 from .layers import (C3, SPP, ConvBN, Dtype, Focus, ShuffleV2Block, StemBlock,
                      make_divisible_torch)
 

@@ -17,7 +17,7 @@ import glob
 import os
 import queue
 import threading
-from typing import Iterator, List, Optional, Tuple
+from typing import Iterator, List, Tuple
 
 import cv2
 import numpy as np

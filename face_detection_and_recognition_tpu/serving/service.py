@@ -26,7 +26,6 @@ import numpy as np
 from ..core.engine import EngineConfig, FaceEngine
 from ..ops import preprocess as P
 from ..ops.crop import crop_and_resize
-from ..ops.geometry import standardize_image
 
 NO_FACE_SENTINEL = np.array([[0, 0, 0, 0]], np.float32)
 
