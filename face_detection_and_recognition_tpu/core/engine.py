@@ -165,6 +165,8 @@ class FaceEngine:
             from ..ops.geometry import standardize_image
 
             crops = standardize_image(crops)
+        elif spec.norm == "caffe_mean":
+            crops = crops - jnp.asarray(P.AGE_GENDER.mean, jnp.float32)
         return np.asarray(self._embed(self.embed_vars, crops))
 
     def detect_and_embed(self, img: np.ndarray):

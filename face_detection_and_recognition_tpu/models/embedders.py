@@ -75,6 +75,31 @@ def _build_facenet(rng=None, dtype=jnp.float32):
     return make_facenet(rng=rng, dtype=dtype)
 
 
+def _build_facenet512(rng=None, dtype=jnp.float32):
+    from .facenet import make_facenet
+
+    return make_facenet(embedding_size=512, rng=rng, dtype=dtype)
+
+
+def _build_demographics(rng=None, dtype=jnp.float32):
+    """Age+gender probabilities as a 10-d feature vector — the reference's
+    CAFFE_AGE_GENDER feat-net slot (extract_faces_from_dataset.py:112-116,
+    FACE_FEATURE_SIZE = 10 = 8 age buckets + 2 genders)."""
+    import jax
+
+    from .age_gender import make_age_gender
+
+    _, (age_vars, gender_vars), classify = make_age_gender(rng=rng, dtype=dtype)
+    variables = {"age": age_vars, "gender": gender_vars}
+
+    @jax.jit
+    def embed(variables, crops):
+        a, g = classify(variables["age"], variables["gender"], crops)
+        return jnp.concatenate([a, g], axis=-1)
+
+    return None, variables, embed
+
+
 def _build_reid(rng=None, dtype=jnp.float32):
     net = MobileNetV2Embedder(dtype=dtype)
     rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -91,5 +116,9 @@ register_embedder(EmbedderSpec("mobile_facenet", 512, (112, 112), "half",
                                rgb=False, build=_build_mobile_facenet))
 register_embedder(EmbedderSpec("facenet", 128, (160, 160), "prewhiten",
                                rgb=True, build=_build_facenet))
+register_embedder(EmbedderSpec("facenet-512", 512, (160, 160), "prewhiten",
+                               rgb=True, build=_build_facenet512))
 register_embedder(EmbedderSpec("reid-mnv2", 256, (128, 128), "half",
                                rgb=False, build=_build_reid))
+register_embedder(EmbedderSpec("demographics", 10, (227, 227), "caffe_mean",
+                               rgb=False, build=_build_demographics))
