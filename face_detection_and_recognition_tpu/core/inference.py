@@ -83,7 +83,11 @@ def inference_vid(
                 for f in frames
             ]
         else:
-            posts = engine.detect_batch(np.stack(frames)).to_numpy()
+            # pad the tail block to micro_batch so every block reuses the
+            # same compiled program (no per-tail-size recompilation)
+            n = len(frames)
+            block = frames + [frames[-1]] * (micro_batch - n)
+            posts = engine.detect_batch(np.stack(block)).to_numpy()[:n]
         for f, p in zip(frames, posts):
             annotate(f, p)
             results.append(p)

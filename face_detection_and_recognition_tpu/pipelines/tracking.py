@@ -94,6 +94,36 @@ def auto_age_gender_labeler(engine) -> Callable:
     return label
 
 
+def interactive_labeler() -> Callable:
+    """cv2-waitKey labeler matching the reference's manual flow
+    (``extract_and_label_faces_from_dataset.py:194-234``): shows the face
+    crop, 'w'/'e' pick gender Male/Female, '1'-'5' pick an age bucket."""
+    import cv2
+
+    age_buckets = ("0-13", "14-24", "25-39", "40-59", "60-100")
+
+    def label(frame: np.ndarray, box: np.ndarray) -> Tuple[str, str]:
+        x1, y1, x2, y2 = (max(0, int(v)) for v in box)
+        crop = frame[y1:y2, x1:x2]
+        cv2.imshow("label face: w/e=gender M/F, 1-5=age", crop)
+        gender = age = None
+        while gender is None or age is None:
+            key = cv2.waitKey(0) & 0xFF
+            if key == ord("w"):
+                gender = "Male"
+            elif key == ord("e"):
+                gender = "Female"
+            elif ord("1") <= key <= ord("5"):
+                age = age_buckets[key - ord("1")]
+            elif key == 27:  # ESC skips
+                gender = gender or "Unknown"
+                age = age or "Unknown"
+        cv2.destroyWindow("label face: w/e=gender M/F, 1-5=age")
+        return age, gender
+
+    return label
+
+
 def extract_and_label_faces(
     engine,
     data_dir: str,
