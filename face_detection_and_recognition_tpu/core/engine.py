@@ -47,6 +47,15 @@ class FaceEngine:
     def __init__(self, cfg: EngineConfig):
         self.cfg = cfg
         self.spec = registry.get(cfg.detector)
+        # an input_size override must also retarget the preprocess recipe
+        ov_size = cfg.detector_overrides.get("input_size")
+        if ov_size and self.spec.input_size != (-1, -1):
+            ov_size = tuple(ov_size)
+            self.spec = dataclasses.replace(
+                self.spec, input_size=ov_size,
+                preprocess=dataclasses.replace(self.spec.preprocess,
+                                               size=ov_size),
+            )
         rng = jax.random.PRNGKey(cfg.seed)
         self.net, self.variables, self._detect = self.spec.build(
             rng=rng, dtype=cfg.dtype, **cfg.detector_overrides

@@ -62,7 +62,8 @@ def _build_yolov5(arch: str, input_size):
     def build(rng=None, dtype=jnp.float32, **kw):
         from .yolov5_face import YoloV5FaceConfig, make_yolov5_face
 
-        cfg = YoloV5FaceConfig(arch=arch, input_size=input_size, **kw)
+        kw.setdefault("input_size", input_size)
+        cfg = YoloV5FaceConfig(arch=arch, **kw)
         net, variables, detect = make_yolov5_face(cfg, rng=rng, dtype=dtype)
         iw, ih = cfg.input_size
         scale = jnp.asarray([iw, ih] * 7 + [1.0], jnp.float32)
@@ -129,7 +130,8 @@ def _build_ssd(backbone: str, input_size):
     def build(rng=None, dtype=jnp.float32, **kw):
         from .ssd import SSDConfig, make_ssd_face
 
-        cfg = SSDConfig(backbone=backbone, input_size=input_size, **kw)
+        kw.setdefault("input_size", input_size)
+        cfg = SSDConfig(backbone=backbone, **kw)
         return make_ssd_face(cfg, rng=rng, dtype=dtype)
 
     return build

@@ -77,3 +77,18 @@ def test_video_resolution_cache(blaze_engine, rng):
     n = len(blaze_engine._pipeline_cache)
     blaze_engine.detect_batch(a)
     assert len(blaze_engine._pipeline_cache) == n
+
+
+def test_engine_yolov5_small_input():
+    """yolov5 path through the engine at a small input override."""
+    eng = FaceEngine(EngineConfig(
+        detector="yolov5n", det_thres=0.3, max_det=16,
+        detector_overrides={"input_size": (192, 192), "max_candidates": 256},
+    ))
+    img = np.random.RandomState(0).randint(0, 255, (120, 160, 3)).astype(np.uint8)
+    post = eng.detect_image(img)
+    assert post.boxes.shape[1] == 4
+    raw = eng.detect_raw(img)
+    assert raw.shape[1] == 15  # xyxy + 10 landmarks + conf, normalized
+    if len(raw):
+        assert (raw[:, -1] >= 0.0).all()
