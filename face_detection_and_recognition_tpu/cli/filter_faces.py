@@ -25,8 +25,8 @@ def main(argv=None) -> int:
     ap.add_argument("--batch", type=int, default=32)
     args = ap.parse_args(argv)
 
-    from ..models.embedders import get_embedder
-    from ..ops.geometry import resize_bilinear, standardize_image
+    from ..models.embedders import get_embedder, preprocess_crops
+    from ..ops.geometry import resize_bilinear
     from ..pipelines.similarity import SimilarFaceFilter
 
     spec = get_embedder(args.embedder)
@@ -41,15 +41,9 @@ def main(argv=None) -> int:
             img = cv2.imread(p)
             if img is None:
                 img = np.zeros((eh, ew, 3), np.uint8)
-            x = resize_bilinear(jnp.asarray(img), (eh, ew))
-            if spec.rgb:
-                x = x[..., ::-1]
-            if spec.norm == "half":
-                x = (x - 127.5) / 127.5
-            else:
-                x = standardize_image(x)
-            imgs.append(x)
-        return np.asarray(embed(variables, jnp.stack(imgs)))
+            imgs.append(resize_bilinear(jnp.asarray(img), (eh, ew)))
+        crops = preprocess_crops(spec, jnp.stack(imgs))
+        return np.asarray(embed(variables, crops))
 
     job = SimilarFaceFilter(embed_paths, batch_size=args.batch)
     res = job.run(args.data_dir, args.ref_dir, args.target_dir)

@@ -92,12 +92,12 @@ class FaceEngine:
         native = self.spec.input_size == (-1, -1)
         in_size = (w, h) if native else self.spec.input_size
         spec_pre = self.spec.preprocess
-        det_thres = self.cfg.det_thres
-        area_thres = self.cfg.bbox_area_thres
         max_det = self.cfg.max_det
 
+        # thresholds are TRACED arguments: per-call overrides (the Triton
+        # ensemble contract) cost zero recompiles and are thread-safe
         @jax.jit
-        def run(variables, imgs):
+        def run(variables, imgs, det_thres, area_thres):
             if native:
                 x = imgs  # cascade handles its own preprocessing
             else:
@@ -112,10 +112,17 @@ class FaceEngine:
         self._pipeline_cache[shape] = run
         return run
 
-    def detect_batch(self, imgs: np.ndarray) -> Detections:
+    def detect_batch(
+        self, imgs: np.ndarray, det_thres: float = None,
+        bbox_area_thres: float = None,
+    ) -> Detections:
         """imgs: [B, H, W, 3] BGR uint8 (same resolution). Returns Detections
-        with boxes/landmarks in original pixels."""
-        return self._pipeline_for(tuple(imgs.shape[1:]))(self.variables, imgs)
+        with boxes/landmarks in original pixels. Optional per-call thresholds
+        override the engine config without recompilation."""
+        run = self._pipeline_for(tuple(imgs.shape[1:]))
+        dt = self.cfg.det_thres if det_thres is None else det_thres
+        at = self.cfg.bbox_area_thres if bbox_area_thres is None else bbox_area_thres
+        return run(self.variables, imgs, jnp.float32(dt), jnp.float32(at))
 
     def detect_batch_sharded(self, imgs: np.ndarray, mesh) -> Detections:
         """Multi-chip data-parallel detection: the frame batch is sharded
@@ -125,15 +132,19 @@ class FaceEngine:
 
         run = self._pipeline_for(tuple(imgs.shape[1:]))
         variables = replicate_to_mesh(self.variables, mesh)
-        import jax
-
         imgs = jax.device_put(np.asarray(imgs), batch_sharding(mesh, 4))
-        return run(variables, imgs)
+        return run(variables, imgs, jnp.float32(self.cfg.det_thres),
+                   jnp.float32(self.cfg.bbox_area_thres))
 
-    def detect_image(self, img: np.ndarray) -> PostProcessedDetection:
+    def detect_image(
+        self, img: np.ndarray, det_thres: float = None,
+        bbox_area_thres: float = None,
+    ) -> PostProcessedDetection:
         """Single cv2 BGR image -> per-image ragged result (the reference's
         inference_img postprocessing contract)."""
-        return self.detect_batch(img[None]).to_numpy()[0]
+        return self.detect_batch(
+            img[None], det_thres, bbox_area_thres
+        ).to_numpy()[0]
 
     def detect_raw(self, img: np.ndarray) -> np.ndarray:
         """Reference ``Model.__call__`` contract: [N, 4+L+1] normalized to
@@ -166,17 +177,10 @@ class FaceEngine:
             b = pad_boxes(b, offsets, img_wh=(w, h))
         ew, eh = spec.input_size
         crops = crop_and_resize(jnp.asarray(img), b, (eh, ew))
-        if spec.rgb:
-            crops = crops[..., ::-1]
-        if spec.norm == "half":
-            crops = (crops - 127.5) / 127.5
-        elif spec.norm == "prewhiten":
-            from ..ops.geometry import standardize_image
+        from ..models.embedders import preprocess_crops
 
-            crops = standardize_image(crops)
-        elif spec.norm == "caffe_mean":
-            crops = crops - jnp.asarray(P.AGE_GENDER.mean, jnp.float32)
-        return np.asarray(self._embed(self.embed_vars, crops))
+        return np.asarray(self._embed(self.embed_vars,
+                                      preprocess_crops(spec, crops)))
 
     def detect_and_embed(self, img: np.ndarray):
         """Full ensemble on one image: detections + embeddings."""

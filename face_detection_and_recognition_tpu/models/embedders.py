@@ -45,6 +45,30 @@ class MobileNetV2Embedder(nn.Module):
         return l2_normalize(x.astype(jnp.float32), axis=-1)
 
 
+def preprocess_crops(spec: "EmbedderSpec", crops_bgr):
+    """Shared crop normalization for every embedder call site (engine,
+    pipelines, serving, CLIs): channel order + the spec's norm recipe.
+    crops_bgr: [N, H, W, 3] float BGR already at spec.input_size."""
+    import jax.numpy as jnp
+
+    x = jnp.asarray(crops_bgr, jnp.float32)
+    if spec.rgb:
+        x = x[..., ::-1]
+    if spec.norm == "half":
+        x = (x - 127.5) / 127.5
+    elif spec.norm == "prewhiten":
+        from ..ops.geometry import standardize_image
+
+        x = standardize_image(x)
+    elif spec.norm == "caffe_mean":
+        from ..ops.preprocess import AGE_GENDER
+
+        x = x - jnp.asarray(AGE_GENDER.mean, jnp.float32)
+    else:
+        raise ValueError(f"unknown embedder norm '{spec.norm}'")
+    return x
+
+
 _EMBEDDERS = {}
 
 

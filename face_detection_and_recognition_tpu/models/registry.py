@@ -104,6 +104,11 @@ def _build_blazeface(back: bool):
     def build(rng=None, dtype=jnp.float32, **kw):
         from .blazeface import BlazeFaceConfig, make_blazeface
 
+        if kw.pop("input_size", None) is not None:
+            raise ValueError(
+                "blazeface input size is fixed by the architecture "
+                "(front 128x128 / back 256x256)"
+            )
         cfg = BlazeFaceConfig(back_model=back, **kw)
         net, variables, detect = make_blazeface(cfg, rng=rng, dtype=dtype)
 
@@ -153,6 +158,8 @@ def _build_mtcnn():
     def build(rng=None, dtype=jnp.float32, **kw):
         from .mtcnn import MTCNN, MTCNNConfig
 
+        if kw.pop("input_size", None) is not None:
+            raise ValueError("mtcnn runs at native image resolution")
         cascade = MTCNN(MTCNNConfig(**kw), rng=rng, dtype=dtype)
 
         def detect_norm(variables, imgs):

@@ -137,6 +137,40 @@ _SHUFFLE_GRAPH: List[Tuple[Any, int, str, list]] = [
     ([14, 17, 20], 1, "Detect", []),             # 21
 ]
 
+_SHUFFLE_P6_GRAPH: List[Tuple[Any, int, str, list]] = [
+    (-1, 1, "StemBlock", [32, 3, 2]),            # 0  P2/4
+    (-1, 1, "ShuffleV2Block", [128, 2]),         # 1  P3/8
+    (-1, 3, "ShuffleV2Block", [128, 1]),         # 2
+    (-1, 1, "ShuffleV2Block", [256, 2]),         # 3  P4/16
+    (-1, 7, "ShuffleV2Block", [256, 1]),         # 4
+    (-1, 1, "ShuffleV2Block", [384, 2]),         # 5  P5/32
+    (-1, 3, "ShuffleV2Block", [384, 1]),         # 6
+    (-1, 1, "ShuffleV2Block", [512, 2]),         # 7  P6/64
+    (-1, 3, "ShuffleV2Block", [512, 1]),         # 8
+    (-1, 1, "Conv", [128, 1, 1]),                # 9
+    (-1, 1, "Upsample", []),                     # 10
+    ([-1, 6], 1, "Concat", []),                  # 11
+    (-1, 1, "C3", [128, False]),                 # 12
+    (-1, 1, "Conv", [128, 1, 1]),                # 13
+    (-1, 1, "Upsample", []),                     # 14
+    ([-1, 4], 1, "Concat", []),                  # 15
+    (-1, 1, "C3", [128, False]),                 # 16
+    (-1, 1, "Conv", [128, 1, 1]),                # 17
+    (-1, 1, "Upsample", []),                     # 18
+    ([-1, 2], 1, "Concat", []),                  # 19
+    (-1, 1, "C3", [128, False]),                 # 20  P3/8 out
+    (-1, 1, "Conv", [128, 3, 2]),                # 21
+    ([-1, 17], 1, "Concat", []),                 # 22
+    (-1, 1, "C3", [128, False]),                 # 23  P4/16 out
+    (-1, 1, "Conv", [128, 3, 2]),                # 24
+    ([-1, 13], 1, "Concat", []),                 # 25
+    (-1, 1, "C3", [128, False]),                 # 26  P5/32 out
+    (-1, 1, "Conv", [128, 3, 2]),                # 27
+    ([-1, 9], 1, "Concat", []),                  # 28
+    (-1, 1, "C3", [128, False]),                 # 29  P6/64 out
+    ([20, 23, 26, 29], 1, "Detect", []),         # 30
+]
+
 ARCHS: Dict[str, Dict[str, Any]] = {
     "yolov5s": dict(graph=_P5_GRAPH, gd=0.33, gw=0.35, anchors=FACE_ANCHORS,
                     strides=(8, 16, 32)),
@@ -150,8 +184,8 @@ ARCHS: Dict[str, Dict[str, Any]] = {
                      strides=(8, 16, 32, 64)),
     "yolov5l6": dict(graph=_P6_GRAPH, gd=1.0, gw=1.0, anchors=FACE_ANCHORS_P6,
                      strides=(8, 16, 32, 64)),
-    "yolov5n6": dict(graph=_P6_GRAPH, gd=1.0, gw=1.0, anchors=FACE_ANCHORS_P6,
-                     strides=(8, 16, 32, 64)),
+    "yolov5n6": dict(graph=_SHUFFLE_P6_GRAPH, gd=1.0, gw=1.0,
+                     anchors=FACE_ANCHORS_P6, strides=(8, 16, 32, 64)),
     "yolov5n": dict(graph=_SHUFFLE_GRAPH, gd=1.0, gw=1.0, anchors=FACE_ANCHORS,
                     strides=(8, 16, 32)),
     "yolov5n-0.5": dict(graph=_SHUFFLE_GRAPH, gd=1.0, gw=0.5, anchors=FACE_ANCHORS,

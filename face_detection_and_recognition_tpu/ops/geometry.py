@@ -93,15 +93,22 @@ def batched_pad_resize(
 
 
 def clip_coords(boxes: jnp.ndarray, img_hw: Tuple[int, int]) -> jnp.ndarray:
-    """Clip xyxy(+landmark pairs) coords to image bounds (``image.py:62-76``).
+    """Clip the 4 box coords to image bounds (``image.py:62-76``).
 
-    Functional (returns a new array) rather than in-place. Works on [..., D]
-    where even columns are x and odd columns are y.
+    Functional (returns a new array) rather than in-place. Like the
+    reference, ONLY columns 0-3 (xyxy) are clipped — landmark columns pass
+    through unclipped.
     """
     h, w = img_hw
     d = boxes.shape[-1]
-    lim = jnp.asarray([w if i % 2 == 0 else h for i in range(d)], boxes.dtype)
-    return jnp.clip(boxes, 0, lim)
+    lim = jnp.asarray(
+        [w if i % 2 == 0 else h for i in range(min(d, 4))]
+        + [jnp.inf] * max(d - 4, 0),
+        jnp.float32,
+    )
+    lo = jnp.asarray([0.0] * min(d, 4) + [-jnp.inf] * max(d - 4, 0),
+                     jnp.float32)
+    return jnp.clip(boxes, lo.astype(boxes.dtype), lim.astype(boxes.dtype))
 
 
 def scale_coords(

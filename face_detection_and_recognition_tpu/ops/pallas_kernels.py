@@ -125,7 +125,7 @@ def nms_fixpoint_pallas(
 
 
 def _topk_kernel(q_ref, g_ref, scores_ref, idx_ref, run_s, run_i, *,
-                 block_m: int, k: int):
+                 block_m: int, k: int, valid_m: int):
     step = pl.program_id(0)
     nsteps = pl.num_programs(0)
 
@@ -143,6 +143,8 @@ def _topk_kernel(q_ref, g_ref, scores_ref, idx_ref, run_s, run_i, *,
     )                                              # [N, block_m]
     base = step * block_m
     cols = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1) + base
+    # mask gallery padding rows so they can never enter the top-k
+    sims = jnp.where(cols < valid_m, sims, -1e30)
 
     # merge block into the running top-k (kept sorted desc): k rounds of
     # masked argmax against the pool. When the pool max beats slot j, they
@@ -188,17 +190,21 @@ def topk_gallery_pallas(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k inner-product search of [N, D] queries against an [M, D]
     gallery, streamed in blocks of ``block_m`` rows. Returns
-    (scores [N, k] desc, indices [N, k]).
-
-    M must be a multiple of block_m (pad the gallery with -inf-normed rows).
+    (scores [N, k] desc, indices [N, k]). The gallery is padded internally
+    to a block multiple; padded rows are masked inside the kernel.
     """
     if interpret is None:
         interpret = not _on_tpu()
     n, d = queries.shape
     m = gallery.shape[0]
-    assert m % block_m == 0, "pad gallery to a multiple of block_m"
-    grid = (m // block_m,)
-    kernel = functools.partial(_topk_kernel, block_m=block_m, k=k)
+    pad = (-m) % block_m
+    if pad:  # pad internally; padded rows are masked inside the kernel
+        gallery = jnp.concatenate(
+            [jnp.asarray(gallery, jnp.float32),
+             jnp.zeros((pad, d), jnp.float32)]
+        )
+    grid = ((m + pad) // block_m,)
+    kernel = functools.partial(_topk_kernel, block_m=block_m, k=k, valid_m=m)
     scores, idx = pl.pallas_call(
         kernel,
         grid=grid,

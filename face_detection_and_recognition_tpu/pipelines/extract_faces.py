@@ -51,13 +51,18 @@ def save_extracted_faces(
     out_dir: str,
     item: MediaItem,
     crops: List[np.ndarray],
-    features: Optional[np.ndarray],
+    frame_features: List[Optional[np.ndarray]],
     feature_dim: int,
     save_crops: bool = True,
     save_features: bool = True,
+    max_faces_per_frame: int = MAX_N_FACES_PER_FRAME,
 ) -> None:
     """JPEG crops under out/class/media_stem/, plus the fixed-size
-    zero-padded feature array (reference ``save_extracted_faces:330-363``)."""
+    zero-padded feature array (reference ``save_extracted_faces:330-363``).
+
+    Slot alignment matches the reference: frame i's faces occupy rows
+    [i * max_faces_per_frame, (i+1) * max_faces_per_frame) with per-frame
+    zero padding, so consumers can attribute features to frames."""
     stem = os.path.splitext(os.path.basename(item.path))[0]
     if save_crops:
         crop_dir = os.path.join(out_dir, item.class_name, stem)
@@ -68,8 +73,12 @@ def save_extracted_faces(
         os.makedirs(os.path.join(out_dir, item.class_name), exist_ok=True)
         cap = MAX_N_FRAME_FROM_VID * MAX_N_FACES_PER_FRAME
         padded = np.zeros((cap, feature_dim), np.float32)
-        if features is not None and len(features):
-            padded[: min(len(features), cap)] = features[:cap]
+        for fi, feats in enumerate(frame_features[:MAX_N_FRAME_FROM_VID]):
+            if feats is None or not len(feats):
+                continue
+            row = fi * max_faces_per_frame
+            n = min(len(feats), max_faces_per_frame, cap - row)
+            padded[row : row + n] = feats[:n]
         np.save(os.path.join(out_dir, item.class_name, stem + ".npy"), padded)
 
 
@@ -98,7 +107,8 @@ def extract_faces_from_dataset(
     for item, frames in PrefetchLoader(items, num_workers=num_workers):
         try:
             crops: List[np.ndarray] = []
-            feats: List[np.ndarray] = []
+            frame_feats: List[Optional[np.ndarray]] = []
+            n_feats = 0
             for _, frame in frames:
                 post = engine.detect_image(frame)
                 boxes = post.boxes[:max_faces_per_frame]
@@ -113,13 +123,15 @@ def extract_faces_from_dataset(
                 if save_features and len(boxes):
                     emb = engine.embed_faces(frame, boxes,
                                              offsets=EXTRACTION_OFFSETS)
-                    feats.append(emb)
-            features = np.concatenate(feats) if feats else None
-            dim = features.shape[1] if features is not None else 512
-            save_extracted_faces(out_dir, item, crops, features, dim,
-                                 save_crops, save_features)
-            stats.add(item.class_name, len(crops),
-                      0 if features is None else len(features))
+                    frame_feats.append(emb)
+                    n_feats += len(emb)
+                else:
+                    frame_feats.append(None)
+            dim = engine.embed_spec.dim if engine.embed_spec else 512
+            save_extracted_faces(out_dir, item, crops, frame_feats, dim,
+                                 save_crops, save_features,
+                                 max_faces_per_frame)
+            stats.add(item.class_name, len(crops), n_feats)
         except Exception:  # per-media failure tolerance (reference :446-448)
             logger.exception("failed on %s", item.path)
             stats.failed.append(item.path)

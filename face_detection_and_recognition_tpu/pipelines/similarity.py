@@ -87,18 +87,9 @@ def topk_similar(
     if use_pallas:
         from ..ops.pallas_kernels import topk_gallery_pallas
 
-        block = 512
-        m = g.shape[0]
-        pad = (-m) % block
-        if pad:
-            g = np.concatenate([g, np.zeros((pad, g.shape[1]), np.float32)])
         scores, idx = topk_gallery_pallas(jnp.asarray(e), jnp.asarray(g), k=k,
-                                          block_m=block)
-        scores, idx = np.asarray(scores), np.asarray(idx)
-        if pad:  # padded rows score 0; mask them out of the results
-            bad = idx >= m
-            scores = np.where(bad, -np.inf, scores)
-        return scores, idx
+                                          block_m=512)
+        return np.asarray(scores), np.asarray(idx)
 
     @jax.jit
     def run(e, g):

@@ -53,8 +53,10 @@ class FaceTracker:
         """Per-video track reset (reference ``:416``)."""
         self.tracks.clear()
 
-    def match_or_add(self, embedding: np.ndarray, box: np.ndarray) -> Tuple[int, bool]:
-        """Returns (face_id, is_new). Matches update the stored embedding/box."""
+    def match_or_add(self, embedding: np.ndarray, box: np.ndarray) -> Tuple[Track, bool]:
+        """Returns (track, is_new). Matches update the stored embedding/box
+        and carry the track's age/gender labels forward (the reference reuses
+        labels on re-identified faces, check_if_face_exists)."""
         for tr in self.tracks:
             dist = embedding_distance(embedding, tr.embedding, self.metric)
             iou = float(iou_single(box.astype(np.float32),
@@ -64,11 +66,11 @@ class FaceTracker:
             ):
                 tr.embedding = embedding
                 tr.box = box
-                return tr.face_id, False
+                return tr, False
         tr = Track(self._next_id, embedding, box)
         self._next_id += 1
         self.tracks.append(tr)
-        return tr.face_id, True
+        return tr, True
 
 
 def auto_age_gender_labeler(engine) -> Callable:
@@ -155,13 +157,15 @@ def extract_and_label_faces(
             emb = engine.embed_faces(frame, post.boxes,
                                      offsets=EXTRACTION_OFFSETS)
             for box, e in zip(post.boxes, emb):
-                fid, is_new = tracker.match_or_add(e, np.asarray(box))
-                ann["face_ids"].append(int(fid))
-                ann["boxes"].append([int(v) for v in box])
+                track, is_new = tracker.match_or_add(e, np.asarray(box))
                 if labeler is not None and is_new:
-                    age, gender = labeler(frame, np.asarray(box))
-                    ann["ages"].append(age)
-                    ann["genders"].append(gender)
+                    track.age, track.gender = labeler(frame, np.asarray(box))
+                # one aligned entry PER detection; matched faces reuse the
+                # track's labels instead of being skipped
+                ann["face_ids"].append(int(track.face_id))
+                ann["boxes"].append([int(v) for v in box])
+                ann["ages"].append(track.age)
+                ann["genders"].append(track.gender)
         key = os.path.join(item.class_name, os.path.basename(item.path))
         annotations[key] = ann
     write_json(annotations, os.path.join(out_dir, "annotations.json"))

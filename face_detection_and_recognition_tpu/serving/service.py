@@ -75,22 +75,10 @@ class FaceService:
         """image -> (faces [N, 3, 112, 112] in (-1, 1) CHW, bboxes [N, 4],
         confs [N, 1]); no faces -> (empty, [[0, 0, 0, 0]], empty) like the
         reference sentinel."""
-        eng = self.engine
-        if det_thres is not None or bbox_area_thres is not None:
-            # thresholds are call-time args in the ensemble contract
-            old = (eng.cfg.det_thres, eng.cfg.bbox_area_thres)
-            eng.cfg.det_thres = det_thres if det_thres is not None else old[0]
-            eng.cfg.bbox_area_thres = (
-                bbox_area_thres if bbox_area_thres is not None else old[1]
-            )
-            eng._pipeline_cache.clear()
-            try:
-                post = eng.detect_image(image_bgr)
-            finally:
-                eng.cfg.det_thres, eng.cfg.bbox_area_thres = old
-                eng._pipeline_cache.clear()
-        else:
-            post = eng.detect_image(image_bgr)
+        # thresholds are traced arguments of the engine pipeline: per-call
+        # overrides (the ensemble contract) cost no recompile and are
+        # thread-safe under ThreadingHTTPServer
+        post = self.engine.detect_image(image_bgr, det_thres, bbox_area_thres)
 
         if not len(post.boxes):
             return (np.zeros((0, 3, *self.cfg.face_size), np.float32),

@@ -174,17 +174,14 @@ def detection_loss(
             t["anchors"][None, :, None, None, :], (1, 1, 1, 1, 5)
         )
         llmk += wing_loss(planc, t["tlmk"], t["lmk_mask"])
-        if cfg.nc > 1:
-            pcls = m[..., 15:]
-            lcls += optax.sigmoid_binary_cross_entropy(
-                pcls, jnp.zeros_like(pcls)
-            ).mean()
-        else:
-            # single class: BCE toward 1 at positives, masked
-            pcls = m[..., 15]
-            lcls += jnp.sum(
-                optax.sigmoid_binary_cross_entropy(pcls, pos) * pos
-            ) / jnp.maximum(jnp.sum(pos), 1.0)
+        # class loss at positive cells: faces are class 0 (targets carry no
+        # class column — extend build_targets with one for multi-class data)
+        pcls = m[..., 15:]
+        onehot = jax.nn.one_hot(jnp.zeros_like(pos, jnp.int32), cfg.nc)
+        lcls += jnp.sum(
+            optax.sigmoid_binary_cross_entropy(pcls, onehot)
+            * pos[..., None]
+        ) / jnp.maximum(jnp.sum(pos) * cfg.nc, 1.0)
     total = (cfg.box_gain * lbox + cfg.obj_gain * lobj
              + cfg.lmk_gain * llmk + cfg.cls_gain * lcls)
     return total, {"box": lbox, "obj": lobj, "lmk": llmk, "cls": lcls}

@@ -67,11 +67,18 @@ def test_scale_coords_matches_reference():
 
 def test_scale_coords_with_landmarks():
     model_hw, orig_hw = (640, 640), (480, 640)
-    coords = np.random.RandomState(0).uniform(0, 640, (5, 14)).astype(np.float32)
+    rng0 = np.random.RandomState(0)
+    coords = rng0.uniform(0, 640, (5, 14)).astype(np.float32)
     got = np.asarray(G.scale_coords(model_hw, coords, orig_hw))
-    # x cols clipped to w, y cols to h
-    assert got[:, 0::2].max() <= orig_hw[1]
-    assert got[:, 1::2].max() <= orig_hw[0]
+    # reference clip_coords touches ONLY the 4 box columns (image.py:62-76);
+    # landmark columns pass through unclipped
+    assert got[:, [0, 2]].max() <= orig_hw[1]
+    assert got[:, [1, 3]].max() <= orig_hw[0]
+    gain = min(model_hw[0] / orig_hw[0], model_hw[1] / orig_hw[1])
+    pad = ((model_hw[1] - orig_hw[1] * gain) / 2,
+           (model_hw[0] - orig_hw[0] * gain) / 2)
+    ref_lmk_x = (coords[:, 4::2] - pad[0]) / gain
+    np.testing.assert_allclose(got[:, 4::2], ref_lmk_x, atol=1e-3)
 
 
 def test_standardize_image_matches_reference(rng):

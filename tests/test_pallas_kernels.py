@@ -60,3 +60,20 @@ def test_topk_gallery_single_block(rng):
     dense = q @ g.T
     ref = np.sort(dense, axis=1)[:, ::-1][:, :4]
     np.testing.assert_allclose(np.asarray(scores), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_topk_gallery_nonmultiple_and_negative_scores(rng):
+    # gallery not a block multiple; all similarities negative — pad rows
+    # (score 0) must NOT displace real negative-score matches
+    q = np.ones((2, 8), np.float32)
+    g = -np.abs(rng.normal(1, 0.2, (100, 8))).astype(np.float32)
+    from face_detection_and_recognition_tpu.ops.pallas_kernels import \
+        topk_gallery_pallas
+
+    scores, idx = topk_gallery_pallas(q, g, k=4, block_m=64, interpret=True)
+    scores, idx = np.asarray(scores), np.asarray(idx)
+    assert (idx < 100).all()
+    assert (scores < 0).all()
+    dense = q @ g.T
+    ref = np.sort(dense, axis=1)[:, ::-1][:, :4]
+    np.testing.assert_allclose(scores, ref, rtol=1e-4, atol=1e-5)

@@ -110,19 +110,24 @@ def test_tracker_gates():
     tr = tracking.FaceTracker(metric="l2")
     e1 = np.zeros(4, np.float32)
     b1 = np.array([0, 0, 10, 10], np.float32)
-    fid1, new1 = tr.match_or_add(e1, b1)
+    t1, new1 = tr.match_or_add(e1, b1)
     assert new1
     # close embedding + overlapping box -> same track
-    fid2, new2 = tr.match_or_add(e1 + 0.9 / 2, b1 + 1)
-    assert fid2 == fid1 and not new2
+    t2, new2 = tr.match_or_add(e1 + 0.9 / 2, b1 + 1)
+    assert t2.face_id == t1.face_id and not new2
     # far embedding, far box -> new track
-    fid3, new3 = tr.match_or_add(np.full(4, 5.0, np.float32),
-                                 np.array([50, 50, 60, 60], np.float32))
-    assert new3 and fid3 != fid1
+    t3, new3 = tr.match_or_add(np.full(4, 5.0, np.float32),
+                               np.array([50, 50, 60, 60], np.float32))
+    assert new3 and t3.face_id != t1.face_id
     # very close embedding, no overlap -> dist-only gate matches
-    fid4, new4 = tr.match_or_add(np.full(4, 5.0, np.float32) + 0.1,
-                                 np.array([200, 200, 210, 210], np.float32))
-    assert fid4 == fid3 and not new4
+    t4, new4 = tr.match_or_add(np.full(4, 5.0, np.float32) + 0.1,
+                               np.array([200, 200, 210, 210], np.float32))
+    assert t4.face_id == t3.face_id and not new4
+    # labels assigned once stay on the track across re-matches
+    t3.age, t3.gender = "25-39", "Male"
+    t5, _ = tr.match_or_add(np.full(4, 5.0, np.float32),
+                            np.array([200, 200, 210, 210], np.float32))
+    assert (t5.age, t5.gender) == ("25-39", "Male")
     tr.reset()
     assert tr.tracks == []
 
@@ -176,3 +181,24 @@ def test_extract_faces_job_with_engine(class_tree, tmp_path):
     stats2 = extract_faces_from_dataset(engine, str(class_tree), str(out),
                                         num_workers=2)
     assert sum(c["media"] for c in stats2.classes.values()) == 0
+
+
+def test_feature_slot_alignment(tmp_path):
+    """Frame i's features land at rows [i*3, i*3+3) with per-frame padding."""
+    from face_detection_and_recognition_tpu.pipelines.dataset import MediaItem
+    from face_detection_and_recognition_tpu.pipelines.extract_faces import \
+        save_extracted_faces
+
+    item = MediaItem("cls", "vid.mp4", "video")
+    frame_feats = [
+        np.full((1, 4), 1.0, np.float32),   # frame 0: one face
+        None,                                # frame 1: none
+        np.full((3, 4), 3.0, np.float32),   # frame 2: three faces
+    ]
+    save_extracted_faces(str(tmp_path), item, [], frame_feats, 4,
+                         save_crops=False, save_features=True)
+    arr = np.load(tmp_path / "cls" / "vid.npy")
+    assert arr.shape == (45, 4)
+    assert (arr[0] == 1.0).all() and (arr[1:3] == 0).all()   # frame 0 slots
+    assert (arr[3:6] == 0).all()                             # frame 1 empty
+    assert (arr[6:9] == 3.0).all()                           # frame 2 slots

@@ -71,3 +71,25 @@ def test_build_targets_places_positives():
     tobj = np.asarray(tpl[0]["tobj"])
     assert tobj[0, :, 5, 5].max() == 1.0
     assert tobj.sum() == tobj[0, :, 5, 5].sum()  # nowhere else
+
+
+def test_multiclass_cls_loss_has_positive_signal():
+    """nc>1: class-0 one-hot targets at positives (no all-zeros collapse)."""
+    import jax.numpy as jnp
+
+    cfg = D.DetTrainConfig(arch="yolov5n", nc=2, input_size=(64, 64),
+                           max_targets=2)
+    maps = [np.zeros((1, 3, 64 // s, 64 // s, 17), np.float32)
+            for s in (8, 16, 32)]
+    targets = np.zeros((1, 2, 14), np.float32)
+    targets[0, 0, :4] = [32, 32, 16, 20]
+    valid = np.array([[True, False]])
+    from face_detection_and_recognition_tpu.models.yolov5_face import ARCHS
+
+    spec = ARCHS["yolov5n"]
+    tpl = D.build_targets(jnp.asarray(targets), jnp.asarray(valid),
+                          spec["anchors"], spec["strides"],
+                          [(8, 8), (4, 4), (2, 2)], 4.0)
+    _, metrics = D.detection_loss([jnp.asarray(m) for m in maps], tpl, cfg)
+    # zero logits at a positive cell -> BCE(0.5, onehot) > 0 with gradient
+    assert float(metrics["cls"]) > 0.1

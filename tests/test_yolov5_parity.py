@@ -51,7 +51,7 @@ def torch_yolo():
         os.chdir(cwd)
 
 
-@pytest.mark.parametrize("arch", ["yolov5n", "yolov5s"])
+@pytest.mark.parametrize("arch", ["yolov5n", "yolov5s", "yolov5n6"])
 def test_full_graph_parity(arch, torch_yolo, rng):
     torch = pytest.importorskip("torch")
     import jax
