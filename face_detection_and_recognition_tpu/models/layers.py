@@ -13,6 +13,7 @@ from __future__ import annotations
 import math
 from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -40,7 +41,13 @@ def channel_shuffle(x: jnp.ndarray, groups: int) -> jnp.ndarray:
 
 class ConvBN(nn.Module):
     """Conv2d(bias=False) + BatchNorm + activation — yolov5 ``Conv``
-    (common.py:39-55). NHWC; pass ``act=None`` for linear output."""
+    (common.py:39-55). NHWC; pass ``act=None`` for linear output.
+
+    quantized=True switches to int8 post-training-quantized inference:
+    BN is folded into per-output-channel weight scales
+    (utils/quantize.quantize_variables builds the params), activations are
+    dynamically quantized per tensor, and the conv runs int8 x int8 -> int32
+    on the MXU (~1.5x the bf16 conv throughput on v5e)."""
 
     features: int
     kernel: int = 1
@@ -51,6 +58,7 @@ class ConvBN(nn.Module):
     dtype: Dtype = jnp.float32
     use_bn: bool = True
     use_bias: bool = False
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -59,6 +67,28 @@ class ConvBN(nn.Module):
         else:
             p = autopad(self.kernel, self.padding)
             pad = [(p, p), (p, p)]
+        if self.quantized:
+            in_c = x.shape[-1]
+            kernel_q = self.param(
+                "kernel_q", nn.initializers.zeros,
+                (self.kernel, self.kernel, in_c // self.groups, self.features),
+                jnp.int8,
+            )
+            wscale = self.param("wscale", nn.initializers.ones,
+                                (self.features,), jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            xf = x.astype(jnp.float32)
+            s = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-6) / 127.0
+            xq = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+            y = jax.lax.conv_general_dilated(
+                xq, kernel_q, (self.stride, self.stride), pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.groups,
+                preferred_element_type=jnp.int32,
+            )
+            y = y.astype(jnp.float32) * (s * wscale) + bias
+            return self.act(y) if self.act is not None else y
         x = nn.Conv(
             self.features,
             (self.kernel, self.kernel),
@@ -86,12 +116,13 @@ class Bottleneck(nn.Module):
     groups: int = 1
     expansion: float = 0.5
     dtype: Dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.features * self.expansion)
-        y = ConvBN(c_, 1, 1, dtype=self.dtype)(x, train)
-        y = ConvBN(self.features, 3, 1, groups=self.groups, dtype=self.dtype)(y, train)
+        y = ConvBN(c_, 1, 1, dtype=self.dtype, quantized=self.quantized)(x, train)
+        y = ConvBN(self.features, 3, 1, groups=self.groups, dtype=self.dtype, quantized=self.quantized)(y, train)
         return x + y if self.shortcut and x.shape[-1] == self.features else y
 
 
@@ -104,17 +135,18 @@ class C3(nn.Module):
     groups: int = 1
     expansion: float = 0.5
     dtype: Dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.features * self.expansion)
-        y1 = ConvBN(c_, 1, 1, dtype=self.dtype)(x, train)
+        y1 = ConvBN(c_, 1, 1, dtype=self.dtype, quantized=self.quantized)(x, train)
         for _ in range(self.n):
-            y1 = Bottleneck(c_, self.shortcut, self.groups, 1.0, dtype=self.dtype)(
+            y1 = Bottleneck(c_, self.shortcut, self.groups, 1.0, dtype=self.dtype, quantized=self.quantized)(
                 y1, train
             )
-        y2 = ConvBN(c_, 1, 1, dtype=self.dtype)(x, train)
-        return ConvBN(self.features, 1, dtype=self.dtype)(
+        y2 = ConvBN(c_, 1, 1, dtype=self.dtype, quantized=self.quantized)(x, train)
+        return ConvBN(self.features, 1, dtype=self.dtype, quantized=self.quantized)(
             jnp.concatenate([y1, y2], axis=-1), train
         )
 
@@ -128,13 +160,14 @@ class BottleneckCSP(nn.Module):
     groups: int = 1
     expansion: float = 0.5
     dtype: Dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.features * self.expansion)
-        y1 = ConvBN(c_, 1, 1, dtype=self.dtype)(x, train)
+        y1 = ConvBN(c_, 1, 1, dtype=self.dtype, quantized=self.quantized)(x, train)
         for _ in range(self.n):
-            y1 = Bottleneck(c_, self.shortcut, self.groups, 1.0, dtype=self.dtype)(
+            y1 = Bottleneck(c_, self.shortcut, self.groups, 1.0, dtype=self.dtype, quantized=self.quantized)(
                 y1, train
             )
         y1 = nn.Conv(c_, (1, 1), use_bias=False, dtype=self.dtype)(y1)
@@ -142,7 +175,7 @@ class BottleneckCSP(nn.Module):
         y = jnp.concatenate([y1, y2], axis=-1)
         y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
         y = nn.leaky_relu(y, 0.1)
-        return ConvBN(self.features, 1, 1, dtype=self.dtype)(y, train)
+        return ConvBN(self.features, 1, 1, dtype=self.dtype, quantized=self.quantized)(y, train)
 
 
 class SPP(nn.Module):
@@ -151,18 +184,19 @@ class SPP(nn.Module):
     features: int
     kernels: Sequence[int] = (5, 9, 13)
     dtype: Dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = x.shape[-1] // 2
-        x = ConvBN(c_, 1, 1, dtype=self.dtype)(x, train)
+        x = ConvBN(c_, 1, 1, dtype=self.dtype, quantized=self.quantized)(x, train)
         pools = [
             nn.max_pool(
                 x, (k, k), strides=(1, 1), padding=[(k // 2, k // 2)] * 2
             )
             for k in self.kernels
         ]
-        return ConvBN(self.features, 1, 1, dtype=self.dtype)(
+        return ConvBN(self.features, 1, 1, dtype=self.dtype, quantized=self.quantized)(
             jnp.concatenate([x] + pools, axis=-1), train
         )
 
@@ -174,16 +208,17 @@ class StemBlock(nn.Module):
     kernel: int = 3
     stride: int = 2
     dtype: Dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        s1 = ConvBN(self.features, self.kernel, self.stride, dtype=self.dtype)(x, train)
-        s2 = ConvBN(self.features // 2, 1, 1, padding=0, dtype=self.dtype)(s1, train)
-        s2 = ConvBN(self.features, 3, 2, padding=1, dtype=self.dtype)(s2, train)
+        s1 = ConvBN(self.features, self.kernel, self.stride, dtype=self.dtype, quantized=self.quantized)(x, train)
+        s2 = ConvBN(self.features // 2, 1, 1, padding=0, dtype=self.dtype, quantized=self.quantized)(s1, train)
+        s2 = ConvBN(self.features, 3, 2, padding=1, dtype=self.dtype, quantized=self.quantized)(s2, train)
         # torch MaxPool2d(2, 2, ceil_mode=True) == SAME-padded 2x2 max pool
         sp = nn.max_pool(s1, (2, 2), strides=(2, 2), padding="SAME")
         out = jnp.concatenate([s2, sp], axis=-1)
-        return ConvBN(self.features, 1, 1, padding=0, dtype=self.dtype)(out, train)
+        return ConvBN(self.features, 1, 1, padding=0, dtype=self.dtype, quantized=self.quantized)(out, train)
 
 
 class Focus(nn.Module):
@@ -193,6 +228,7 @@ class Focus(nn.Module):
     kernel: int = 1
     stride: int = 1
     dtype: Dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -200,7 +236,7 @@ class Focus(nn.Module):
             [x[:, ::2, ::2, :], x[:, 1::2, ::2, :], x[:, ::2, 1::2, :], x[:, 1::2, 1::2, :]],
             axis=-1,
         )
-        return ConvBN(self.features, self.kernel, self.stride, dtype=self.dtype)(x, train)
+        return ConvBN(self.features, self.kernel, self.stride, dtype=self.dtype, quantized=self.quantized)(x, train)
 
 
 class ShuffleV2Block(nn.Module):
@@ -209,18 +245,20 @@ class ShuffleV2Block(nn.Module):
     features: int
     stride: int = 1
     dtype: Dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         branch_features = self.features // 2
 
         def branch2(inp):
-            y = ConvBN(branch_features, 1, 1, padding=0, dtype=self.dtype)(inp, train)
+            y = ConvBN(branch_features, 1, 1, padding=0, dtype=self.dtype, quantized=self.quantized)(inp, train)
             y = ConvBN(
                 branch_features, 3, self.stride, padding=1,
                 groups=branch_features, act=None, dtype=self.dtype,
+                quantized=self.quantized,
             )(y, train)
-            return ConvBN(branch_features, 1, 1, padding=0, dtype=self.dtype)(y, train)
+            return ConvBN(branch_features, 1, 1, padding=0, dtype=self.dtype, quantized=self.quantized)(y, train)
 
         if self.stride == 1:
             x1, x2 = jnp.split(x, 2, axis=-1)
@@ -229,8 +267,9 @@ class ShuffleV2Block(nn.Module):
             b1 = ConvBN(
                 x.shape[-1], 3, self.stride, padding=1,
                 groups=x.shape[-1], act=None, dtype=self.dtype,
+                quantized=self.quantized,
             )(x, train)
-            b1 = ConvBN(branch_features, 1, 1, padding=0, dtype=self.dtype)(b1, train)
+            b1 = ConvBN(branch_features, 1, 1, padding=0, dtype=self.dtype, quantized=self.quantized)(b1, train)
             out = jnp.concatenate([b1, branch2(x)], axis=-1)
         return channel_shuffle(out, 2)
 

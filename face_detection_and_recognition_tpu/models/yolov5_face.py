@@ -206,6 +206,7 @@ class YoloV5FaceNet(nn.Module):
     arch: str = "yolov5s"
     nc: int = 1
     dtype: Dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -247,28 +248,34 @@ class YoloV5FaceNet(nn.Module):
                 if mod == "Conv":
                     c, k, s = args
                     cur = ConvBN(width(c), k, s, dtype=self.dtype,
+                                 quantized=self.quantized,
                                  name=f"layer{i}")(inp, train)
                 elif mod == "C3":
                     c = width(args[0])
                     shortcut = args[1] if len(args) > 1 else True
                     cur = C3(c, depth(n), shortcut, dtype=self.dtype,
+                             quantized=self.quantized,
                              name=f"layer{i}")(inp, train)
                 elif mod == "SPP":
                     cur = SPP(width(args[0]), tuple(args[1]), dtype=self.dtype,
+                              quantized=self.quantized,
                               name=f"layer{i}")(inp, train)
                 elif mod == "StemBlock":
                     c, k, s = args
                     cur = StemBlock(width(c), k, s, dtype=self.dtype,
+                                    quantized=self.quantized,
                                     name=f"layer{i}")(inp, train)
                 elif mod == "ShuffleV2Block":
                     c, s = width(args[0]), args[1]
                     for r in range(depth(n)):
                         inp = ShuffleV2Block(c, s, dtype=self.dtype,
+                                             quantized=self.quantized,
                                              name=f"layer{i}_{r}")(inp, train)
                     cur = inp
                 elif mod == "Focus":
                     c, k = args[0], args[1] if len(args) > 1 else 1
                     cur = Focus(width(c), k, dtype=self.dtype,
+                                quantized=self.quantized,
                                 name=f"layer{i}")(inp, train)
                 elif mod == "Upsample":
                     cur = upsample2x_nearest(inp)
@@ -361,14 +368,18 @@ def yolov5_face_postprocess(
 
 
 def make_yolov5_face(
-    cfg: YoloV5FaceConfig, rng: jax.Array = None, dtype=jnp.float32
+    cfg: YoloV5FaceConfig, rng: jax.Array = None, dtype=jnp.float32,
+    quantized: bool = False,
 ):
     """Build net + params + a fully jitted detect function.
 
     detect(variables, imgs [B,H,W,3] RGB in [0,1]) ->
     (dets [B, max_det, 16] in input pixels, valid [B, max_det]).
+    quantized=True builds the int8 PTQ graph (params from
+    utils/quantize.quantize_variables).
     """
-    net = YoloV5FaceNet(arch=cfg.arch, nc=cfg.nc, dtype=dtype)
+    net = YoloV5FaceNet(arch=cfg.arch, nc=cfg.nc, dtype=dtype,
+                        quantized=quantized)
     w, h = cfg.input_size
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     variables = jax.jit(net.init)(rng, jnp.zeros((1, h, w, 3), jnp.float32))
