@@ -168,7 +168,13 @@ def weighted_blend_nms(
         out, out_valid, alive = state
         has_any = jnp.any(alive)
         first = jnp.argmax(alive)  # first alive in score order
-        overlapping = alive & (iou[first] > iou_thres)
+        # degenerate (inverted) boxes have self-IoU != 1, which would stall
+        # the greedy loop (the reference's while-loop live-locks on them,
+        # blazeface.py:428-443); always consume `first` itself
+        overlapping = alive & (
+            (iou[first] > iou_thres)
+            | (jnp.arange(k) == first)
+        )
         n = jnp.sum(overlapping)
         w = jnp.where(overlapping, sscores, 0.0)
         total = jnp.sum(w)
