@@ -331,6 +331,9 @@ class YoloV5FaceConfig:
     iou_thres: float = 0.3
     max_candidates: int = 1024
     max_det: int = 300
+    # None = auto: the fused VMEM Pallas NMS kernel on TPU (1.6x the jnp
+    # fixpoint at batch 128/K 1024), jnp elsewhere
+    pallas_nms: bool = None
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -346,10 +349,15 @@ def yolov5_face_postprocess(
     sorted by obj conf, and valid [B, max_det].
     """
 
+    use_pallas = cfg.pallas_nms
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform == "tpu"
+
     def per_image(p):
         obj = p[:, 4]
         valid = obj >= cfg.conf_thres
-        # top-k candidate selection keeps the NMS matrix small & static
+        # top-k candidate selection keeps the NMS matrix small & static;
+        # top_k also leaves candidates SORTED by score desc
         k = min(cfg.max_candidates, p.shape[0])
         scores = jnp.where(valid, obj, -1.0)
         top_scores, idx = jax.lax.top_k(scores, k)
@@ -358,6 +366,16 @@ def yolov5_face_postprocess(
         boxes = xywh2xyxy(cand[:, :4])
         cls_conf = jnp.max(cand[:, 15:], axis=-1, keepdims=True)
         rows = jnp.concatenate([boxes, cand[:, 4:5], cand[:, 5:15], cls_conf], axis=-1)
+        if use_pallas:
+            from ..ops.pallas_kernels import nms_fixpoint_pallas
+            from ..ops.nms import sort_by_score
+
+            keep = nms_fixpoint_pallas(
+                boxes, cand_valid, cfg.iou_thres, plus1=True, strict=False
+            )
+            # push suppressed rows to the end, keep score order among kept
+            _, _, out_valid, out = sort_by_score(rows[:, 4], keep, rows)
+            return out[: cfg.max_det], out_valid[: cfg.max_det]
         out, out_valid = greedy_nms(
             rows, cand_valid, cfg.iou_thres, cfg.max_det,
             score_col=4, plus1=True, strict=False,
