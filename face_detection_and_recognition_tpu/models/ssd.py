@@ -43,6 +43,7 @@ class SSDConfig:
     iou_thres: float = 0.45
     top_k: int = 400
     keep_top_k: int = 200
+    pallas_nms: bool = None  # None = auto (Pallas kernel on TPU)
 
 
 def generate_priors(cfg: SSDConfig) -> np.ndarray:
@@ -226,12 +227,22 @@ def ssd_postprocess(
     ``opencv2_dnn/model.py:34-37``) and a validity mask."""
     conf = jax.nn.softmax(conf_logits, axis=-1)[..., 1]  # face class
     boxes = decode_ssd_locs(locs, priors, cfg.variances)
+    use_pallas = cfg.pallas_nms
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform == "tpu"
 
     def per_image(b, c):
         k = min(cfg.top_k, c.shape[0])
-        top_c, idx = jax.lax.top_k(c, k)
+        top_c, idx = jax.lax.top_k(c, k)  # sorted by conf desc
         rows = jnp.concatenate([b[idx], top_c[:, None]], axis=-1)
         valid = top_c > cfg.conf_thres
+        if use_pallas:
+            from ..ops.nms import sort_by_score
+            from ..ops.pallas_kernels import nms_fixpoint_pallas
+
+            keep = nms_fixpoint_pallas(rows[:, :4], valid, cfg.iou_thres)
+            _, _, out_valid, out = sort_by_score(rows[:, 4], keep, rows)
+            return out[: cfg.keep_top_k], out_valid[: cfg.keep_top_k]
         return greedy_nms(rows, valid, cfg.iou_thres, cfg.keep_top_k, score_col=4)
 
     return jax.vmap(per_image)(boxes, conf)
