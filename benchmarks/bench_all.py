@@ -84,6 +84,10 @@ def bench_embedder(name: str, batch: int = 256, iters: int = 10):
 
 
 def main():
+    import jax as _jax
+
+    _jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="skip the slow-compile detectors (mtcnn)")

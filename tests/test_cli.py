@@ -1,0 +1,53 @@
+"""CLI entry points driven through their main() functions."""
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+from face_detection_and_recognition_tpu.cli.detect_face import main as detect_main
+
+
+def test_detect_face_image(tmp_path, rng):
+    img = rng.randint(0, 255, (96, 128, 3)).astype(np.uint8)
+    src = str(tmp_path / "in.jpg")
+    cv2.imwrite(src, img)
+    out = str(tmp_path / "out.jpg")
+    rc = detect_main(["-i", src, "--md", "blazeface-front", "--dt", "0.3",
+                      "--no-display", "-o", out, "-d", "cpu"])
+    assert rc == 0
+    assert os.path.exists(out)
+    assert cv2.imread(out) is not None
+
+
+def test_detect_face_unknown_model(tmp_path, rng):
+    img = rng.randint(0, 255, (32, 32, 3)).astype(np.uint8)
+    src = str(tmp_path / "in.jpg")
+    cv2.imwrite(src, img)
+    rc = detect_main(["-i", src, "--md", "not-a-model", "--no-display"])
+    assert rc == 2
+
+
+def test_detect_face_bad_input_type(tmp_path):
+    f = tmp_path / "data.bin"
+    f.write_bytes(b"\x00" * 16)
+    rc = detect_main(["-i", str(f), "--md", "blazeface-front",
+                      "--no-display"])
+    assert rc == 2
+
+
+def test_detect_face_video(tmp_path, rng):
+    vid = str(tmp_path / "clip.mp4")
+    vw = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 5, (64, 64))
+    for _ in range(5):
+        vw.write(rng.randint(0, 255, (64, 64, 3)).astype(np.uint8))
+    vw.release()
+    out = str(tmp_path / "out.mp4")
+    rc = detect_main(["-i", vid, "--md", "blazeface-front", "--dt", "0.3",
+                      "--no-display", "-o", out, "-d", "cpu"])
+    assert rc == 0
+    cap = cv2.VideoCapture(out)
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    assert n == 5  # padded tail batch must not duplicate frames in output
