@@ -52,12 +52,11 @@ def bench_detector(name: str, batch: int, iters: int = 10):
     frames = jax.device_put(
         rng.randint(0, 255, (batch, *FRAME_HW, 3)).astype(np.uint8)
     )
-    run = engine._pipeline_for(tuple(frames.shape[1:]))
-    out = run(engine.variables, frames)
+    out = engine.detect_batch(frames)
     fetch(out)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = run(engine.variables, frames)
+        out = engine.detect_batch(frames)
     fetch(out)
     return batch * iters / (time.perf_counter() - t0)
 
