@@ -37,6 +37,7 @@ def build_engine(args) -> FaceEngine:
         det_thres=args.det_thres,
         bbox_area_thres=args.bbox_area_thres,
         with_age_gender=getattr(args, "age_gender", False),
+        embedder=getattr(args, "embedder", None),
     )
     engine = FaceEngine(cfg)
     ckpt = getattr(args, "ckpt", None)
@@ -56,6 +57,10 @@ def main(argv=None) -> int:
                              "entry-point equivalent).")
     parser.add_argument("--ckpt", dest="ckpt", default=None,
                         help="Optional checkpoint with model variables.")
+    parser.add_argument("--embedder", dest="embedder", default=None,
+                        help="Also embed each detected face (registry name, "
+                             "e.g. mobile_facenet) and report the vector "
+                             "norm/dim.")
     args = parser.parse_args(argv)
 
     if args.model not in registry.available():
@@ -70,8 +75,15 @@ def main(argv=None) -> int:
         post = inference_img(engine, args.input_src, output=args.output,
                              display=display, age_gender=args.age_gender)
         print(f"{len(post.boxes)} face(s)")
+        emb = None
+        if args.embedder and len(post.boxes):
+            import cv2
+
+            emb = engine.embed_faces(cv2.imread(args.input_src), post.boxes)
         for i, (box, conf) in enumerate(zip(post.boxes, post.bbox_confs)):
             lbl = f" {post.bbox_labels[i]}" if post.bbox_labels else ""
+            if emb is not None:
+                lbl += f" emb[{emb.shape[1]}d]"
             print(f"  [{int(box[0])},{int(box[1])},{int(box[2])},{int(box[3])}]"
                   f" conf={conf:.3f}{lbl}")
     elif ftype == "video":
