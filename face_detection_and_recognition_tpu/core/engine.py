@@ -29,6 +29,25 @@ from .detections import Detections, PostProcessedDetection, postprocess_detectio
 
 
 @dataclasses.dataclass
+class EnsembleResult:
+    """Output of the fused detect->crop->embed->classify program.
+
+    All arrays are fixed-shape [B, K, ...] aligned with ``det.valid`` — the
+    device-side equivalent of the Triton ensemble's ragged outputs
+    (``modules/face_detection_trt_server/models/ensemble_yolov5_face/
+    config.pbtxt``). ``crops`` are raw-pixel f32 BGR face crops (invalid rows
+    zeroed); ``embeddings``/``age_probs``/``gender_probs`` are None when the
+    engine was built without that stage.
+    """
+
+    det: Detections
+    crops: Any                       # [B, K, ch, cw, 3] f32 raw pixels
+    embeddings: Optional[Any] = None  # [B, K, D]
+    age_probs: Optional[Any] = None   # [B, K, 8]
+    gender_probs: Optional[Any] = None  # [B, K, 2]
+
+
+@dataclasses.dataclass
 class EngineConfig:
     detector: str = "yolov5s"
     det_thres: float = 0.70
@@ -150,13 +169,173 @@ class FaceEngine:
         """Reference ``Model.__call__`` contract: [N, 4+L+1] normalized to
         model input size, threshold-unfiltered (conf in last column)."""
         native = self.spec.input_size == (-1, -1)
-        if native:
-            x = img[None]
-        else:
-            x = P.apply_preprocess_batch(img[None], self.spec.preprocess)
-        dets, valid = self._detect(self.variables, x)
+        key = ("raw",) + tuple(img.shape)
+        run = self._pipeline_cache.get(key)
+        if run is None:
+            spec_pre = self.spec.preprocess
+
+            # preprocess traced+compiled WITH the detector (once per source
+            # resolution) instead of per-op dispatch on every call
+            @jax.jit
+            def run(variables, imgs):
+                x = imgs if native else P.apply_preprocess_batch(imgs, spec_pre)
+                return self._detect(variables, x)
+
+            if native:  # cascade detectors drive their own python staging
+                run = self._detect
+            self._pipeline_cache[key] = run
+        dets, valid = run(self.variables, img[None])
         d, v = np.asarray(dets[0]), np.asarray(valid[0])
         return d[v]
+
+    # ---------------- fused ensemble ----------------
+
+    def _ensemble_for(self, shape: Tuple[int, int, int], crop_hw: Tuple[int, int]):
+        """ONE jitted XLA program: preprocess -> detect -> postprocess ->
+        masked batched crop -> embed -> age/gender classify. No host
+        boundary, no per-face loop, no uint8 re-quantization between stages
+        — the TPU collapse of the Triton ensemble graph
+        (``models/yolov5_face_postprocess/1/model.py:32-114`` +
+        ``ensemble_yolov5_face/config.pbtxt``)."""
+        key = ("ens", shape, crop_hw)
+        if key in self._pipeline_cache:
+            return self._pipeline_cache[key]
+        if self.spec.input_size == (-1, -1):
+            raise NotImplementedError(
+                "fused ensemble requires a jittable fixed-size detector "
+                f"(got native-resolution '{self.spec.name}')"
+            )
+        h, w = shape[:2]
+        in_size = self.spec.input_size
+        spec_pre = self.spec.preprocess
+        max_det = self.cfg.max_det
+        embed_spec = self.embed_spec
+        do_embed = self._embed is not None
+        do_ag = self._classify_ag is not None
+        ag_mean = jnp.asarray(P.AGE_GENDER.mean, jnp.float32)
+
+        from ..models.embedders import preprocess_crops
+
+        @jax.jit
+        def run(det_vars, embed_vars, ag_vars, imgs, det_thres, area_thres):
+            x = P.apply_preprocess_batch(imgs, spec_pre)
+            dets, valid = self._detect(det_vars, x)
+            post = postprocess_detections(
+                dets[:, :max_det], valid[:, :max_det], (w, h), in_size,
+                det_thres, area_thres,
+            )
+            imgs_f = imgs.astype(jnp.float32)
+            bsz, k = post.boxes.shape[:2]
+
+            def crop_batch(boxes, out_hw):
+                return jax.vmap(
+                    lambda im, bx, vl: crop_and_resize(im, bx, out_hw, vl)
+                )(imgs_f, boxes, post.valid)
+
+            crops = crop_batch(post.boxes, crop_hw)
+
+            emb = age = gender = None
+            if do_embed:
+                ew, eh = embed_spec.input_size
+                ecrops = (crops if (eh, ew) == crop_hw
+                          else crop_batch(post.boxes, (eh, ew)))
+                flat = preprocess_crops(
+                    embed_spec, ecrops.reshape(bsz * k, eh, ew, 3)
+                )
+                emb = self._embed(embed_vars, flat).reshape(bsz, k, -1)
+                emb = jnp.where(post.valid[..., None], emb, 0.0)
+            if do_ag:
+                # the cascade's +-5px crop padding
+                # (modules/opencv2_dnn/model.py:148-152)
+                padded = pad_boxes(post.boxes, (-5, -5, 5, 5), img_wh=(w, h))
+                agc = crop_batch(padded, (227, 227)).reshape(
+                    bsz * k, 227, 227, 3) - ag_mean
+                a, g = self._classify_ag(ag_vars[0], ag_vars[1], agc)
+                age = a.reshape(bsz, k, -1)
+                gender = g.reshape(bsz, k, -1)
+            return post, crops, emb, age, gender
+
+        self._pipeline_cache[key] = run
+        return run
+
+    def detect_embed_classify_batch(
+        self,
+        imgs: np.ndarray,
+        det_thres: float = None,
+        bbox_area_thres: float = None,
+        crop_size: Tuple[int, int] = None,
+    ) -> EnsembleResult:
+        """Full ensemble on a [B, H, W, 3] BGR batch in one XLA dispatch.
+
+        crop_size: (height, width) of the returned raw face crops; defaults
+        to the embedder's input size (or 112x112 with no embedder, the
+        Triton ensemble face shape)."""
+        if crop_size is None:
+            if self.embed_spec is not None:
+                ew, eh = self.embed_spec.input_size
+                crop_size = (eh, ew)
+            else:
+                crop_size = (112, 112)
+        run = self._ensemble_for(tuple(imgs.shape[1:]), tuple(crop_size))
+        dt = self.cfg.det_thres if det_thres is None else det_thres
+        at = self.cfg.bbox_area_thres if bbox_area_thres is None else bbox_area_thres
+        post, crops, emb, age, gender = run(
+            self.variables, self.embed_vars, self.ag_vars,
+            imgs, jnp.float32(dt), jnp.float32(at),
+        )
+        return EnsembleResult(det=post, crops=crops, embeddings=emb,
+                              age_probs=age, gender_probs=gender)
+
+    # ---------------- batched crop programs (serving contracts) ----------------
+
+    def embed_crops(self, faces: np.ndarray) -> np.ndarray:
+        """[N, H, W, 3] BGR face crops (any same size) -> [N, D] embeddings
+        in ONE batched program: resize + normalize + embed fused (replaces
+        the facenet Triton server, ``facenet_trt_server/inference.py:72-85``)."""
+        if self._embed is None:
+            raise RuntimeError("engine built without an embedder")
+        if faces.shape[0] == 0:
+            return np.zeros((0, self.embed_spec.dim), np.float32)
+        key = ("embed_crops",) + tuple(faces.shape[1:])
+        run = self._pipeline_cache.get(key)
+        if run is None:
+            spec = self.embed_spec
+            ew, eh = spec.input_size
+            from ..models.embedders import preprocess_crops
+            from ..ops.geometry import resize_bilinear
+
+            @jax.jit
+            def run(variables, crops):
+                x = crops.astype(jnp.float32)
+                if x.shape[1:3] != (eh, ew):
+                    x = jax.vmap(lambda im: resize_bilinear(im, (eh, ew)))(x)
+                return self._embed(variables, preprocess_crops(spec, x))
+
+            self._pipeline_cache[key] = run
+        return np.asarray(run(self.embed_vars, jnp.asarray(faces)))
+
+    def classify_crops_age_gender(self, faces: np.ndarray):
+        """[N, H, W, 3] BGR face crops -> (age_probs [N, 8], gender_probs
+        [N, 2]) in ONE batched program (replaces the two separate Triton
+        age/gender servers)."""
+        if self._classify_ag is None:
+            raise RuntimeError("engine built without age/gender heads")
+        if faces.shape[0] == 0:
+            return np.zeros((0, 8), np.float32), np.zeros((0, 2), np.float32)
+        key = ("ag_crops",) + tuple(faces.shape[1:])
+        run = self._pipeline_cache.get(key)
+        if run is None:
+
+            @jax.jit
+            def run(ag_vars, crops):
+                x = jax.vmap(
+                    lambda im: P.apply_preprocess(im, P.AGE_GENDER)
+                )(crops)
+                return self._classify_ag(ag_vars[0], ag_vars[1], x)
+
+            self._pipeline_cache[key] = run
+        a, g = run(self.ag_vars, jnp.asarray(faces))
+        return np.asarray(a), np.asarray(g)
 
     # ---------------- cropping + embedding ----------------
 

@@ -20,12 +20,9 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional, Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..core.engine import EngineConfig, FaceEngine
-from ..ops import preprocess as P
-from ..ops.crop import crop_and_resize
 
 NO_FACE_SENTINEL = np.array([[0, 0, 0, 0]], np.float32)
 
@@ -75,20 +72,19 @@ class FaceService:
         """image -> (faces [N, 3, 112, 112] in (-1, 1) CHW, bboxes [N, 4],
         confs [N, 1]); no faces -> (empty, [[0, 0, 0, 0]], empty) like the
         reference sentinel."""
-        # thresholds are traced arguments of the engine pipeline: per-call
+        # thresholds are traced arguments of the fused program: per-call
         # overrides (the ensemble contract) cost no recompile and are
         # thread-safe under ThreadingHTTPServer
-        post = self.engine.detect_image(image_bgr, det_thres, bbox_area_thres)
-
+        res = self.engine.detect_embed_classify_batch(
+            image_bgr[None], det_thres, bbox_area_thres,
+            crop_size=self.cfg.face_size,
+        )
+        post = res.det.to_numpy()[0]
         if not len(post.boxes):
             return (np.zeros((0, 3, *self.cfg.face_size), np.float32),
                     NO_FACE_SENTINEL.copy(), np.zeros((0, 1), np.float32))
-        crops = crop_and_resize(
-            jnp.asarray(image_bgr),
-            jnp.asarray(post.boxes, jnp.float32),
-            self.cfg.face_size,
-        )
-        faces = np.asarray((crops - 127.5) / 127.5)            # NHWC (-1,1)
+        m = np.asarray(res.det.valid[0])
+        faces = (np.asarray(res.crops[0])[m] - 127.5) / 127.5  # NHWC (-1,1)
         faces = faces.transpose(0, 3, 1, 2)                    # contract: CHW
         return (faces.astype(np.float32),
                 np.asarray(post.boxes, np.float32),
@@ -97,48 +93,46 @@ class FaceService:
     # ---- facenet server contract ----
 
     def embed(self, faces_bgr: np.ndarray) -> np.ndarray:
-        """[N, H, W, 3] BGR face crops -> [N, D] embeddings (the facenet
-        server prewhitens 160x160 input; our embedder takes 112x112 with
-        (-1, 1) norm — same logical slot)."""
-        out = []
-        for f in faces_bgr:
-            out.append(
-                self.engine.embed_faces(
-                    f, np.asarray([[0, 0, f.shape[1], f.shape[0]]], np.float32)
-                )[0]
-            )
-        return np.stack(out) if out else np.zeros((0, 512), np.float32)
+        """[N, H, W, 3] BGR face crops -> [N, D] embeddings in ONE batched
+        program (the facenet server prewhitens 160x160 input; our embedder
+        takes 112x112 with (-1, 1) norm — same logical slot)."""
+        if faces_bgr.shape[0] == 0:
+            return np.zeros((0, 512), np.float32)
+        return self.engine.embed_crops(np.asarray(faces_bgr))
 
     # ---- age/gender server contract ----
 
     def age_gender(self, faces_bgr: np.ndarray):
         """[N, H, W, 3] BGR crops -> (age_probs [N, 8], gender_probs [N, 2])
         in one batched program (replaces two separate Triton servers)."""
-        import jax
-
-        crops = jnp.stack([
-            jnp.asarray(P.apply_preprocess(jnp.asarray(f), P.AGE_GENDER))
-            for f in faces_bgr
-        ])
-        a, g = self.engine._classify_ag(
-            self.engine.ag_vars[0], self.engine.ag_vars[1], crops
-        )
-        return np.asarray(a), np.asarray(g)
+        return self.engine.classify_crops_age_gender(np.asarray(faces_bgr))
 
     def detect_embed_classify(self, image_bgr: np.ndarray):
         """The full ensemble in one call: detections + embeddings + age/gender
-        labels. This is the program Triton needed three containers for."""
-        faces_chw, bboxes, confs = self.detect_faces(image_bgr)
-        if faces_chw.shape[0] == 0:
-            return {"bboxes": bboxes, "confs": confs,
-                    "embeddings": np.zeros((0, 512), np.float32),
+        labels — ONE fused XLA dispatch where Triton needed three containers
+        and two gRPC hops, with no host round-trip or uint8 re-quantization
+        between the stages."""
+        res = self.engine.detect_embed_classify_batch(image_bgr[None])
+        m = np.asarray(res.det.valid[0])
+        if not m.any():
+            return {"bboxes": NO_FACE_SENTINEL.copy(),
+                    "confs": np.zeros((0, 1), np.float32),
+                    "embeddings": np.zeros(
+                        (0, self.engine.embed_spec.dim
+                         if self.engine.embed_spec else 512), np.float32),
                     "labels": []}
-        faces_bgr = ((faces_chw.transpose(0, 2, 3, 1) * 127.5) + 127.5).astype(
-            np.uint8
-        )
-        emb = self.embed(faces_bgr)
-        a, g = self.age_gender(faces_bgr)
-        from ..models.age_gender import labels_from_probs
+        post = res.det.to_numpy()[0]
+        out = {"bboxes": np.asarray(post.boxes, np.float32),
+               "confs": np.asarray(post.bbox_confs, np.float32)[:, None]}
+        out["embeddings"] = (np.asarray(res.embeddings[0])[m]
+                             if res.embeddings is not None
+                             else np.zeros((int(m.sum()), 512), np.float32))
+        if res.age_probs is not None:
+            from ..models.age_gender import labels_from_probs
 
-        return {"bboxes": bboxes, "confs": confs, "embeddings": emb,
-                "labels": list(labels_from_probs(a, g))}
+            out["labels"] = list(labels_from_probs(
+                np.asarray(res.age_probs[0])[m],
+                np.asarray(res.gender_probs[0])[m]))
+        else:
+            out["labels"] = []
+        return out
