@@ -27,10 +27,25 @@ AGE_BUCKETS = (
 GENDERS = ("Male", "Female")
 
 
+def _ceil_pool(x, k: int = 3, s: int = 2):
+    """Caffe ceil-mode max pool (out = ceil((H-k)/s)+1): edge-pad so the last
+    partial window is kept; flax max_pool pads with -inf so the extra pixels
+    never win. Required for the real caffemodel geometry (227 -> 56 -> 28 ->
+    14 -> 7, fc6 input 384*7*7 = 18816)."""
+    import math
+
+    h, w = x.shape[1:3]
+    ph = max(0, (math.ceil((h - k) / s) * s + k) - h)
+    pw = max(0, (math.ceil((w - k) / s) * s + k) - w)
+    return nn.max_pool(x, (k, k), (s, s), padding=[(0, ph), (0, pw)])
+
+
 class CaffeNetHead(nn.Module):
     """3-conv + 2-fc CaffeNet (Levi & Hassner 2015 age/gender architecture):
     conv 96@7x7/4 -> pool/LRN -> conv 256@5x5 -> pool/LRN -> conv 384@3x3
-    -> pool -> fc512 -> fc512 -> logits."""
+    -> pool -> fc512 -> fc512 -> logits. Pooling is caffe ceil-mode so
+    shipped age_net/gender_net caffemodels import unchanged
+    (``modules/opencv2_dnn/model.py:49-83``)."""
 
     num_classes: int
     dtype: Dtype = jnp.float32
@@ -39,13 +54,13 @@ class CaffeNetHead(nn.Module):
     def __call__(self, x, train: bool = False):
         d = self.dtype
         x = nn.relu(nn.Conv(96, (7, 7), strides=(4, 4), padding="VALID", dtype=d)(x))
-        x = nn.max_pool(x, (3, 3), (2, 2))
+        x = _ceil_pool(x)
         x = _lrn(x)
         x = nn.relu(nn.Conv(256, (5, 5), padding=[(2, 2), (2, 2)], dtype=d)(x))
-        x = nn.max_pool(x, (3, 3), (2, 2))
+        x = _ceil_pool(x)
         x = _lrn(x)
         x = nn.relu(nn.Conv(384, (3, 3), padding=[(1, 1), (1, 1)], dtype=d)(x))
-        x = nn.max_pool(x, (3, 3), (2, 2))
+        x = _ceil_pool(x)
         x = x.reshape(x.shape[0], -1)
         x = nn.relu(nn.Dense(512, dtype=d)(x))
         x = nn.Dropout(0.5, deterministic=not train)(x)

@@ -1,15 +1,35 @@
-"""Weight conversion: torch checkpoints -> flax NHWC params.
+"""Weight conversion: every reference weight format -> flax NHWC params.
 
 The reference distributes weights as torch ``.pth`` state dicts (blazeface,
-yolov5-face, mobile_facenet), caffemodels, TF graphs and OpenVINO IR. This
-module maps the torch family into our flax trees so users of the reference
-models can carry their weights over; it is also the test oracle that proves
-our NHWC re-architectures are numerically identical to the reference graphs.
+yolov5-face, mobile_facenet), caffemodels, frozen TF graphs and OpenVINO IR.
+This module maps ALL of them into our flax trees so users of the reference
+models can carry their weights over; the torch converters double as test
+oracles proving our NHWC re-architectures are numerically identical to the
+reference graphs. Binary formats are parsed vendor-free by
+``utils/model_formats.py``.
+
+Real-weight entry path per registry entry:
+
+  registry entry        reference weight file                importer here
+  --------------------  -----------------------------------  -----------------------
+  yolov5* (9 archs)     yolov5*-face .pt state dict          convert_yolov5_face
+  blazeface-front/back  blazeface{back}.pth                  convert_blazeface
+  mobile_facenet        mobile_facenet .pth                  convert_mobile_facenet
+  ssd-resnet10          res10_300x300 .caffemodel            caffe_layers_to_arrays
+                        (opencv2_dnn/model.py:21)              + structural_import
+  age/gender heads      age_net/gender_net .caffemodel       convert_caffenet_head
+                        (opencv2_dnn/model.py:49-83)
+  mtcnn                 tf_mtcnn_fast/mtcnn.pb               convert_mtcnn_graphdef
+                        (mtcnn/model.py:57-101)
+  ssd-mobilenetv2/      OpenVINO IR xml+bin                  read_openvino_ir
+  ssd-squeezenet/reid   (openvino/model.py:8-54)               + structural_import
 
 Conventions:
   torch conv weight [out, in/groups, kh, kw]  -> flax kernel [kh, kw, in/g, out]
-  torch linear weight [out, in]               -> flax kernel [in, out]
-  torch BN {weight,bias,running_mean,running_var} ->
+  caffe/OpenVINO conv  [out, in, kh, kw]      -> same transpose (OIHW)
+  TF conv kernel [kh, kw, in, out]            -> used as-is (HWIO == flax)
+  torch/caffe linear weight [out, in]         -> flax kernel [in, out]
+  BN {gamma,beta,running_mean,running_var}    ->
       params {scale, bias} + batch_stats {mean, var}
 """
 from __future__ import annotations
@@ -222,3 +242,218 @@ def convert_mobile_facenet(sd: Mapping) -> Dict:
     bn1s = {"mean": _np(sd["bn.running_mean"]), "var": _np(sd["bn.running_var"])}
     params["bn"], stats["bn"] = bn1p, bn1s
     return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# caffemodel importers (vendor-free; parsing in utils/model_formats.py)
+# ---------------------------------------------------------------------------
+
+
+def c2f_conv(w: np.ndarray) -> np.ndarray:
+    """caffe/OpenVINO OIHW conv kernel -> flax HWIO (same axes as torch)."""
+    return t2f_conv(w)
+
+
+def convert_caffenet_head(layers, num_classes: int = None) -> Dict:
+    """Map an age_net/gender_net .caffemodel (Levi-Hassner CaffeNet,
+    ``modules/opencv2_dnn/model.py:49-83``) onto our ``CaffeNetHead`` tree.
+
+    ``layers`` is the output of ``model_formats.read_caffemodel``. The three
+    Convolution layers map to Conv_0..2; the three InnerProduct layers to
+    Dense_0..2. fc6 consumes the flattened conv3 feature map, which caffe
+    flattens channel-major (C, H, W) while our NHWC module flattens
+    (H, W, C) — its weight matrix is permuted accordingly.
+    """
+    convs = [l for l in layers if l.type == "Convolution" and l.blobs]
+    fcs = [l for l in layers if l.type == "InnerProduct" and l.blobs]
+    if len(convs) != 3 or len(fcs) != 3:
+        raise ValueError(
+            "expected a 3-conv + 3-fc CaffeNet, got "
+            f"{len(convs)} Convolution / {len(fcs)} InnerProduct layers"
+        )
+    params: Dict = {}
+    for i, l in enumerate(convs):
+        params[f"Conv_{i}"] = {"kernel": c2f_conv(l.blobs[0]),
+                               "bias": np.asarray(l.blobs[1])}
+
+    # fc6: [out, C*H*W] in caffe (C,H,W) order -> (H,W,C) order -> [in, out]
+    w6 = np.asarray(fcs[0].blobs[0])
+    c3_out = convs[2].blobs[0].shape[0]          # conv3 output channels (384)
+    hw = w6.shape[-1] // c3_out
+    side = int(round(hw ** 0.5))
+    if side * side * c3_out != w6.shape[-1]:
+        raise ValueError(
+            f"fc6 input {w6.shape[-1]} is not C*H*W with C={c3_out} square"
+        )
+    w6 = (w6.reshape(-1, c3_out, side, side)
+          .transpose(0, 2, 3, 1)
+          .reshape(w6.shape[0], -1))
+    params["Dense_0"] = {"kernel": t2f_linear(w6),
+                         "bias": np.asarray(fcs[0].blobs[1])}
+    for i, l in enumerate(fcs[1:], start=1):
+        params[f"Dense_{i}"] = {"kernel": t2f_linear(np.asarray(l.blobs[0])),
+                                "bias": np.asarray(l.blobs[1])}
+    out_classes = params["Dense_2"]["bias"].shape[0]
+    if num_classes is not None and out_classes != num_classes:
+        raise ValueError(
+            f"caffemodel has {out_classes} output classes, expected {num_classes}"
+        )
+    return {"params": params}
+
+
+def caffe_layers_to_arrays(layers) -> list:
+    """Flatten caffemodel layers into the ordered array stream
+    ``structural_import`` consumes: Convolution -> kernel (HWIO), bias;
+    InnerProduct -> kernel [in,out], bias; BatchNorm(+Scale) -> gamma, beta,
+    mean, var (caffe stores mean/var scaled by blob[2]'s scale factor)."""
+    arrays = []
+    i = 0
+    while i < len(layers):
+        l = layers[i]
+        if l.type == "Convolution" and l.blobs:
+            arrays.append(c2f_conv(l.blobs[0]))
+            if len(l.blobs) > 1:
+                arrays.append(np.asarray(l.blobs[1]))
+        elif l.type == "InnerProduct" and l.blobs:
+            arrays.append(t2f_linear(np.asarray(l.blobs[0])))
+            if len(l.blobs) > 1:
+                arrays.append(np.asarray(l.blobs[1]))
+        elif l.type == "BatchNorm" and l.blobs:
+            sf = float(l.blobs[2].reshape(-1)[0]) if len(l.blobs) > 2 else 1.0
+            sf = 1.0 / sf if sf != 0 else 0.0
+            mean = np.asarray(l.blobs[0]) * sf
+            var = np.asarray(l.blobs[1]) * sf
+            gamma = np.ones_like(mean)
+            beta = np.zeros_like(mean)
+            if i + 1 < len(layers) and layers[i + 1].type == "Scale" \
+                    and layers[i + 1].blobs:
+                gamma = np.asarray(layers[i + 1].blobs[0])
+                if len(layers[i + 1].blobs) > 1:
+                    beta = np.asarray(layers[i + 1].blobs[1])
+                i += 1
+            arrays += [gamma, beta, mean, var]
+        i += 1
+    return arrays
+
+
+# ---------------------------------------------------------------------------
+# generic structural import (ordered arrays -> existing flax variables tree)
+# ---------------------------------------------------------------------------
+
+
+_LEAF_ORDER = {"kernel": 0, "scale": 1, "bias": 2, "alpha": 3}
+
+
+def _walk_slots(params: Mapping, stats: Mapping, path=()):
+    """Yield (path, leaf_name, expected_shape, is_batch_stat) in canonical
+    execution order. flax sorts param dicts alphabetically, so the walk
+    re-orders them the way a serialized conv net streams its weights:
+    within a module, Conv_* children precede BatchNorm_* children (a ConvBN
+    consumes caffe Convolution -> BatchNorm -> Scale in sequence); leaves
+    come kernel, scale, bias, alpha; after a BatchNorm module's params the
+    matching batch_stats {mean, var} are emitted."""
+    leaves = [(k, v) for k, v in params.items() if not isinstance(v, Mapping)]
+    subs = [(k, v) for k, v in params.items() if isinstance(v, Mapping)]
+    for key, val in sorted(leaves, key=lambda kv: (_LEAF_ORDER.get(kv[0], 9),
+                                                   kv[0])):
+        yield (path, key, tuple(np.shape(val)), False)
+    for key, val in sorted(subs, key=lambda kv: (
+            0 if kv[0].startswith("Conv") else 1, kv[0])):
+        sub_stats = stats.get(key, {}) if isinstance(stats, Mapping) else {}
+        yield from _walk_slots(val, sub_stats, path + (key,))
+        if key.startswith("BatchNorm") and sub_stats:
+            for leaf in ("mean", "var"):
+                if leaf in sub_stats:
+                    yield (path + (key,), leaf,
+                           tuple(np.shape(sub_stats[leaf])), True)
+
+
+def structural_import(arrays, variables: Mapping, strict: bool = True) -> Dict:
+    """Pour an ordered array stream into an existing flax variables tree.
+
+    This is the shape-checked path for weight files whose graphs match one of
+    our architectures structurally (SSD caffemodels via
+    ``caffe_layers_to_arrays``, OpenVINO IR consts): leaves are filled in
+    module insertion order; every shape mismatch names the offending path.
+    Returns a new {"params": ..., "batch_stats": ...} tree.
+    """
+    import copy
+
+    params = copy.deepcopy(
+        {k: v for k, v in variables.get("params", variables).items()}
+    )
+    stats = copy.deepcopy(dict(variables.get("batch_stats", {})))
+    out = {"params": params, "batch_stats": stats} if stats else {"params": params}
+    slots = list(_walk_slots(params, stats))
+    if strict and len(arrays) != len(slots):
+        raise ValueError(
+            f"weight stream has {len(arrays)} arrays but the model has "
+            f"{len(slots)} leaves"
+        )
+    for (path, leaf, shape, is_stat), arr in zip(slots, arrays):
+        arr = np.asarray(arr, np.float32)
+        if tuple(arr.shape) != shape:
+            raise ValueError(
+                f"shape mismatch at {'/'.join(path + (leaf,))}: "
+                f"file {tuple(arr.shape)} vs model {shape}"
+            )
+        node = stats if is_stat else params
+        for k in path:
+            node = node[k]
+        node[leaf] = arr
+    return out
+
+
+# ---------------------------------------------------------------------------
+# frozen-graph MTCNN importer
+# ---------------------------------------------------------------------------
+
+_MTCNN_STAGES = ("pnet", "rnet", "onet")
+
+
+def convert_mtcnn_graphdef(consts, variables: Mapping) -> Dict:
+    """Map a frozen MTCNN GraphDef's Const tensors (blaueck/tf-mtcnn
+    ``weights/tf_mtcnn_fast/mtcnn.pb``, loaded by the reference at
+    ``modules/mtcnn/model.py:57-101``) onto our cascade's variables
+    (``MTCNN.variables()`` -> {"pnet": ..., "rnet": ..., "onet": ...}).
+
+    Consts are grouped per stage by name substring and consumed in graph
+    order by shape against our P/R/O-Net slots — TF kernels are HWIO like
+    flax, so no transposes. Frozen graphs are serialized topologically, so
+    in-order shape matching resolves the (bias vs PReLU-alpha) 1-D ties the
+    same way the graph executes them.
+    """
+    by_stage = {s: [] for s in _MTCNN_STAGES}
+    for c in consts:
+        low = c.name.lower()
+        for s in _MTCNN_STAGES:
+            if s in low:
+                by_stage[s].append(c)
+                break
+    out: Dict = {}
+    for stage in _MTCNN_STAGES:
+        tree = variables[stage]
+        params = {k: dict(v) if isinstance(v, Mapping) else v
+                  for k, v in tree["params"].items()}
+        pool = list(by_stage[stage])
+        if not pool:
+            raise ValueError(f"no consts matching stage '{stage}' in graph")
+        used = [False] * len(pool)
+        for path, leaf, shape, _ in _walk_slots(params, {}):
+            hit = None
+            for j, c in enumerate(pool):
+                if not used[j] and tuple(c.value.shape) == shape:
+                    hit = j
+                    break
+            if hit is None:
+                raise ValueError(
+                    f"{stage}: no const of shape {shape} left for "
+                    f"{'/'.join(path + (leaf,))}"
+                )
+            used[hit] = True
+            node = params
+            for k in path:
+                node = node[k]
+            node[leaf] = np.asarray(pool[hit].value, np.float32)
+        out[stage] = {"params": params}
+    return out

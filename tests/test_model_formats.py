@@ -1,0 +1,348 @@
+"""Vendor-free weight-format readers + importers.
+
+No real weights are downloadable in this environment (zero egress), so each
+format is validated by synthetic round-trip fixtures: the test WRITES a
+structurally-faithful caffemodel / frozen GraphDef / OpenVINO IR with the
+module's own encoders, reads it back, imports it into the flax tree, and —
+for the CaffeNet path — proves numerical parity against a torch NCHW replica
+(torch Conv2d/ceil-mode pool/LRN semantics match caffe's).
+"""
+import numpy as np
+import pytest
+
+from face_detection_and_recognition_tpu.utils import model_formats as MF
+from face_detection_and_recognition_tpu.utils import weights as W
+
+
+def _rand(rng, *shape, scale=0.05):
+    return (rng.randn(*shape) * scale).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# caffemodel wire format
+# ---------------------------------------------------------------------------
+
+
+def test_caffemodel_roundtrip_v2(rng):
+    layers = [
+        MF.CaffeLayer("conv1", "Convolution",
+                      [_rand(rng, 8, 3, 3, 3), _rand(rng, 8)]),
+        MF.CaffeLayer("relu1", "ReLU", []),
+        MF.CaffeLayer("fc", "InnerProduct",
+                      [_rand(rng, 4, 32), _rand(rng, 4)]),
+    ]
+    buf = MF.write_caffemodel(layers)
+    back = MF.read_caffemodel(buf)
+    assert [(l.name, l.type, len(l.blobs)) for l in back] == [
+        ("conv1", "Convolution", 2), ("relu1", "ReLU", 0),
+        ("fc", "InnerProduct", 2)]
+    for a, b in zip(layers, back):
+        for x, y in zip(a.blobs, b.blobs):
+            np.testing.assert_array_equal(x, y)
+
+
+def test_caffemodel_roundtrip_v1_legacy(rng):
+    layers = [MF.CaffeLayer("conv1", "Convolution",
+                            [_rand(rng, 4, 3, 5, 5), _rand(rng, 4)])]
+    back = MF.read_caffemodel(MF.write_caffemodel(layers, v1=True))
+    assert back[0].type == "Convolution" and back[0].name == "conv1"
+    np.testing.assert_array_equal(back[0].blobs[0], layers[0].blobs[0])
+
+
+def _caffenet_fixture(rng, num_classes=8):
+    """Full-size Levi-Hassner CaffeNet blobs (the real age_net geometry:
+    fc6 input 384*7*7 = 18816)."""
+    return [
+        MF.CaffeLayer("conv1", "Convolution",
+                      [_rand(rng, 96, 3, 7, 7), _rand(rng, 96)]),
+        MF.CaffeLayer("pool1", "Pooling", []),
+        MF.CaffeLayer("norm1", "LRN", []),
+        MF.CaffeLayer("conv2", "Convolution",
+                      [_rand(rng, 256, 96, 5, 5), _rand(rng, 256)]),
+        MF.CaffeLayer("conv3", "Convolution",
+                      [_rand(rng, 384, 256, 3, 3), _rand(rng, 384)]),
+        MF.CaffeLayer("fc6", "InnerProduct",
+                      [_rand(rng, 512, 18816, scale=0.01), _rand(rng, 512)]),
+        MF.CaffeLayer("fc7", "InnerProduct",
+                      [_rand(rng, 512, 512, scale=0.01), _rand(rng, 512)]),
+        MF.CaffeLayer("fc8", "InnerProduct",
+                      [_rand(rng, num_classes, 512), _rand(rng, num_classes)]),
+    ]
+
+
+def test_caffenet_import_matches_torch_oracle(rng):
+    """Import a synthetic age_net.caffemodel and prove our NHWC CaffeNetHead
+    with the imported params equals a torch NCHW CaffeNet (== caffe
+    semantics: ceil-mode pooling, cross-channel LRN, channel-major flatten)
+    on the same input."""
+    import torch
+
+    from face_detection_and_recognition_tpu.models.age_gender import CaffeNetHead
+
+    layers = MF.read_caffemodel(MF.write_caffemodel(_caffenet_fixture(rng)))
+    variables = W.convert_caffenet_head(layers, num_classes=8)
+
+    x = rng.randn(2, 227, 227, 3).astype(np.float32) * 20.0
+    ours = np.asarray(CaffeNetHead(num_classes=8).apply(variables, x))
+
+    tnet = torch.nn.Sequential(
+        torch.nn.Conv2d(3, 96, 7, 4), torch.nn.ReLU(),
+        torch.nn.MaxPool2d(3, 2, ceil_mode=True),
+        torch.nn.LocalResponseNorm(5, alpha=1e-4, beta=0.75, k=1.0),
+        torch.nn.Conv2d(96, 256, 5, padding=2), torch.nn.ReLU(),
+        torch.nn.MaxPool2d(3, 2, ceil_mode=True),
+        torch.nn.LocalResponseNorm(5, alpha=1e-4, beta=0.75, k=1.0),
+        torch.nn.Conv2d(256, 384, 3, padding=1), torch.nn.ReLU(),
+        torch.nn.MaxPool2d(3, 2, ceil_mode=True),
+        torch.nn.Flatten(),
+        torch.nn.Linear(18816, 512), torch.nn.ReLU(),
+        torch.nn.Linear(512, 512), torch.nn.ReLU(),
+        torch.nn.Linear(512, 8),
+    )
+    conv_idx, fc_idx = [0, 4, 8], [12, 14, 16]
+    convs = [l for l in layers if l.type == "Convolution"]
+    fcs = [l for l in layers if l.type == "InnerProduct"]
+    with torch.no_grad():
+        for ti, l in zip(conv_idx, convs):
+            tnet[ti].weight.copy_(torch.from_numpy(l.blobs[0]))
+            tnet[ti].bias.copy_(torch.from_numpy(l.blobs[1]))
+        for ti, l in zip(fc_idx, fcs):
+            tnet[ti].weight.copy_(torch.from_numpy(l.blobs[0]))
+            tnet[ti].bias.copy_(torch.from_numpy(l.blobs[1]))
+        theirs = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    np.testing.assert_allclose(ours, theirs, atol=2e-3, rtol=1e-3)
+
+
+def test_caffenet_import_rejects_wrong_class_count(rng):
+    layers = MF.read_caffemodel(MF.write_caffemodel(_caffenet_fixture(rng, 2)))
+    with pytest.raises(ValueError, match="output classes"):
+        W.convert_caffenet_head(layers, num_classes=8)
+
+
+def test_caffe_bn_scale_pairing(rng):
+    """BatchNorm mean/var are stored scaled by blob[2]; the following Scale
+    layer carries gamma/beta. caffe_layers_to_arrays must unscale and order
+    them gamma, beta, mean, var."""
+    mean, var = _rand(rng, 16), np.abs(_rand(rng, 16)) + 1.0
+    gamma, beta = _rand(rng, 16), _rand(rng, 16)
+    sf = 999.0
+    layers = [
+        MF.CaffeLayer("conv", "Convolution", [_rand(rng, 16, 3, 3, 3)]),
+        MF.CaffeLayer("bn", "BatchNorm",
+                      [mean * sf, var * sf, np.asarray([sf], np.float32)]),
+        MF.CaffeLayer("scale", "Scale", [gamma, beta]),
+    ]
+    arrays = W.caffe_layers_to_arrays(layers)
+    assert len(arrays) == 5
+    assert arrays[0].shape == (3, 3, 3, 16)     # OIHW -> HWIO
+    np.testing.assert_allclose(arrays[1], gamma)
+    np.testing.assert_allclose(arrays[2], beta)
+    np.testing.assert_allclose(arrays[3], mean, rtol=1e-6)
+    np.testing.assert_allclose(arrays[4], var, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# structural import into registry models
+# ---------------------------------------------------------------------------
+
+
+def test_ssd_resnet10_caffemodel_entry_path(rng):
+    """The documented real-weight path for ssd-resnet10: caffemodel ->
+    caffe_layers_to_arrays -> structural_import -> detect still runs and the
+    imported leaves are bit-identical."""
+    import jax.numpy as jnp
+
+    from face_detection_and_recognition_tpu.models.ssd import (
+        SSDConfig, make_ssd_face,
+    )
+
+    cfg = SSDConfig(backbone="resnet10", input_size=(96, 96), keep_top_k=16)
+    net, variables, detect = make_ssd_face(cfg)
+
+    # fabricate a caffemodel whose layer stream matches the module order
+    slots = list(W._walk_slots(variables["params"], variables["batch_stats"]))
+    layers, i = [], 0
+    while i < len(slots):
+        path, leaf, shape, _ = slots[i]
+        if leaf == "kernel" and len(shape) == 4:
+            blobs = [_rand(rng, shape[3], shape[2], shape[0], shape[1])]
+            if i + 1 < len(slots) and slots[i + 1][1] == "bias" \
+                    and slots[i + 1][0] == path:
+                blobs.append(_rand(rng, shape[3]))
+                i += 1
+            layers.append(MF.CaffeLayer(f"conv_{len(layers)}", "Convolution",
+                                        blobs))
+            # a following BatchNorm module? emit BatchNorm+Scale layers
+            if i + 1 < len(slots) and slots[i + 1][1] == "scale":
+                c = shape[3]
+                layers.append(MF.CaffeLayer(
+                    f"bn_{len(layers)}", "BatchNorm",
+                    [_rand(rng, c), np.abs(_rand(rng, c)) + 1.0,
+                     np.ones(1, np.float32)]))
+                layers.append(MF.CaffeLayer(
+                    f"scale_{len(layers)}", "Scale",
+                    [_rand(rng, c) + 1.0, _rand(rng, c)]))
+                i += 4  # scale, bias, mean, var slots
+        i += 1
+
+    parsed = MF.read_caffemodel(MF.write_caffemodel(layers))
+    arrays = W.caffe_layers_to_arrays(parsed)
+    imported = W.structural_import(arrays, variables)
+
+    # every leaf replaced, shapes intact, detector still executes
+    dets, valid = detect(imported, jnp.zeros((1, 96, 96, 3), jnp.float32))
+    assert dets.shape[0] == 1 and bool(np.isfinite(np.asarray(dets)).all())
+    # spot-check: first conv kernel round-trips through OIHW->HWIO exactly
+    first_kernel = W.c2f_conv(parsed[0].blobs[0])
+    got = imported["params"]
+    for k in ("backbone", "ConvBN_0", "Conv_0"):
+        got = got[k] if k in got else got[next(iter(got))]
+    np.testing.assert_array_equal(np.asarray(got["kernel"]), first_kernel)
+
+
+def test_structural_import_shape_mismatch_names_path(rng):
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(4)(nn.Conv(8, (3, 3))(x).mean((1, 2)))
+
+    v = jax.jit(Tiny().init)(jax.random.PRNGKey(0),
+                             jnp.zeros((1, 8, 8, 3)))
+    good = [_rand(rng, 3, 3, 3, 8), _rand(rng, 8), _rand(rng, 8, 4),
+            _rand(rng, 4)]
+    out = W.structural_import(good, v)
+    np.testing.assert_array_equal(out["params"]["Conv_0"]["kernel"], good[0])
+    bad = [good[0], good[1], _rand(rng, 4, 8), good[3]]
+    with pytest.raises(ValueError, match="Dense_0/kernel"):
+        W.structural_import(bad, v)
+    with pytest.raises(ValueError, match="leaves"):
+        W.structural_import(good[:-1], v)
+
+
+# ---------------------------------------------------------------------------
+# frozen GraphDef -> MTCNN
+# ---------------------------------------------------------------------------
+
+
+def test_graphdef_roundtrip(rng):
+    consts = [MF.GraphConst("pnet/conv1/weights", _rand(rng, 3, 3, 3, 10)),
+              MF.GraphConst("pnet/conv1/bias", _rand(rng, 10)),
+              MF.GraphConst("counts", np.arange(6, dtype=np.int32))]
+    back = MF.read_tf_graphdef(MF.write_graphdef(consts))
+    assert [c.name for c in back] == [c.name for c in consts]
+    for a, b in zip(consts, back):
+        np.testing.assert_array_equal(a.value, b.value)
+        assert a.value.dtype == b.value.dtype
+
+
+def test_mtcnn_graphdef_entry_path(rng):
+    """Documented real-weight path for mtcnn: frozen .pb -> read_tf_graphdef
+    -> convert_mtcnn_graphdef. Consts are emitted in graph (execution)
+    order with realistic blaueck-style names; the importer must land every
+    tensor on the right P/R/O-Net slot."""
+    from face_detection_and_recognition_tpu.models.mtcnn import MTCNN
+
+    cascade = MTCNN()
+    variables = cascade.variables()
+
+    consts = []
+    for stage in ("pnet", "rnet", "onet"):
+        params = variables[stage]["params"]
+        for path, leaf, shape, _ in W._walk_slots(params, {}):
+            kind = {"kernel": "weights", "bias": "biases",
+                    "alpha": "alpha"}[leaf]
+            name = f"{stage}/{'/'.join(path)}/{kind}"
+            consts.append(MF.GraphConst(name, _rand(rng, *shape)))
+
+    parsed = MF.read_tf_graphdef(MF.write_graphdef(consts))
+    imported = W.convert_mtcnn_graphdef(parsed, variables)
+
+    by_name = {c.name: c.value for c in consts}
+    np.testing.assert_array_equal(
+        imported["pnet"]["params"]["Conv_0"]["kernel"],
+        by_name["pnet/Conv_0/weights"])
+    np.testing.assert_array_equal(
+        imported["onet"]["params"]["Dense_3"]["bias"],
+        by_name["onet/Dense_3/biases"])
+    np.testing.assert_array_equal(
+        imported["rnet"]["params"]["PReLU_2"]["alpha"],
+        by_name["rnet/PReLU_2/alpha"])
+
+    # cascade actually runs with the imported weights
+    img = rng.randint(0, 255, (80, 80, 3)).astype(np.uint8)
+    dets, valid = cascade(imported, img)
+    assert np.isfinite(np.asarray(dets)).all()
+
+
+def test_mtcnn_graphdef_missing_stage_raises(rng):
+    from face_detection_and_recognition_tpu.models.mtcnn import MTCNN
+
+    variables = MTCNN().variables()
+    pnet_consts = [
+        MF.GraphConst(f"pnet/{'/'.join(path)}/{leaf}", _rand(rng, *shape))
+        for path, leaf, shape, _ in W._walk_slots(
+            variables["pnet"]["params"], {})
+    ]
+    with pytest.raises(ValueError, match="rnet"):
+        W.convert_mtcnn_graphdef(pnet_consts, variables)
+
+
+# ---------------------------------------------------------------------------
+# OpenVINO IR
+# ---------------------------------------------------------------------------
+
+
+def test_openvino_ir_roundtrip(rng):
+    consts = [MF.GraphConst("w0", _rand(rng, 8, 3, 3, 3)),
+              MF.GraphConst("b0", _rand(rng, 8))]
+    xml, blob = MF.write_openvino_ir(consts)
+    back = MF.read_openvino_ir(xml, blob)
+    assert [c.name for c in back] == ["w0", "b0"]
+    for a, b in zip(consts, back):
+        np.testing.assert_array_equal(a.value, b.value)
+
+
+def test_openvino_ir_v7_blobs_style(rng):
+    """Old-IR <blobs><weights/><biases/></blobs> layers parse too."""
+    w = _rand(rng, 4, 3, 3, 3)
+    b = _rand(rng, 4)
+    blob = w.tobytes() + b.tobytes()
+    xml = (
+        '<net name="n" version="7"><layers>'
+        f'<layer id="0" name="conv1" type="Convolution" precision="FP32">'
+        f'<blobs><weights offset="0" size="{w.nbytes}"/>'
+        f'<biases offset="{w.nbytes}" size="{b.nbytes}"/></blobs>'
+        "</layer></layers></net>"
+    ).encode()
+    back = MF.read_openvino_ir(xml, blob)
+    assert [c.name for c in back] == ["conv1/weights", "conv1/biases"]
+    np.testing.assert_array_equal(back[0].value, w.reshape(-1))
+    np.testing.assert_array_equal(back[1].value, b)
+
+
+def test_ir_structural_import_reid_embedder(rng):
+    """Documented real-weight path for the OpenVINO reid embedder: IR consts
+    (OIHW kernels) -> transpose -> structural_import."""
+    from face_detection_and_recognition_tpu.models.embedders import get_embedder
+
+    _, variables, embed = get_embedder("reid-mnv2").build()
+    slots = list(W._walk_slots(variables["params"],
+                               variables.get("batch_stats", {})))
+    arrays = []
+    for path, leaf, shape, _ in slots:
+        if leaf == "kernel" and len(shape) == 4:
+            arrays.append(W.c2f_conv(
+                _rand(rng, shape[3], shape[2], shape[0], shape[1])))
+        elif leaf == "kernel":
+            arrays.append(_rand(rng, *shape))
+        else:
+            arrays.append(np.abs(_rand(rng, *shape)) + 0.5
+                          if leaf == "var" else _rand(rng, *shape))
+    imported = W.structural_import(arrays, variables)
+    out = embed(imported, np.zeros((1, 128, 128, 3), np.float32))
+    assert out.shape == (1, 256) and np.isfinite(np.asarray(out)).all()
