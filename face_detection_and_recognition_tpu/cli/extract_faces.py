@@ -33,6 +33,10 @@ def main(argv=None) -> int:
     ap.add_argument("--no-features", action="store_true")
     ap.add_argument("--workers", type=int, default=4)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--block", type=int, default=64,
+                    help="frames per fused device block")
+    ap.add_argument("--mesh", action="store_true",
+                    help="shard blocks over all devices (data parallel)")
     args = ap.parse_args(argv)
 
     logger = setup_job_logger("face_extraction")
@@ -41,12 +45,19 @@ def main(argv=None) -> int:
         detector=args.model, det_thres=args.det_thres,
         bbox_area_thres=args.bbox_area_thres, embedder=embedder,
     ))
+    mesh = None
+    if args.mesh:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(("data",))
     stats = extract_faces_from_dataset(
         engine, args.input_dir, args.output_dir,
         save_crops=not args.no_crops,
         save_features=embedder is not None,
         num_workers=args.workers,
         resume=not args.no_resume,
+        block_size=args.block,
+        mesh=mesh,
     )
     logger.info("done: %d faces, %d failures, %.1fs",
                 stats.total_faces(), len(stats.failed), stats.wall_s)

@@ -25,6 +25,9 @@ def main(argv=None) -> int:
     ap.add_argument("--batch", type=int, default=32)
     args = ap.parse_args(argv)
 
+    import jax
+    import jax.numpy as jnp
+
     from ..models.embedders import get_embedder, preprocess_crops
     from ..ops.geometry import resize_bilinear
     from ..pipelines.similarity import SimilarFaceFilter
@@ -33,17 +36,23 @@ def main(argv=None) -> int:
     _, variables, embed = spec.build()
     ew, eh = spec.input_size
 
-    def embed_paths(paths):
-        import jax.numpy as jnp
+    @jax.jit
+    def embed_batch(variables, imgs):
+        # resize + normalize + embed fused: one dispatch per path batch
+        x = jax.vmap(lambda im: resize_bilinear(im, (eh, ew)))(
+            imgs.astype(jnp.float32))
+        return embed(variables, preprocess_crops(spec, x))
 
+    def embed_paths(paths):
         imgs = []
         for p in paths:
             img = cv2.imread(p)
-            if img is None:
-                img = np.zeros((eh, ew, 3), np.uint8)
-            imgs.append(resize_bilinear(jnp.asarray(img), (eh, ew)))
-        crops = preprocess_crops(spec, jnp.stack(imgs))
-        return np.asarray(embed(variables, crops))
+            imgs.append(img if img is not None
+                        else np.zeros_like(imgs[0]) if imgs
+                        else np.zeros((eh, ew, 3), np.uint8))
+        if len({i.shape for i in imgs}) > 1:  # mixed sizes: host resize once
+            imgs = [cv2.resize(i, (ew, eh)) for i in imgs]
+        return np.asarray(embed_batch(variables, jnp.stack(imgs)))
 
     job = SimilarFaceFilter(embed_paths, batch_size=args.batch)
     res = job.run(args.data_dir, args.ref_dir, args.target_dir)

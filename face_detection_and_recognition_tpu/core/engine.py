@@ -190,14 +190,15 @@ class FaceEngine:
 
     # ---------------- fused ensemble ----------------
 
-    def _ensemble_for(self, shape: Tuple[int, int, int], crop_hw: Tuple[int, int]):
+    def _ensemble_for(self, shape: Tuple[int, int, int], crop_hw: Tuple[int, int],
+                      embed_offsets: Optional[Tuple[float, ...]] = None):
         """ONE jitted XLA program: preprocess -> detect -> postprocess ->
         masked batched crop -> embed -> age/gender classify. No host
         boundary, no per-face loop, no uint8 re-quantization between stages
         — the TPU collapse of the Triton ensemble graph
         (``models/yolov5_face_postprocess/1/model.py:32-114`` +
         ``ensemble_yolov5_face/config.pbtxt``)."""
-        key = ("ens", shape, crop_hw)
+        key = ("ens", shape, crop_hw, embed_offsets)
         if key in self._pipeline_cache:
             return self._pipeline_cache[key]
         if self.spec.input_size == (-1, -1):
@@ -232,13 +233,18 @@ class FaceEngine:
                     lambda im, bx, vl: crop_and_resize(im, bx, out_hw, vl)
                 )(imgs_f, boxes, post.valid)
 
-            crops = crop_batch(post.boxes, crop_hw)
+            # extraction-style crop offsets ((-6, -1, +4, +5) in the
+            # reference, extract_faces_from_dataset.py:290-291) apply to the
+            # crops fed onward, never to the reported boxes
+            crop_boxes = (pad_boxes(post.boxes, embed_offsets, img_wh=(w, h))
+                          if embed_offsets is not None else post.boxes)
+            crops = crop_batch(crop_boxes, crop_hw)
 
             emb = age = gender = None
             if do_embed:
                 ew, eh = embed_spec.input_size
                 ecrops = (crops if (eh, ew) == crop_hw
-                          else crop_batch(post.boxes, (eh, ew)))
+                          else crop_batch(crop_boxes, (eh, ew)))
                 flat = preprocess_crops(
                     embed_spec, ecrops.reshape(bsz * k, eh, ew, 3)
                 )
@@ -264,23 +270,40 @@ class FaceEngine:
         det_thres: float = None,
         bbox_area_thres: float = None,
         crop_size: Tuple[int, int] = None,
+        embed_offsets: Tuple[float, ...] = None,
+        mesh=None,
     ) -> EnsembleResult:
         """Full ensemble on a [B, H, W, 3] BGR batch in one XLA dispatch.
 
         crop_size: (height, width) of the returned raw face crops; defaults
         to the embedder's input size (or 112x112 with no embedder, the
-        Triton ensemble face shape)."""
+        Triton ensemble face shape).
+        embed_offsets: optional per-corner crop offsets applied before
+        cropping/embedding (the extraction pipelines' (-6, -1, +4, +5)).
+        mesh: optional jax Mesh — the batch axis is sharded over its 'data'
+        axis with replicated params and XLA partitions the whole fused
+        program (batch must divide the data-axis size)."""
         if crop_size is None:
             if self.embed_spec is not None:
                 ew, eh = self.embed_spec.input_size
                 crop_size = (eh, ew)
             else:
                 crop_size = (112, 112)
-        run = self._ensemble_for(tuple(imgs.shape[1:]), tuple(crop_size))
+        run = self._ensemble_for(tuple(imgs.shape[1:]), tuple(crop_size),
+                                 None if embed_offsets is None
+                                 else tuple(embed_offsets))
         dt = self.cfg.det_thres if det_thres is None else det_thres
         at = self.cfg.bbox_area_thres if bbox_area_thres is None else bbox_area_thres
+        det_vars, embed_vars, ag_vars = (self.variables, self.embed_vars,
+                                         self.ag_vars)
+        if mesh is not None:
+            from ..parallel.sharding import batch_sharding, replicate_to_mesh
+
+            det_vars, embed_vars, ag_vars = replicate_to_mesh(
+                (det_vars, embed_vars, ag_vars), mesh)
+            imgs = jax.device_put(np.asarray(imgs), batch_sharding(mesh, 4))
         post, crops, emb, age, gender = run(
-            self.variables, self.embed_vars, self.ag_vars,
+            det_vars, embed_vars, ag_vars,
             imgs, jnp.float32(dt), jnp.float32(at),
         )
         return EnsembleResult(det=post, crops=crops, embeddings=emb,

@@ -6,10 +6,13 @@ zero-padded ``[MAX_N_FRAME_FROM_VID * MAX_N_FACES_PER_FRAME, D]`` feature
 array per media (``save_extracted_faces``, ``:330-363``), with per-class
 statistics logging (``:449-458``) and resume-by-existence.
 
-The reference's serial per-image loop with per-box python crops becomes:
-prefetch-decoded frames -> one fused detect program -> one batched
-crop+embed program per frame set. Crop offsets (-6, -1, +4, +5) match
-``:290-291``.
+The reference's serial per-image loop with per-box python crops
+(``:379-448``) becomes: prefetch-decoded frames accumulate ACROSS media into
+fixed [block, H, W, 3] blocks (per-resolution buckets, zero-padded tails so
+shapes stay static), each block runs the fused
+detect->crop->embed ensemble in ONE XLA dispatch (optionally sharded over a
+device mesh's data axis), and results scatter back to their media. Crop
+offsets (-6, -1, +4, +5) match ``:290-291``.
 """
 from __future__ import annotations
 
@@ -82,6 +85,34 @@ def save_extracted_faces(
         np.save(os.path.join(out_dir, item.class_name, stem + ".npy"), padded)
 
 
+@dataclasses.dataclass
+class _MediaState:
+    """Per-media accumulator while its frames travel through device blocks."""
+
+    item: MediaItem
+    n_frames: int
+    crops: List[np.ndarray] = dataclasses.field(default_factory=list)
+    frame_feats: List[Optional[np.ndarray]] = dataclasses.field(
+        default_factory=list)
+    done: int = 0
+
+
+def _host_crops(frame: np.ndarray, boxes: np.ndarray) -> List[np.ndarray]:
+    """Variable-size JPEG crops from the original frame with the reference's
+    integer offsets (saved artifacts keep native crop resolution, like the
+    reference's python slices at ``:296-303``)."""
+    h, w = frame.shape[:2]
+    out = []
+    for box in boxes:
+        x1, y1, x2, y2 = (int(v) for v in box)
+        x1o, y1o = max(0, x1 - 6), max(0, y1 - 1)
+        x2o, y2o = min(w - 1, x2 + 4), min(h - 1, y2 + 5)
+        crop = frame[y1o:y2o, x1o:x2o]
+        if crop.size:  # degenerate boxes produce empty slices
+            out.append(crop)
+    return out
+
+
 def extract_faces_from_dataset(
     engine: FaceEngine,
     data_dir: str,
@@ -91,9 +122,18 @@ def extract_faces_from_dataset(
     max_faces_per_frame: int = MAX_N_FACES_PER_FRAME,
     num_workers: int = 4,
     resume: bool = True,
+    block_size: int = 16,
+    mesh=None,
 ) -> ExtractionStats:
     """Run the full extraction job. ``engine`` must carry an embedder when
-    save_features is True."""
+    save_features is True.
+
+    Frames from all media are packed into fixed [block_size, H, W, 3]
+    blocks per source resolution and each block runs ONE fused
+    detect+crop+embed dispatch (``engine.detect_embed_classify_batch``);
+    with ``mesh`` the block's batch axis is sharded over the mesh 'data'
+    axis. Native-resolution cascades (mtcnn) fall back to per-frame staged
+    detection inside the same block structure."""
     t0 = time.time()
     stats = ExtractionStats()
     items = walk_class_tree(data_dir)
@@ -103,38 +143,74 @@ def extract_faces_from_dataset(
             if not output_exists(out_dir, it.class_name, it.path, save_features)
         ]
     os.makedirs(out_dir, exist_ok=True)
+    dim = engine.embed_spec.dim if engine.embed_spec else 512
+    offsets = EXTRACTION_OFFSETS if save_features else None
+    fused = engine.spec.input_size != (-1, -1)
+    if mesh is not None and block_size % mesh.shape["data"] != 0:
+        raise ValueError(
+            f"block_size {block_size} must divide the mesh data axis "
+            f"({mesh.shape['data']})"
+        )
 
-    for item, frames in PrefetchLoader(items, num_workers=num_workers):
+    def finalize(st: _MediaState):
         try:
-            crops: List[np.ndarray] = []
-            frame_feats: List[Optional[np.ndarray]] = []
-            n_feats = 0
-            for _, frame in frames:
-                post = engine.detect_image(frame)
-                boxes = post.boxes[:max_faces_per_frame]
-                h, w = frame.shape[:2]
-                for box in boxes:
-                    x1, y1, x2, y2 = (int(v) for v in box)
-                    x1o, y1o = max(0, x1 - 6), max(0, y1 - 1)
-                    x2o, y2o = min(w - 1, x2 + 4), min(h - 1, y2 + 5)
-                    crop = frame[y1o:y2o, x1o:x2o]
-                    if crop.size:  # degenerate boxes produce empty slices
-                        crops.append(crop)
-                if save_features and len(boxes):
+            n_feats = sum(len(f) for f in st.frame_feats if f is not None)
+            save_extracted_faces(out_dir, st.item, st.crops, st.frame_feats,
+                                 dim, save_crops, save_features,
+                                 max_faces_per_frame)
+            stats.add(st.item.class_name, len(st.crops), n_feats)
+        except Exception:  # per-media failure tolerance (reference :446-448)
+            logger.exception("failed on %s", st.item.path)
+            stats.failed.append(st.item.path)
+
+    def flush(entries):
+        """entries: list of (state, frame_pos, frame). ONE fused dispatch."""
+        frames = [e[2] for e in entries]
+        pad = block_size - len(frames)
+        imgs = np.stack(frames + [np.zeros_like(frames[0])] * pad)
+        if fused:
+            res = engine.detect_embed_classify_batch(
+                imgs, embed_offsets=offsets, mesh=mesh)
+            posts = res.det.to_numpy()
+            valid = np.asarray(res.det.valid)
+            embs = (np.asarray(res.embeddings)
+                    if save_features and res.embeddings is not None else None)
+        else:  # native-resolution cascade: staged detection, batched embed
+            det = engine.detect_batch(imgs)
+            posts = det.to_numpy()
+            valid = np.asarray(det.valid)
+            embs = None
+        for row, (st, pos, frame) in enumerate(entries):
+            boxes = posts[row].boxes[:max_faces_per_frame]
+            st.crops.extend(_host_crops(frame, boxes))
+            if save_features and len(boxes):
+                if embs is not None:
+                    emb = embs[row][valid[row]][:max_faces_per_frame]
+                else:
                     emb = engine.embed_faces(frame, boxes,
                                              offsets=EXTRACTION_OFFSETS)
-                    frame_feats.append(emb)
-                    n_feats += len(emb)
-                else:
-                    frame_feats.append(None)
-            dim = engine.embed_spec.dim if engine.embed_spec else 512
-            save_extracted_faces(out_dir, item, crops, frame_feats, dim,
-                                 save_crops, save_features,
-                                 max_faces_per_frame)
-            stats.add(item.class_name, len(crops), n_feats)
-        except Exception:  # per-media failure tolerance (reference :446-448)
-            logger.exception("failed on %s", item.path)
-            stats.failed.append(item.path)
+                st.frame_feats[pos] = np.asarray(emb)
+            st.done += 1
+            if st.done == st.n_frames:
+                finalize(st)
+
+    buckets: Dict[tuple, list] = {}
+    for item, frames in PrefetchLoader(items, num_workers=num_workers):
+        st = _MediaState(item, n_frames=len(frames),
+                         frame_feats=[None] * len(frames))
+        if not frames:
+            finalize(st)
+            continue
+        for pos, (_, frame) in enumerate(frames):
+            b = buckets.setdefault(frame.shape, [])
+            b.append((st, pos, frame))
+            if len(b) == block_size:
+                flush(b)
+                buckets[frame.shape] = []
+    for b in buckets.values():
+        if b:
+            flush(b)
+
     stats.wall_s = time.time() - t0
     for cls, c in sorted(stats.classes.items()):
         logger.info("class %s: media=%d faces=%d features=%d",
