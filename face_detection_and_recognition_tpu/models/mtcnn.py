@@ -194,6 +194,20 @@ class MTCNN:
             )
         return self._detect_cache[key]
 
+    def detect_batch_fn(self, h: int, w: int):
+        """Batched cascade: ONE jitted program with batch as a leading dim
+        through every pyramid level and all three stages (vmap over the
+        masked fixed-K single-image cascade — P/R/O-Net convs batch as
+        [B * K, ...] automatically). Replaces the per-image python loop the
+        round-1 registry entry used."""
+        key = ("batch", h, w)
+        if key not in self._detect_cache:
+            self._detect_cache[key] = jax.jit(jax.vmap(
+                lambda v, img: self._detect(v, img, h, w),
+                in_axes=(None, 0),
+            ))
+        return self._detect_cache[key]
+
     def __call__(self, variables, img_bgr):
         h, w = int(img_bgr.shape[0]), int(img_bgr.shape[1])
         return self.detect_fn(h, w)(variables, img_bgr)

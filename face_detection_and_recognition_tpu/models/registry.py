@@ -163,13 +163,11 @@ def _build_mtcnn():
         cascade = MTCNN(MTCNNConfig(**kw), rng=rng, dtype=dtype)
 
         def detect_norm(variables, imgs):
-            # imgs: [B, H, W, 3] raw BGR uint8/float at native resolution
-            outs, valids = [], []
-            for i in range(imgs.shape[0]):
-                d, v = cascade(variables, imgs[i])
-                outs.append(d)
-                valids.append(v)
-            return jnp.stack(outs), jnp.stack(valids)
+            # imgs: [B, H, W, 3] raw BGR uint8/float at native resolution;
+            # batch is a leading dim through the whole pyramid + 3 stages
+            # (one compiled program per resolution, no per-image loop)
+            h, w = int(imgs.shape[1]), int(imgs.shape[2])
+            return cascade.detect_batch_fn(h, w)(variables, imgs)
 
         return cascade, cascade.variables(), detect_norm
 

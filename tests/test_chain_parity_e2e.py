@@ -261,10 +261,14 @@ def _numpy_cascade(cascade, variables, img_bgr):
     return dets / np.asarray([w, h] * 7 + [1], np.float32)
 
 
-def test_mtcnn_cascade_matches_numpy_oracle(rng):
+def test_mtcnn_cascade_matches_numpy_oracle():
     from face_detection_and_recognition_tpu.models.mtcnn import (MTCNN,
                                                                  MTCNNConfig)
 
+    # local rng: the session fixture's draw position depends on test order,
+    # and this test needs specific draws that push proposals through all
+    # three stages of the random-init cascade
+    rng = np.random.RandomState(42)
     # lower thresholds so random-init nets emit proposals through all stages
     cfg = MTCNNConfig(thresholds=(0.5, 0.4, 0.3), min_size=40)
     cascade = MTCNN(cfg)

@@ -74,3 +74,30 @@ def test_crop_and_resize_padded_zero_oob(rng):
     crops = np.asarray(crop_and_resize_padded(img, boxes, (16, 16)))
     assert (crops[0, :, :7] == 0).all()
     assert (crops[0, :, 9:] > 150).all()
+
+
+def test_crop_gemm_matches_gather(rng):
+    """The MXU (gemm) crop path must equal the gather path bit-for-bit-ish
+    on both clamp and zero-pad semantics (TPU uses gemm, CPU tests gather)."""
+    import jax.numpy as jnp
+
+    from face_detection_and_recognition_tpu.ops.crop import (
+        crop_and_resize, crop_and_resize_padded,
+    )
+
+    img = rng.randint(0, 255, (57, 43, 3)).astype(np.uint8)
+    boxes = np.stack([
+        rng.uniform(-10, 30, 8), rng.uniform(-10, 40, 8),
+        rng.uniform(5, 60, 8), rng.uniform(5, 75, 8),
+    ], axis=-1).astype(np.float32)
+    boxes[:, 2:] = boxes[:, :2] + np.abs(boxes[:, 2:] - boxes[:, :2]) + 2
+    valid = np.ones(8, bool)
+    valid[-1] = False
+
+    for fn in (crop_and_resize, crop_and_resize_padded):
+        a = np.asarray(fn(jnp.asarray(img), jnp.asarray(boxes), (12, 9),
+                          jnp.asarray(valid), method="gather"))
+        b = np.asarray(fn(jnp.asarray(img), jnp.asarray(boxes), (12, 9),
+                          jnp.asarray(valid), method="gemm"))
+        np.testing.assert_allclose(a, b, atol=1e-3, rtol=1e-5)
+        assert (b[-1] == 0).all()
