@@ -60,10 +60,34 @@ class EngineConfig:
     detector_overrides: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
 
+def ensure_compile_cache() -> None:
+    """Enable jax's persistent compilation cache for every engine consumer
+    (CLIs, pipelines, serving). Tests/bench set their own dir; without this
+    a cold CLI process re-compiles the full pipeline (XLA + Mosaic warmup
+    cost 30-300s on the axon tunnel). Honors JAX_COMPILATION_CACHE_DIR."""
+    import os
+
+    import jax
+
+    try:
+        if jax.config.jax_compilation_cache_dir:
+            return
+        default = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "fdrt_jax"),
+        )
+        os.makedirs(default, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", default)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is an optimization, never a failure
+        pass
+
+
 class FaceEngine:
     """One engine, any registered detector, optional embedder / age+gender."""
 
     def __init__(self, cfg: EngineConfig):
+        ensure_compile_cache()
         self.cfg = cfg
         self.spec = registry.get(cfg.detector)
         # an input_size override must also retarget the preprocess recipe

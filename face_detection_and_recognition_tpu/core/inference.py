@@ -53,6 +53,15 @@ def inference_img(
     return post
 
 
+def _default_micro_batch() -> int:
+    """Throughput batch on accelerators, latency batch on CPU. 32 keeps
+    block latency ~15-30ms at the measured TPU throughput (bench.py) while
+    realizing most of the batch-128 throughput knee."""
+    import jax
+
+    return 32 if jax.devices()[0].platform == "tpu" else 4
+
+
 def inference_vid(
     engine: FaceEngine,
     vid,
@@ -60,59 +69,141 @@ def inference_vid(
     output: Optional[str] = None,
     display: bool = True,
     age_gender: bool = False,
-    micro_batch: int = 4,
+    micro_batch: Optional[int] = None,
 ) -> List[PostProcessedDetection]:
-    """Video loop with frame micro-batching.
+    """Video loop with double-buffered frame micro-batching.
 
-    Frames are collected into blocks of ``micro_batch`` and detected in one
-    device program per block; outputs remain per-frame. Single-image
-    semantics (thresholds, postprocessing) are unchanged.
+    A decode thread fills a bounded queue of frame blocks while the device
+    runs; block k+1 is dispatched (async) before block k's results are
+    fetched, so cv2 decode, TPU compute, and host annotate/write overlap.
+    Outputs remain per-frame; single-image semantics (thresholds,
+    postprocessing) are unchanged. Replaces the reference's strictly serial
+    read->infer->draw loop (``modules/utils/inference.py:96-111``).
     """
+    import queue
+    import threading
+
+    if micro_batch is None:
+        micro_batch = 1 if display and not isinstance(vid, str) else (
+            _default_micro_batch())
     cap = cv2.VideoCapture(vid)
+    src_fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
     writer = None
     results: List[PostProcessedDetection] = []
-    frames: List[np.ndarray] = []
+    stop = threading.Event()
 
-    def flush():
+    # batched age/gender rides the fused ensemble when available; native
+    # cascades (mtcnn) fall back to the per-frame staged path
+    fused_ag = age_gender and engine._classify_ag is not None \
+        and engine.spec.input_size != (-1, -1)
+
+    def dispatch(item):
+        """One async device dispatch for an uploaded block -> handle."""
+        n, block, imgs = item
+        if fused_ag:
+            return n, block, engine.detect_embed_classify_batch(imgs)
+        return n, block, engine.detect_batch(imgs)
+
+    def collect(handle) -> List[PostProcessedDetection]:
+        n, block, res = handle
+        if fused_ag:
+            from ..models.age_gender import labels_from_probs
+
+            posts = res.det.to_numpy()[:n]
+            valid = np.asarray(res.det.valid)
+            for i, p in enumerate(posts):
+                p.bbox_labels = list(labels_from_probs(
+                    np.asarray(res.age_probs[i])[valid[i]],
+                    np.asarray(res.gender_probs[i])[valid[i]]))
+            return posts
+        return res.to_numpy()[:n]
+
+    def emit(handle):
         nonlocal writer
-        if not frames:
-            return
-        if age_gender or len(frames) == 1:
-            posts = [
-                engine.detect_age_gender(f) if age_gender else engine.detect_image(f)
-                for f in frames
-            ]
-        else:
-            # pad the tail block to micro_batch so every block reuses the
-            # same compiled program (no per-tail-size recompilation)
-            n = len(frames)
-            block = frames + [frames[-1]] * (micro_batch - n)
-            posts = engine.detect_batch(np.stack(block)).to_numpy()[:n]
-        for f, p in zip(frames, posts):
+        for f, p in zip(handle[1], collect(handle)):
             annotate(f, p)
             results.append(p)
             if output:
                 if writer is None:
                     fourcc = cv2.VideoWriter_fourcc(*"mp4v")
-                    fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
                     writer = cv2.VideoWriter(
-                        output, fourcc, fps, (f.shape[1], f.shape[0])
+                        output, fourcc, src_fps, (f.shape[1], f.shape[0])
                     )
                 writer.write(f)
             if display:
                 cv2.imshow(wname, f)
-                cv2.waitKey(5)
-        frames.clear()
+                if (cv2.waitKey(5) & 0xFF) == ord("q"):
+                    stop.set()
 
-    ret, frame = cap.read()
-    while ret:
-        frames.append(frame)
-        if len(frames) >= micro_batch:
-            flush()
-            if display and (cv2.waitKey(5) & 0xFF) == ord("q"):
-                break
+    blocks: "queue.Queue" = queue.Queue(maxsize=2)  # decode double-buffer
+    _END = object()
+
+    def upload(block: List[np.ndarray]):
+        """Pad + stage the block on device FROM THE READER THREAD so the
+        host->device transfer (1.5s/56MB through the axon tunnel) overlaps
+        with device compute and host annotate/write of earlier blocks."""
+        import jax
+
+        padded = block + [block[-1]] * (micro_batch - len(block))
+        return len(block), block, jax.device_put(np.stack(padded))
+
+    def reader():
+        block: List[np.ndarray] = []
         ret, frame = cap.read()
-    flush()
+        while ret and not stop.is_set():
+            block.append(frame)
+            if len(block) >= micro_batch:
+                blocks.put(upload(block))
+                block = []
+            ret, frame = cap.read()
+        if block:
+            blocks.put(upload(block))
+        blocks.put(_END)
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+
+    if age_gender and not fused_ag:  # staged per-frame path (native cascades)
+        while True:
+            item = blocks.get()
+            if item is _END or stop.is_set():
+                break
+            for f in item[1]:
+                p = engine.detect_age_gender(f)
+                annotate(f, p)
+                results.append(p)
+                if output:
+                    if writer is None:
+                        fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+                        writer = cv2.VideoWriter(
+                            output, fourcc, src_fps, (f.shape[1], f.shape[0]))
+                    writer.write(f)
+                if display:
+                    cv2.imshow(wname, f)
+                    if (cv2.waitKey(5) & 0xFF) == ord("q"):
+                        stop.set()
+    else:
+        pending = None
+        while True:
+            item = blocks.get()
+            if item is _END:
+                break
+            handle = dispatch(item)           # async: device starts now
+            if pending is not None:
+                emit(pending)                 # overlap host work w/ device
+            pending = handle
+            if stop.is_set():
+                break
+        if pending is not None and not stop.is_set():
+            emit(pending)
+
+    stop.set()
+    while not blocks.empty():  # unblock a reader stuck on a full queue
+        try:
+            blocks.get_nowait()
+        except Exception:
+            break
+    t.join(timeout=2.0)
     cap.release()
     if writer is not None:
         writer.release()

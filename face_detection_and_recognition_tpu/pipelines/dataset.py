@@ -60,7 +60,11 @@ def iter_media_frames(
     frame per second of footage (frame_num % round(fps) == 0) capped at
     ``max_frames`` (reference ``:421-437``)."""
     if item.kind == "image":
-        img = cv2.imread(item.path)
+        # JPEGs decode through the native C++ loader (libjpeg, GIL-free);
+        # other formats via cv2
+        from ..utils.native import read_image_bgr
+
+        img = read_image_bgr(item.path)
         if img is not None:
             yield 0, img
         return

@@ -62,7 +62,9 @@ def extract_features_from_face_dataset(
             ]
         for i in range(0, len(paths), batch_size):
             chunk = paths[i : i + batch_size]
-            imgs = [cv2.imread(p) for p in chunk]
+            from ..utils.native import read_image_bgr
+
+            imgs = [read_image_bgr(p) for p in chunk]
             pairs = [(p, im) for p, im in zip(chunk, imgs) if im is not None]
             if not pairs:
                 continue

@@ -123,7 +123,9 @@ def extract_imdb_wiki_faces(
     ages = meta["dob"], meta["photo_taken"]
     for j, i in enumerate(keep_idx[: limit if limit else len(keep_idx)]):
         path = os.path.join(img_root, str(meta["full_path"][i]))
-        img = cv2.imread(path)
+        from ..utils.native import read_image_bgr
+
+        img = read_image_bgr(path)
         if img is None:
             continue
         post = engine.detect_image(img)

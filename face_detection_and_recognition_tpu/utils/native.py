@@ -44,6 +44,17 @@ def load_native() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int),
         ctypes.c_int,
     ]
+    if hasattr(lib, "fdrt_jpeg_dims"):  # v2 API
+        lib.fdrt_jpeg_dims.restype = ctypes.c_int
+        lib.fdrt_jpeg_dims.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.fdrt_decode_bgr.restype = ctypes.c_int
+        lib.fdrt_decode_bgr.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ]
     _LIB = lib
     return _LIB
 
@@ -110,3 +121,39 @@ def decode_letterbox_batch(
         num_threads,
     )
     return out, status == 0
+
+
+def decode_jpeg_bgr(jpeg_bytes: bytes) -> Optional[np.ndarray]:
+    """Full-resolution JPEG decode -> BGR u8 [H, W, 3] (the cv2.imread slot
+    in the dataset loaders). Native libjpeg when built (ctypes releases the
+    GIL, so PrefetchLoader workers decode in true parallel); cv2 fallback."""
+    lib = load_native()
+    if lib is not None and hasattr(lib, "fdrt_decode_bgr"):
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        if lib.fdrt_jpeg_dims(jpeg_bytes, len(jpeg_bytes),
+                              ctypes.byref(w), ctypes.byref(h)) == 0:
+            out = np.empty((h.value, w.value, 3), np.uint8)
+            rc = lib.fdrt_decode_bgr(
+                jpeg_bytes, len(jpeg_bytes),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                w.value, h.value,
+            )
+            if rc == 0:
+                return out
+    import cv2
+
+    return cv2.imdecode(np.frombuffer(jpeg_bytes, np.uint8), cv2.IMREAD_COLOR)
+
+
+def read_image_bgr(path: str) -> Optional[np.ndarray]:
+    """Read any image file as BGR u8; JPEGs ride the native decoder."""
+    if os.path.splitext(path)[1].lower() in (".jpg", ".jpeg"):
+        try:
+            with open(path, "rb") as f:
+                return decode_jpeg_bgr(f.read())
+        except OSError:
+            return None
+    import cv2
+
+    return cv2.imread(path)

@@ -204,6 +204,45 @@ int fdrt_decode_letterbox_batch(const uint8_t** data, const size_t* lens,
   return failures.load();
 }
 
-int fdrt_version() { return 1; }
+// Report JPEG dimensions without decoding pixel data (header-only pass) so
+// callers can size a full-resolution buffer. Returns 0 ok, -1 parse error.
+int fdrt_jpeg_dims(const uint8_t* data, size_t len, int* out_w, int* out_h) {
+  jpeg_decompress_struct cinfo;
+  ErrMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), len);
+  jpeg_read_header(&cinfo, TRUE);
+  *out_w = cinfo.image_width;
+  *out_h = cinfo.image_height;
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+// Decode JPEG bytes at full resolution into caller-allocated BGR u8 HWC
+// buffer of exactly w*h*3 bytes (w/h from fdrt_jpeg_dims). The cv2.imread
+// replacement for the dataset loaders. Returns 0 ok, -1 error/size mismatch.
+int fdrt_decode_bgr(const uint8_t* data, size_t len, uint8_t* out_buf,
+                    int w, int h) {
+  std::vector<uint8_t> rgb;
+  int dh = 0, dw = 0;
+  if (decode_jpeg(data, len, &rgb, &dh, &dw, /*target_min_dim=*/0) != 0)
+    return -1;
+  if (dw != w || dh != h) return -1;
+  const size_t n = static_cast<size_t>(w) * h;
+  for (size_t i = 0; i < n; ++i) {  // RGB -> BGR
+    out_buf[i * 3 + 0] = rgb[i * 3 + 2];
+    out_buf[i * 3 + 1] = rgb[i * 3 + 1];
+    out_buf[i * 3 + 2] = rgb[i * 3 + 0];
+  }
+  return 0;
+}
+
+int fdrt_version() { return 2; }
 
 }  // extern "C"
