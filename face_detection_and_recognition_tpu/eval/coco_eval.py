@@ -62,16 +62,18 @@ def evaluate_detections(
         total_gt += len(gts)
         iou = _iou_xywh(dets[:, :4], gts)
         matched = np.zeros((n_thr, len(dets)), bool)
-        for t, thr in enumerate(IOU_THRESHOLDS):
-            taken = np.zeros(len(gts), bool)
+        if len(dets) and len(gts):
+            # greedy matcher vectorized over ALL IoU thresholds at once:
+            # one [T, M] argmax per detection instead of T*N*M python
+            # iterations (WIDER-val scale: minutes -> seconds)
+            taken = np.zeros((n_thr, len(gts)), bool)
+            t_idx = np.arange(n_thr)
             for di in range(len(dets)):
-                best, best_iou = -1, thr
-                for gi in range(len(gts)):
-                    if not taken[gi] and iou[di, gi] >= best_iou:
-                        best, best_iou = gi, iou[di, gi]
-                if best >= 0:
-                    taken[best] = True
-                    matched[t, di] = True
+                cand = np.where(taken, -1.0, iou[di][None, :])  # [T, M]
+                gi = cand.argmax(axis=1)
+                ok = cand[t_idx, gi] >= IOU_THRESHOLDS
+                taken[ok, gi[ok]] = True
+                matched[ok, di] = True
         all_scores.append(dets[:, 4] if len(dets) else np.zeros(0))
         all_matches.append(matched)
 
@@ -136,30 +138,99 @@ def parse_wider_annotations(ann_file: str) -> Dict[str, np.ndarray]:
     return out
 
 
+def _unletterbox(boxes: np.ndarray, in_wh, orig_wh) -> np.ndarray:
+    """Reference scale_coords math (``modules/utils/image.py:79-99``):
+    float gain/pad removal + clip + round, numpy per-image (the batched
+    eval runner detects in letterboxed model space)."""
+    iw, ih = in_wh
+    w, h = orig_wh
+    gain = min(ih / h, iw / w)
+    pad_x, pad_y = (iw - w * gain) / 2, (ih - h * gain) / 2
+    out = boxes.astype(np.float64).copy()
+    out[:, [0, 2]] = (out[:, [0, 2]] - pad_x) / gain
+    out[:, [1, 3]] = (out[:, [1, 3]] - pad_y) / gain
+    out[:, [0, 2]] = out[:, [0, 2]].clip(0, w)
+    out[:, [1, 3]] = out[:, [1, 3]].clip(0, h)
+    return out.round()
+
+
 def evaluate_engine_on_wider(
-    engine, ann_file: str, images_root: str, limit: int = None
+    engine, ann_file: str, images_root: str, limit: int = None,
+    batch_size: int = 32,
 ) -> Dict[str, float]:
-    """Run a FaceEngine over WIDER val and compute COCO metrics."""
+    """Run a FaceEngine over WIDER val and compute COCO metrics.
+
+    Images are decoded + letterboxed to the model input on host threads,
+    detected in fixed [batch_size, in_h, in_w, 3] blocks (ONE device
+    dispatch per block instead of the reference's per-image loop,
+    ``eval_face_detector.py:114-151``), and un-letterboxed per image on the
+    host. Native-resolution cascades (mtcnn) keep the per-image path."""
     import os
+    from concurrent.futures import ThreadPoolExecutor
 
     import cv2
+
+    from ..ops.geometry import letterbox_params
+    from ..utils.native import read_image_bgr
 
     gt = parse_wider_annotations(ann_file)
     paths = sorted(gt)[:limit] if limit else sorted(gt)
     gt_by_image, det_by_image = {}, {}
-    for img_id, rel in enumerate(paths):
-        img = cv2.imread(os.path.join(images_root, rel))
+
+    if engine.input_size == (-1, -1):  # native-resolution cascade
+        for img_id, rel in enumerate(paths):
+            img = read_image_bgr(os.path.join(images_root, rel))
+            if img is None:
+                continue
+            gt_by_image[img_id] = gt[rel]
+            post = engine.detect_image(img)
+            if len(post.boxes):
+                det_by_image[img_id] = _dets_to_xywh(post)
+        return evaluate_detections(gt_by_image, det_by_image)
+
+    iw, ih = engine.input_size
+
+    def load(rel):
+        img = read_image_bgr(os.path.join(images_root, rel))
         if img is None:
-            continue
-        gt_by_image[img_id] = gt[rel]
-        post = engine.detect_image(img)
-        if len(post.boxes):
-            xywh = np.stack([
-                post.boxes[:, 0], post.boxes[:, 1],
-                post.boxes[:, 2] - post.boxes[:, 0],
-                post.boxes[:, 3] - post.boxes[:, 1],
-            ], axis=1)
-            det_by_image[img_id] = np.concatenate(
-                [xywh, post.bbox_confs[:, None]], axis=1
-            )
+            return None, None
+        hh, ww = img.shape[:2]
+        _, sh, sw, top, left = letterbox_params((hh, ww), (ih, iw))
+        canvas = np.full((ih, iw, 3), 125, np.uint8)
+        canvas[top:top + sh, left:left + sw] = cv2.resize(img, (sw, sh))
+        return canvas, (ww, hh)
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        for start in range(0, len(paths), batch_size):
+            chunk = paths[start:start + batch_size]
+            loaded = list(pool.map(load, chunk))
+            keep = [(i, c, wh) for i, (c, wh) in enumerate(loaded)
+                    if c is not None]
+            if not keep:
+                continue
+            block = np.stack([c for _, c, _ in keep])
+            pad = batch_size - len(keep)
+            if pad:
+                block = np.concatenate([block, np.repeat(
+                    block[-1:], pad, axis=0)])
+            # detect in letterboxed model space (orig == input size here);
+            # conf/area thresholds see the same values as the standard path
+            dets = engine.detect_batch(block)
+            posts = dets.to_numpy()[:len(keep)]
+            for (i, _, (ww, hh)), post in zip(keep, posts):
+                img_id = start + i
+                gt_by_image[img_id] = gt[chunk[i]]
+                if len(post.boxes):
+                    post.boxes = _unletterbox(
+                        np.asarray(post.boxes, np.float64), (iw, ih), (ww, hh))
+                    det_by_image[img_id] = _dets_to_xywh(post)
     return evaluate_detections(gt_by_image, det_by_image)
+
+
+def _dets_to_xywh(post) -> np.ndarray:
+    xywh = np.stack([
+        post.boxes[:, 0], post.boxes[:, 1],
+        post.boxes[:, 2] - post.boxes[:, 0],
+        post.boxes[:, 3] - post.boxes[:, 1],
+    ], axis=1)
+    return np.concatenate([xywh, post.bbox_confs[:, None]], axis=1)
