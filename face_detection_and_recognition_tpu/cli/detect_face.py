@@ -42,9 +42,9 @@ def build_engine(args) -> FaceEngine:
     engine = FaceEngine(cfg)
     ckpt = getattr(args, "ckpt", None)
     if ckpt:
-        from ..utils.checkpoint import load_variables
-
-        engine.variables = load_variables(ckpt)
+        # any reference weight format (.pt/.pth/.caffemodel/.pb/.xml) or an
+        # orbax checkpoint of our own variables tree
+        engine.load_weights(ckpt)
     return engine
 
 
@@ -55,8 +55,10 @@ def main(argv=None) -> int:
     parser.add_argument("--age-gender", dest="age_gender", action="store_true",
                         help="Attach age+gender labels (opencv_age_gender "
                              "entry-point equivalent).")
-    parser.add_argument("--ckpt", dest="ckpt", default=None,
-                        help="Optional checkpoint with model variables.")
+    parser.add_argument("--ckpt", "--weights", dest="ckpt", default=None,
+                        help="Real weights for the detector: torch .pt/.pth, "
+                             ".caffemodel, frozen .pb, OpenVINO .xml(+.bin), "
+                             "or an orbax checkpoint dir.")
     parser.add_argument("--embedder", dest="embedder", default=None,
                         help="Also embed each detected face (registry name, "
                              "e.g. mobile_facenet) and report the vector "

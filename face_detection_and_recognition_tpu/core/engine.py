@@ -15,6 +15,7 @@ costs exactly one compile).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -120,6 +121,71 @@ class FaceEngine:
             _, self.ag_vars, self._classify_ag = make_age_gender(
                 rng=jax.random.fold_in(rng, 2), dtype=cfg.dtype
             )
+
+    # ---------------- weights ----------------
+
+    def load_weights(self, path: str) -> None:
+        """Load real detector weights from ANY reference format, dispatched
+        by extension (the per-format importers live in utils/weights.py and
+        utils/model_formats.py):
+
+          .pt/.pth          torch state dict (yolov5-face zoo, blazeface)
+          .caffemodel       Caffe NetParameter (ssd-resnet10 class)
+          .pb               frozen TF GraphDef (mtcnn cascade)
+          .xml              OpenVINO IR (sibling .bin; OV SSD class)
+          anything else     orbax checkpoint of our own variables tree
+
+        Invalidates compiled pipelines so the next call re-traces with the
+        loaded constants."""
+        from ..utils import weights as W
+
+        ext = os.path.splitext(path)[1].lower()
+        name = self.spec.name
+        if ext in (".pt", ".pth"):
+            import torch
+
+            sd = torch.load(path, map_location="cpu", weights_only=False)
+            for key in ("state_dict", "model"):
+                if isinstance(sd, dict) and key in sd:
+                    sd = sd[key]
+            if hasattr(sd, "state_dict"):  # pickled torch Module
+                sd = sd.state_dict()
+            sd = {k.removeprefix("module."): v for k, v in sd.items()}
+            if name.startswith("yolov5"):
+                variables = W.convert_yolov5_face(sd, arch=name)
+            elif name.startswith("blazeface"):
+                variables = W.convert_blazeface(
+                    sd, back_model=name.endswith("back"))
+            else:
+                raise ValueError(f"no torch importer for detector '{name}'")
+        elif ext == ".caffemodel":
+            from ..utils import model_formats as MF
+
+            layers = MF.read_caffemodel(path)
+            variables = W.structural_import(
+                W.caffe_layers_to_arrays(layers), self.variables)
+        elif ext == ".pb":
+            from ..utils import model_formats as MF
+
+            if name != "mtcnn":
+                raise ValueError(f"no GraphDef importer for '{name}'")
+            variables = W.convert_mtcnn_graphdef(
+                MF.read_tf_graphdef(path), self.variables)
+        elif ext == ".xml":
+            from ..utils import model_formats as MF
+
+            consts = MF.read_openvino_ir(
+                path, os.path.splitext(path)[0] + ".bin")
+            arrays = [W.c2f_conv(c.value) if c.value.ndim == 4 else c.value
+                      for c in consts
+                      if np.issubdtype(c.value.dtype, np.floating)]
+            variables = W.structural_import(arrays, self.variables)
+        else:
+            from ..utils.checkpoint import load_variables
+
+            variables = load_variables(path)
+        self.variables = variables
+        self._pipeline_cache.clear()
 
     # ---------------- detection ----------------
 

@@ -29,11 +29,18 @@ def ref_onnx_utils():
     if not os.path.isdir(REF):
         pytest.skip("reference repo not mounted")
     torch = pytest.importorskip("torch")
+    # complete stub: later tests in the same session (mobile_facenet) import
+    # torchvision.transforms through whatever module is already registered
     tv = types.ModuleType("torchvision")
     tv.ops = types.ModuleType("torchvision.ops")
     tv.ops.nms = lambda *a, **k: torch.zeros(0, dtype=torch.long)
+    tv.transforms = types.SimpleNamespace(
+        Compose=lambda *a, **k: None, Resize=lambda *a, **k: None,
+        ToTensor=lambda *a, **k: None, Normalize=lambda *a, **k: None,
+    )
     sys.modules.setdefault("torchvision", tv)
     sys.modules.setdefault("torchvision.ops", tv.ops)
+    sys.modules.setdefault("torchvision.transforms", tv.transforms)
     sys.path.insert(0, REF)
     from modules.yolov5_face.onnx import onnx_utils
 

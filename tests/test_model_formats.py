@@ -346,3 +346,66 @@ def test_ir_structural_import_reid_embedder(rng):
     imported = W.structural_import(arrays, variables)
     out = embed(imported, np.zeros((1, 128, 128, 3), np.float32))
     assert out.shape == (1, 256) and np.isfinite(np.asarray(out)).all()
+
+
+# ---------------------------------------------------------------------------
+# engine.load_weights dispatch (the user-facing entry for every format)
+# ---------------------------------------------------------------------------
+
+
+def test_engine_load_weights_pb_and_caffemodel(tmp_path, rng):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from face_detection_and_recognition_tpu.core.engine import (EngineConfig,
+                                                                FaceEngine)
+
+    # mtcnn <- frozen GraphDef
+    eng = FaceEngine(EngineConfig(detector="mtcnn", max_det=8))
+    consts = []
+    for stage in ("pnet", "rnet", "onet"):
+        for path, leaf, shape, _ in W._walk_slots(
+                eng.variables[stage]["params"], {}):
+            consts.append(MF.GraphConst(
+                f"{stage}/{'/'.join(path)}/{leaf}", _rand(rng, *shape)))
+    pb = tmp_path / "mtcnn.pb"
+    pb.write_bytes(MF.write_graphdef(consts))
+    eng.load_weights(str(pb))
+    np.testing.assert_array_equal(
+        eng.variables["pnet"]["params"]["Conv_0"]["kernel"],
+        consts[0].value)
+
+    # ssd-resnet10 <- caffemodel (kernel-only conv + BN/Scale stream)
+    eng2 = FaceEngine(EngineConfig(
+        detector="ssd-resnet10", max_det=8,
+        detector_overrides={"input_size": (96, 96)},
+    ))
+    slots = list(W._walk_slots(eng2.variables["params"],
+                               eng2.variables["batch_stats"]))
+    layers, i = [], 0
+    while i < len(slots):
+        path, leaf, shape, _ = slots[i]
+        if leaf == "kernel" and len(shape) == 4:
+            blobs = [_rand(rng, shape[3], shape[2], shape[0], shape[1])]
+            if i + 1 < len(slots) and slots[i + 1][1] == "bias" \
+                    and slots[i + 1][0] == path:
+                blobs.append(_rand(rng, shape[3]))
+                i += 1
+            layers.append(MF.CaffeLayer(f"c{len(layers)}", "Convolution",
+                                        blobs))
+            if i + 1 < len(slots) and slots[i + 1][1] == "scale":
+                c = shape[3]
+                layers.append(MF.CaffeLayer(
+                    f"bn{len(layers)}", "BatchNorm",
+                    [_rand(rng, c), np.abs(_rand(rng, c)) + 1.0,
+                     np.ones(1, np.float32)]))
+                layers.append(MF.CaffeLayer(
+                    f"s{len(layers)}", "Scale",
+                    [_rand(rng, c) + 1.0, _rand(rng, c)]))
+                i += 4
+        i += 1
+    cm = tmp_path / "res10.caffemodel"
+    cm.write_bytes(MF.write_caffemodel(layers))
+    eng2.load_weights(str(cm))
+    got = eng2.detect_image(rng.randint(0, 255, (64, 64, 3)).astype(np.uint8))
+    assert got is not None  # pipeline re-traced and ran with loaded weights
