@@ -44,7 +44,9 @@ def build_pipeline(dtype):
 
     @jax.jit
     def run(variables, frames_u8):
-        x = P.apply_preprocess_batch(frames_u8, P.YOLOV5_FACE)
+        # preprocess in the backbone dtype: ~25% of step time was f32
+        # resize/normalize bandwidth (uint8 values are exact in bf16)
+        x = P.apply_preprocess_batch(frames_u8, P.YOLOV5_FACE, dtype)
         maps = net.apply(variables, x)
         pred = decode_heads(maps, spec["anchors"], spec["strides"], cfg.nc)
         return yolov5_face_postprocess(pred, cfg)
@@ -59,14 +61,20 @@ def bench(dtype) -> float:
     rng = np.random.RandomState(0)
     frames = rng.randint(0, 255, (BATCH, *FRAME_HW, 3)).astype(np.uint8)
     frames = jax.device_put(frames)
-    # warmup / compile; fetch bytes — block_until_ready does not actually
-    # wait on the tunneled axon platform
-    d, v = run(variables, frames)
-    np.asarray(d)
+    import jax.numpy as jnp
+
+    def sync(d):
+        # block_until_ready does not actually wait on the tunneled axon
+        # platform, and the device->host link is ~12MB/s, so fetch ONE
+        # scalar: in-order execution means last-result-ready => all done
+        float(jnp.sum(d[0, 0]))
+
+    d, v = run(variables, frames)  # warmup / compile
+    sync(d)
     t0 = time.perf_counter()
     for _ in range(ITERS):
         d, v = run(variables, frames)
-    np.asarray(d)  # in-order execution: last result ready => all done
+    sync(d)
     dt = time.perf_counter() - t0
     return BATCH * ITERS / dt
 

@@ -201,6 +201,7 @@ class FaceEngine:
         native = self.spec.input_size == (-1, -1)
         in_size = (w, h) if native else self.spec.input_size
         spec_pre = self.spec.preprocess
+        pre_dtype = self.cfg.dtype  # bf16 preprocess for bf16 backbones
         max_det = self.cfg.max_det
 
         # thresholds are TRACED arguments: per-call overrides (the Triton
@@ -210,7 +211,7 @@ class FaceEngine:
             if native:
                 x = imgs  # cascade handles its own preprocessing
             else:
-                x = P.apply_preprocess_batch(imgs, spec_pre)
+                x = P.apply_preprocess_batch(imgs, spec_pre, pre_dtype)
             dets, valid = self._detect(variables, x)
             dets = dets[:, :max_det]
             valid = valid[:, :max_det]
@@ -263,12 +264,13 @@ class FaceEngine:
         run = self._pipeline_cache.get(key)
         if run is None:
             spec_pre = self.spec.preprocess
+            pre_dtype = self.cfg.dtype
 
             # preprocess traced+compiled WITH the detector (once per source
             # resolution) instead of per-op dispatch on every call
             @jax.jit
             def run(variables, imgs):
-                x = imgs if native else P.apply_preprocess_batch(imgs, spec_pre)
+                x = imgs if native else P.apply_preprocess_batch(imgs, spec_pre, pre_dtype)
                 return self._detect(variables, x)
 
             if native:  # cascade detectors drive their own python staging
@@ -299,6 +301,7 @@ class FaceEngine:
         h, w = shape[:2]
         in_size = self.spec.input_size
         spec_pre = self.spec.preprocess
+        pre_dtype = self.cfg.dtype
         max_det = self.cfg.max_det
         embed_spec = self.embed_spec
         do_embed = self._embed is not None
@@ -309,7 +312,7 @@ class FaceEngine:
 
         @jax.jit
         def run(det_vars, embed_vars, ag_vars, imgs, det_thres, area_thres):
-            x = P.apply_preprocess_batch(imgs, spec_pre)
+            x = P.apply_preprocess_batch(imgs, spec_pre, pre_dtype)
             dets, valid = self._detect(det_vars, x)
             post = postprocess_detections(
                 dets[:, :max_det], valid[:, :max_det], (w, h), in_size,

@@ -50,23 +50,26 @@ def letterbox_params(
     return scale, new_h, new_w, d_h // 2, d_w // 2
 
 
-def resize_bilinear(img: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+def resize_bilinear(img: jnp.ndarray, out_hw: Tuple[int, int],
+                    dtype=jnp.float32) -> jnp.ndarray:
     """Bilinear resize with cv2.INTER_LINEAR semantics (no antialiasing).
 
-    img: [..., H, W, C] float or uint8; returns float32.
+    img: [..., H, W, C] float or uint8; returns ``dtype`` (bf16 halves the
+    resize bandwidth on TPU when feeding a bf16 backbone).
     """
     *lead, h, w, c = img.shape
     out_shape = (*lead, out_hw[0], out_hw[1], c)
     return jax.image.resize(
-        img.astype(jnp.float32), out_shape, method="linear", antialias=False
+        img.astype(dtype), out_shape, method="linear", antialias=False
     )
 
 
-@partial(jax.jit, static_argnames=("new_size", "color"))
+@partial(jax.jit, static_argnames=("new_size", "color", "dtype"))
 def pad_resize_image(
     img: jnp.ndarray,
     new_size: Tuple[int, int],
     color: Color = GRAY_FILL,
+    dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Letterbox: resize keeping aspect then center-pad with ``color``.
 
@@ -79,9 +82,9 @@ def pad_resize_image(
     in_h, in_w = img.shape[:2]
     new_w, new_h = new_size
     _, sc_h, sc_w, top, left = letterbox_params((in_h, in_w), (new_h, new_w))
-    resized = resize_bilinear(img, (sc_h, sc_w))
-    canvas = jnp.empty((new_h, new_w, img.shape[2]), jnp.float32)
-    canvas = canvas.at[:].set(jnp.asarray(color, jnp.float32))
+    resized = resize_bilinear(img, (sc_h, sc_w), dtype=dtype)
+    canvas = jnp.empty((new_h, new_w, img.shape[2]), dtype)
+    canvas = canvas.at[:].set(jnp.asarray(color, dtype))
     return jax.lax.dynamic_update_slice(canvas, resized, (top, left, 0))
 
 

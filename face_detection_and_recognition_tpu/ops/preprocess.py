@@ -62,27 +62,31 @@ MOBILE_FACENET = PreprocessSpec(
 FACENET = PreprocessSpec(size=(160, 160), resize="stretch", standardize=True)
 
 
-@partial(jax.jit, static_argnames=("spec",))
-def apply_preprocess(img: jnp.ndarray, spec: PreprocessSpec) -> jnp.ndarray:
-    """Preprocess one [H, W, 3] BGR image into a model-ready [h, w, 3] f32."""
-    x = img.astype(jnp.float32)
+@partial(jax.jit, static_argnames=("spec", "dtype"))
+def apply_preprocess(img: jnp.ndarray, spec: PreprocessSpec,
+                     dtype=jnp.float32) -> jnp.ndarray:
+    """Preprocess one [H, W, 3] BGR image into a model-ready [h, w, 3]
+    tensor in ``dtype`` (pass bf16 when feeding a bf16 backbone: halves the
+    resize/normalize bandwidth, which is ~25% of the detect step)."""
+    x = img.astype(dtype)
     if spec.size is not None and spec.resize == "letterbox":
         w, h = spec.size
-        x = pad_resize_image(x, (w, h), color=spec.fill)
+        x = pad_resize_image(x, (w, h), color=spec.fill, dtype=dtype)
     elif spec.size is not None and spec.resize == "stretch":
         w, h = spec.size
         if x.shape[:2] != (h, w):
-            x = resize_bilinear(x, (h, w))
+            x = resize_bilinear(x, (h, w), dtype=dtype)
     if spec.bgr_to_rgb:
         x = x[..., ::-1]
     if spec.standardize:
-        return standardize_image(x)
-    x = (x - jnp.asarray(spec.mean, jnp.float32)) * spec.scale
+        return standardize_image(x.astype(jnp.float32))
+    x = (x - jnp.asarray(spec.mean, dtype)) * jnp.asarray(spec.scale, dtype)
     if spec.std is not None:
-        x = x / jnp.asarray(spec.std, jnp.float32)
+        x = x / jnp.asarray(spec.std, dtype)
     return x
 
 
-def apply_preprocess_batch(imgs: jnp.ndarray, spec: PreprocessSpec) -> jnp.ndarray:
-    """Preprocess [B, H, W, 3] same-sized BGR images -> [B, h, w, 3] f32."""
-    return jax.vmap(lambda im: apply_preprocess(im, spec))(imgs)
+def apply_preprocess_batch(imgs: jnp.ndarray, spec: PreprocessSpec,
+                           dtype=jnp.float32) -> jnp.ndarray:
+    """Preprocess [B, H, W, 3] same-sized BGR images -> [B, h, w, 3]."""
+    return jax.vmap(lambda im: apply_preprocess(im, spec, dtype))(imgs)
