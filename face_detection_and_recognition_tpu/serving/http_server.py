@@ -83,9 +83,12 @@ def make_handler(service: FaceService):
 
 
 def serve(cfg: ServiceConfig = None, host: str = "0.0.0.0", port: int = 8081,
-          block: bool = True):
+          block: bool = True, dynamic_batching: int = 0):
     service = FaceService(cfg or ServiceConfig())
     service.ready()  # compile before accepting traffic
+    if dynamic_batching:
+        # concurrent HTTP requests of one resolution share fused dispatches
+        service.enable_dynamic_batching(max_batch=dynamic_batching)
     httpd = ThreadingHTTPServer((host, port), make_handler(service))
     if block:
         httpd.serve_forever()
@@ -101,5 +104,8 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--port", type=int, default=8081)
     ap.add_argument("--detector", default="yolov5s")
+    ap.add_argument("--dynamic-batch", type=int, default=0,
+                    help="coalesce concurrent requests into batches of N")
     args = ap.parse_args()
-    serve(ServiceConfig(detector=args.detector), port=args.port)
+    serve(ServiceConfig(detector=args.detector), port=args.port,
+          dynamic_batching=args.dynamic_batch)

@@ -61,6 +61,41 @@ class FaceService:
         self.engine.detect_image(dummy)
         return True
 
+    # ---- dynamic batching (Triton config.pbtxt dynamic_batching) ----
+
+    def enable_dynamic_batching(self, max_batch: int = 8,
+                                max_delay_ms: float = 4.0):
+        """Coalesce concurrent detect_faces calls into shared fused-ensemble
+        dispatches (grouped by image shape + thresholds). Returns the
+        batcher for observability (dispatch/request counters)."""
+        from .batcher import DynamicBatcher
+
+        def run_batch(imgs, key):
+            _, dt, at = key
+            res = self.engine.detect_embed_classify_batch(
+                imgs, dt, at, crop_size=self.cfg.face_size)
+            return [self._faces_out(res, i) for i in range(len(imgs))]
+
+        self._batcher = DynamicBatcher(run_batch, max_batch=max_batch,
+                                       max_delay_ms=max_delay_ms)
+        return self._batcher
+
+    _batcher = None
+
+    def _faces_out(self, res, i: int):
+        """Slice image ``i`` of a fused EnsembleResult into the ensemble
+        contract tuple (faces CHW (-1,1), bboxes, confs / sentinel)."""
+        m = np.asarray(res.det.valid[i])
+        if not m.any():
+            return (np.zeros((0, 3, *self.cfg.face_size), np.float32),
+                    NO_FACE_SENTINEL.copy(), np.zeros((0, 1), np.float32))
+        post = res.det.to_numpy()[i]
+        faces = (np.asarray(res.crops[i])[m] - 127.5) / 127.5
+        faces = faces.transpose(0, 3, 1, 2)
+        return (faces.astype(np.float32),
+                np.asarray(post.boxes, np.float32),
+                np.asarray(post.bbox_confs, np.float32)[:, None])
+
     # ---- ensemble contract (face_detection_trt_server) ----
 
     def detect_faces(
@@ -72,6 +107,11 @@ class FaceService:
         """image -> (faces [N, 3, 112, 112] in (-1, 1) CHW, bboxes [N, 4],
         confs [N, 1]); no faces -> (empty, [[0, 0, 0, 0]], empty) like the
         reference sentinel."""
+        if self._batcher is not None:
+            # concurrent callers share one fused dispatch (Triton
+            # dynamic_batching semantics)
+            return self._batcher.submit(image_bgr,
+                                        key=(det_thres, bbox_area_thres))
         # thresholds are traced arguments of the fused program: per-call
         # overrides (the ensemble contract) cost no recompile and are
         # thread-safe under ThreadingHTTPServer
@@ -79,16 +119,7 @@ class FaceService:
             image_bgr[None], det_thres, bbox_area_thres,
             crop_size=self.cfg.face_size,
         )
-        post = res.det.to_numpy()[0]
-        if not len(post.boxes):
-            return (np.zeros((0, 3, *self.cfg.face_size), np.float32),
-                    NO_FACE_SENTINEL.copy(), np.zeros((0, 1), np.float32))
-        m = np.asarray(res.det.valid[0])
-        faces = (np.asarray(res.crops[0])[m] - 127.5) / 127.5  # NHWC (-1,1)
-        faces = faces.transpose(0, 3, 1, 2)                    # contract: CHW
-        return (faces.astype(np.float32),
-                np.asarray(post.boxes, np.float32),
-                np.asarray(post.bbox_confs, np.float32)[:, None])
+        return self._faces_out(res, 0)
 
     # ---- facenet server contract ----
 

@@ -83,3 +83,62 @@ def test_http_server_roundtrip(rng):
             assert e.code == 400
     finally:
         httpd.shutdown()
+
+
+def test_dynamic_batching_coalesces_and_matches(rng):
+    """Concurrent detect_faces calls share fused dispatches and return
+    exactly what the unbatched path returns."""
+    import threading
+
+    svc = FaceService(ServiceConfig(detector="blazeface-front",
+                                    det_thres=0.2, max_det=8))
+    imgs = [rng.randint(0, 255, (96, 128, 3)).astype(np.uint8)
+            for _ in range(8)]
+    sequential = [svc.detect_faces(im) for im in imgs]
+
+    batcher = svc.enable_dynamic_batching(max_batch=8, max_delay_ms=50.0)
+    results = [None] * len(imgs)
+
+    def call(i):
+        results[i] = svc.detect_faces(imgs[i])
+
+    threads = [threading.Thread(target=call, args=(i,))
+               for i in range(len(imgs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    batcher.shutdown()
+
+    assert batcher.requests == len(imgs)
+    assert batcher.dispatches < len(imgs), (
+        f"no coalescing happened: {batcher.dispatches} dispatches")
+    for (f1, b1, c1), (f2, b2, c2) in zip(results, sequential):
+        np.testing.assert_allclose(f1, f2, atol=1e-5)
+        np.testing.assert_allclose(b1, b2)
+        np.testing.assert_allclose(c1, c2)
+
+
+def test_dynamic_batching_mixed_shapes(rng):
+    """Different resolutions never share a dispatch but all complete."""
+    import threading
+
+    svc = FaceService(ServiceConfig(detector="blazeface-front",
+                                    det_thres=0.2, max_det=8,
+                                    with_embedder=False,
+                                    with_age_gender=False))
+    svc.enable_dynamic_batching(max_batch=4, max_delay_ms=20.0)
+    imgs = [rng.randint(0, 255, (64 + 32 * (i % 2), 64, 3)).astype(np.uint8)
+            for i in range(6)]
+    out = [None] * len(imgs)
+
+    def call(i):
+        out[i] = svc.detect_faces(imgs[i])
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    svc._batcher.shutdown()
+    assert all(o is not None for o in out)
