@@ -142,3 +142,36 @@ def test_dynamic_batching_mixed_shapes(rng):
         t.join()
     svc._batcher.shutdown()
     assert all(o is not None for o in out)
+
+
+def test_grpc_front_door(rng):
+    """gRPC service (generic handlers, no codegen): health, detect with
+    metadata thresholds, and clean INVALID_ARGUMENT on garbage."""
+    grpc = pytest.importorskip("grpc")
+    from face_detection_and_recognition_tpu.serving.grpc_server import (
+        grpc_call, grpc_detect, serve_grpc,
+    )
+
+    server = serve_grpc(
+        ServiceConfig(detector="blazeface-front", det_thres=0.3, max_det=4,
+                      with_embedder=False, with_age_gender=False),
+        host="127.0.0.1", port=18941, block=False)
+    try:
+        out = json.loads(grpc_call("127.0.0.1:18941", "Health"))
+        assert out["ready"] is True
+
+        img = rng.randint(0, 255, (64, 64, 3)).astype(np.uint8)
+        ok, enc = cv2.imencode(".jpg", img)
+        assert ok
+        res = grpc_detect("127.0.0.1:18941", enc.tobytes(), det_thres=0.5)
+        assert "num_faces" in res and "bboxes" in res
+        # higher threshold never yields more faces
+        res0 = grpc_detect("127.0.0.1:18941", enc.tobytes(), det_thres=0.0,
+                           bbox_area_thres=0.0)
+        assert res["num_faces"] <= res0["num_faces"]
+
+        with pytest.raises(grpc.RpcError) as e:
+            grpc_call("127.0.0.1:18941", "Detect", b"not an image")
+        assert e.value.code() == grpc.StatusCode.INVALID_ARGUMENT
+    finally:
+        server.stop(grace=None)
