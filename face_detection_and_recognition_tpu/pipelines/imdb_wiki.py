@@ -111,35 +111,81 @@ def extract_imdb_wiki_faces(
     img_root: str,
     out_dir: str,
     limit: Optional[int] = None,
+    batch_size: int = 32,
 ) -> int:
     """Detect + embed the kept images, saving one record per image:
-    {path, age, age_group, gender, embedding} -> data.npy at the end."""
+    {path, age, age_group, gender, embedding} -> data.npy at the end.
+
+    IMDB-WIKI images come in thousands of distinct resolutions, so frames
+    are letterboxed to the model input on the HOST and detected in fixed
+    [batch, in_h, in_w, 3] blocks (exactly ONE compiled detect program for
+    the whole job); boxes un-letterbox per image, face crops are cut from
+    the original pixels with the reference offsets and embedded in one
+    fixed-shape batched program per block."""
     import cv2
 
-    from ..ops.crop import EXTRACTION_OFFSETS
+    from ..eval.coco_eval import _unletterbox
+    from ..ops.geometry import letterbox_params
+    from ..utils.native import read_image_bgr
 
     os.makedirs(out_dir, exist_ok=True)
     records = []
-    ages = meta["dob"], meta["photo_taken"]
-    for j, i in enumerate(keep_idx[: limit if limit else len(keep_idx)]):
-        path = os.path.join(img_root, str(meta["full_path"][i]))
-        from ..utils.native import read_image_bgr
+    idxs = keep_idx[: limit if limit else len(keep_idx)]
+    iw, ih = engine.input_size
+    if (iw, ih) == (-1, -1):
+        raise ValueError("imdb-wiki extraction needs a fixed-input detector")
+    ew, eh = engine.embed_spec.input_size
 
-        img = read_image_bgr(path)
+    def load(i):
+        img = read_image_bgr(os.path.join(img_root, str(meta["full_path"][i])))
         if img is None:
+            return None, None
+        hh, ww = img.shape[:2]
+        _, sh, sw, top, left = letterbox_params((hh, ww), (ih, iw))
+        canvas = np.full((ih, iw, 3), 125, np.uint8)
+        canvas[top:top + sh, left:left + sw] = cv2.resize(img, (sw, sh))
+        return img, canvas
+
+    for start in range(0, len(idxs), batch_size):
+        chunk = idxs[start:start + batch_size]
+        loaded = [load(i) for i in chunk]
+        live = [(i, img, cv) for i, (img, cv) in zip(chunk, loaded)
+                if img is not None]
+        if not live:
             continue
-        post = engine.detect_image(img)
-        if len(post.boxes) != 1:  # exactly-one-face rule re-checked on pixels
+        block = np.stack([cv for _, _, cv in live])
+        if len(live) < batch_size:
+            block = np.concatenate([block, np.repeat(
+                block[-1:], batch_size - len(live), axis=0)])
+        posts = engine.detect_batch(block).to_numpy()[:len(live)]
+
+        crops, pend = [], []
+        for (i, img, _), post in zip(live, posts):
+            if len(post.boxes) != 1:  # exactly-one-face rule on pixels
+                continue
+            hh, ww = img.shape[:2]
+            box = _unletterbox(np.asarray(post.boxes, np.float64),
+                               (iw, ih), (ww, hh))[0]
+            x1, y1, x2, y2 = (int(v) for v in box)
+            x1o, y1o = max(0, x1 - 6), max(0, y1 - 1)
+            x2o, y2o = min(ww - 1, x2 + 4), min(hh - 1, y2 + 5)
+            crop = img[y1o:y2o, x1o:x2o]
+            if not crop.size:
+                continue
+            crops.append(cv2.resize(crop, (ew, eh)))
+            pend.append(i)
+        if not crops:
             continue
-        emb = engine.embed_faces(img, post.boxes, offsets=EXTRACTION_OFFSETS)
-        age = compute_age(meta["dob"][i], meta["photo_taken"][i])
-        records.append({
-            "path": str(meta["full_path"][i]),
-            "age": age,
-            "age_group": age_to_group(age),
-            "gender": float(meta["gender"][i]),
-            "embedding": emb[0],
-        })
+        embs = engine.embed_crops(np.stack(crops))
+        for i, emb in zip(pend, embs):
+            age = compute_age(meta["dob"][i], meta["photo_taken"][i])
+            records.append({
+                "path": str(meta["full_path"][i]),
+                "age": age,
+                "age_group": age_to_group(age),
+                "gender": float(meta["gender"][i]),
+                "embedding": emb,
+            })
     np.save(os.path.join(out_dir, "data.npy"),
             np.asarray(records, dtype=object), allow_pickle=True)
     return len(records)

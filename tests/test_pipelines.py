@@ -255,3 +255,39 @@ def test_extract_faces_sharded_over_mesh(class_tree, tmp_path):
     a = np.load(tmp_path / "base" / "class_b" / "img0.npy")
     b = np.load(tmp_path / "sharded" / "class_b" / "img0.npy")
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_imdb_wiki_extraction_block_path(tmp_path, rng):
+    """Block-batched imdb-wiki extraction: one detect program for mixed
+    resolutions, exactly-one-face rule, records with embeddings."""
+    import cv2
+
+    from face_detection_and_recognition_tpu.core.engine import (EngineConfig,
+                                                                FaceEngine)
+
+    img_root = tmp_path / "imgs"
+    img_root.mkdir()
+    n = 5
+    paths = []
+    for i in range(n):
+        h, w = int(rng.choice([80, 120])), int(rng.choice([100, 140]))
+        cv2.imwrite(str(img_root / f"p{i}.jpg"),
+                    rng.randint(0, 255, (h, w, 3)).astype(np.uint8))
+        paths.append(f"p{i}.jpg")
+    meta = {
+        "full_path": np.array(paths),
+        "dob": np.full(n, 715876.0),
+        "photo_taken": np.full(n, 2000.0),
+        "gender": np.ones(n),
+    }
+    engine = FaceEngine(EngineConfig(detector="blazeface-front",
+                                     det_thres=0.2, bbox_area_thres=0.0,
+                                     max_det=4, embedder="mobile_facenet"))
+    count = imdb_wiki.extract_imdb_wiki_faces(
+        engine, meta, np.arange(n), str(img_root), str(tmp_path / "out"),
+        batch_size=4)
+    data = np.load(tmp_path / "out" / "data.npy", allow_pickle=True)
+    assert len(data) == count
+    for rec in data:
+        assert rec["embedding"].shape == (512,)
+        assert rec["age_group"] is not None
