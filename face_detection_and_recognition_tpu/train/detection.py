@@ -232,3 +232,30 @@ def make_det_train_step(state: Dict[str, Any]):
         return new_params, new_stats, new_opt, loss, metrics
 
     return step
+
+
+def sharded_det_train_step(state: Dict[str, Any], mesh):
+    """Data-parallel detector fine-tuning over a device mesh: params /
+    batch_stats / optimizer state replicated, the image + target batch
+    sharded over the 'data' axis (XLA inserts the gradient psum). Returns
+    (jitted step, placed (params, batch_stats, opt_state)) — the detection
+    twin of arcface.sharded_train_step."""
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+
+    step = make_det_train_step(state)
+    repl = NamedSharding(mesh, PS())
+    params = jax.device_put(state["params"], repl)
+    batch_stats = jax.device_put(state["batch_stats"], repl)
+    opt_state = jax.device_put(state["opt_state"], repl)
+    jstep = jax.jit(
+        step,
+        in_shardings=(
+            jax.tree_util.tree_map(lambda x: x.sharding, params),
+            jax.tree_util.tree_map(lambda x: x.sharding, batch_stats),
+            jax.tree_util.tree_map(lambda x: x.sharding, opt_state),
+            NamedSharding(mesh, PS("data", None, None, None)),
+            NamedSharding(mesh, PS("data", None, None)),
+            NamedSharding(mesh, PS("data", None)),
+        ),
+    )
+    return jstep, (params, batch_stats, opt_state)

@@ -93,3 +93,48 @@ def test_multiclass_cls_loss_has_positive_signal():
     _, metrics = D.detection_loss([jnp.asarray(m) for m in maps], tpl, cfg)
     # zero logits at a positive cell -> BCE(0.5, onehot) > 0 with gradient
     assert float(metrics["cls"]) > 0.1
+
+
+def test_sharded_det_train_step_matches_single_device(rng):
+    """DP detector step over the virtual 8-device mesh: finite loss, params
+    update, and loss equals the unsharded step on the same batch."""
+    import jax
+
+    from face_detection_and_recognition_tpu.parallel.mesh import make_mesh
+    from face_detection_and_recognition_tpu.parallel.sharding import (
+        batch_sharding,
+    )
+    from face_detection_and_recognition_tpu.train.detection import (
+        DetTrainConfig, create_det_train_state, make_det_train_step,
+        sharded_det_train_step,
+    )
+
+    cfg = DetTrainConfig(arch="yolov5n-0.5", input_size=(64, 64),
+                         max_targets=4)
+    state = create_det_train_state(cfg, jax.random.PRNGKey(0))
+    B = 8
+    images = rng.uniform(0, 1, (B, 64, 64, 3)).astype(np.float32)
+    targets = np.zeros((B, 4, 14), np.float32)
+    targets[:, 0, :4] = [0.5, 0.5, 0.25, 0.25]  # one centered face per image
+    targets[:, 0, 4:] = 0.5
+    tvalid = np.zeros((B, 4), bool)
+    tvalid[:, 0] = True
+
+    base_step = make_det_train_step(state)
+    _, _, _, base_loss, _ = base_step(state["params"], state["batch_stats"],
+                                      state["opt_state"], images, targets,
+                                      tvalid)
+
+    mesh = make_mesh(("data",), (8,))
+    step, (params, stats, opt) = sharded_det_train_step(state, mesh)
+    sh_images = jax.device_put(images, batch_sharding(mesh, 4))
+    sh_targets = jax.device_put(targets, batch_sharding(mesh, 3))
+    sh_tvalid = jax.device_put(tvalid, batch_sharding(mesh, 2))
+    new_params, new_stats, new_opt, loss, metrics = step(
+        params, stats, opt, sh_images, sh_targets, sh_tvalid)
+    assert np.isfinite(float(loss))
+    np.testing.assert_allclose(float(loss), float(base_loss),
+                               rtol=1e-4, atol=1e-5)
+    k0 = jax.tree_util.tree_leaves(state["params"])[0]
+    k1 = jax.tree_util.tree_leaves(new_params)[0]
+    assert not np.allclose(np.asarray(k0), np.asarray(k1))
