@@ -163,7 +163,8 @@ class FaceEngine:
 
             layers = MF.read_caffemodel(path)
             variables = W.structural_import(
-                W.caffe_layers_to_arrays(layers), self.variables)
+                W.caffe_layers_to_arrays(layers), self.variables,
+                module_order=self._execution_order())
         elif ext == ".pb":
             from ..utils import model_formats as MF
 
@@ -179,13 +180,28 @@ class FaceEngine:
             arrays = [W.c2f_conv(c.value) if c.value.ndim == 4 else c.value
                       for c in consts
                       if np.issubdtype(c.value.dtype, np.floating)]
-            variables = W.structural_import(arrays, self.variables)
+            variables = W.structural_import(
+                arrays, self.variables, module_order=self._execution_order())
         else:
             from ..utils.checkpoint import load_variables
 
             variables = load_variables(path)
         self.variables = variables
         self._pipeline_cache.clear()
+
+    def _execution_order(self):
+        """Leaf-module call order of the detector net (for structural weight
+        streams); None for native cascades / unavailable nets."""
+        if self.net is None or self.spec.input_size == (-1, -1):
+            return None
+        from ..utils.weights import execution_module_order
+
+        iw, ih = self.spec.input_size
+        try:
+            return execution_module_order(self.net, self.variables,
+                                          (1, ih, iw, 3))
+        except Exception:
+            return None
 
     # ---------------- detection ----------------
 
@@ -283,14 +299,15 @@ class FaceEngine:
     # ---------------- fused ensemble ----------------
 
     def _ensemble_for(self, shape: Tuple[int, int, int], crop_hw: Tuple[int, int],
-                      embed_offsets: Optional[Tuple[float, ...]] = None):
+                      embed_offsets: Optional[Tuple[float, ...]] = None,
+                      want_embed: bool = True, want_ag: bool = True):
         """ONE jitted XLA program: preprocess -> detect -> postprocess ->
         masked batched crop -> embed -> age/gender classify. No host
         boundary, no per-face loop, no uint8 re-quantization between stages
         — the TPU collapse of the Triton ensemble graph
         (``models/yolov5_face_postprocess/1/model.py:32-114`` +
         ``ensemble_yolov5_face/config.pbtxt``)."""
-        key = ("ens", shape, crop_hw, embed_offsets)
+        key = ("ens", shape, crop_hw, embed_offsets, want_embed, want_ag)
         if key in self._pipeline_cache:
             return self._pipeline_cache[key]
         if self.spec.input_size == (-1, -1):
@@ -304,8 +321,8 @@ class FaceEngine:
         pre_dtype = self.cfg.dtype
         max_det = self.cfg.max_det
         embed_spec = self.embed_spec
-        do_embed = self._embed is not None
-        do_ag = self._classify_ag is not None
+        do_embed = want_embed and self._embed is not None
+        do_ag = want_ag and self._classify_ag is not None
         ag_mean = jnp.asarray(P.AGE_GENDER.mean, jnp.float32)
 
         from ..models.embedders import preprocess_crops
@@ -365,6 +382,8 @@ class FaceEngine:
         crop_size: Tuple[int, int] = None,
         embed_offsets: Tuple[float, ...] = None,
         mesh=None,
+        want_embed: bool = True,
+        want_ag: bool = True,
     ) -> EnsembleResult:
         """Full ensemble on a [B, H, W, 3] BGR batch in one XLA dispatch.
 
@@ -375,7 +394,9 @@ class FaceEngine:
         cropping/embedding (the extraction pipelines' (-6, -1, +4, +5)).
         mesh: optional jax Mesh — the batch axis is sharded over its 'data'
         axis with replicated params and XLA partitions the whole fused
-        program (batch must divide the data-axis size)."""
+        program (batch must divide the data-axis size).
+        want_embed/want_ag: compile the program WITHOUT those stages (a
+        crops-only serving Detect skips 32 embeds + age/gender per frame)."""
         if crop_size is None:
             if self.embed_spec is not None:
                 ew, eh = self.embed_spec.input_size
@@ -384,7 +405,8 @@ class FaceEngine:
                 crop_size = (112, 112)
         run = self._ensemble_for(tuple(imgs.shape[1:]), tuple(crop_size),
                                  None if embed_offsets is None
-                                 else tuple(embed_offsets))
+                                 else tuple(embed_offsets),
+                                 want_embed, want_ag)
         dt = self.cfg.det_thres if det_thres is None else det_thres
         at = self.cfg.bbox_area_thres if bbox_area_thres is None else bbox_area_thres
         det_vars, embed_vars, ag_vars = (self.variables, self.embed_vars,

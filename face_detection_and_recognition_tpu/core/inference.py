@@ -147,18 +147,24 @@ def inference_vid(
         padded = block + [block[-1]] * (micro_batch - len(block))
         return len(block), block, jax.device_put(np.stack(padded))
 
+    reader_error: List[BaseException] = []
+
     def reader():
-        block: List[np.ndarray] = []
-        ret, frame = cap.read()
-        while ret and not stop.is_set():
-            block.append(frame)
-            if len(block) >= micro_batch:
-                blocks.put(upload(block))
-                block = []
+        try:
+            block: List[np.ndarray] = []
             ret, frame = cap.read()
-        if block:
-            blocks.put(upload(block))
-        blocks.put(_END)
+            while ret and not stop.is_set():
+                block.append(frame)
+                if len(block) >= micro_batch:
+                    blocks.put(upload(block))
+                    block = []
+                ret, frame = cap.read()
+            if block:
+                blocks.put(upload(block))
+        except BaseException as e:  # decode/upload failure must not hang
+            reader_error.append(e)  # the consumer on a blocking get()
+        finally:
+            blocks.put(_END)
 
     t = threading.Thread(target=reader, daemon=True)
     t.start()
@@ -197,6 +203,8 @@ def inference_vid(
         if pending is not None and not stop.is_set():
             emit(pending)
 
+    if reader_error:
+        raise reader_error[0]
     stop.set()
     while not blocks.empty():  # unblock a reader stuck on a full queue
         try:

@@ -68,9 +68,13 @@ def evaluate_detections(
             # iterations (WIDER-val scale: minutes -> seconds)
             taken = np.zeros((n_thr, len(gts)), bool)
             t_idx = np.arange(n_thr)
+            m = len(gts)
             for di in range(len(dets)):
                 cand = np.where(taken, -1.0, iou[di][None, :])  # [T, M]
-                gi = cand.argmax(axis=1)
+                # classic loop semantics pick the LAST gt among exact IoU
+                # ties (its >= update); argmax picks the first, so argmax
+                # the reversed row
+                gi = m - 1 - np.argmax(cand[:, ::-1], axis=1)
                 ok = cand[t_idx, gi] >= IOU_THRESHOLDS
                 taken[ok, gi[ok]] = True
                 matched[ok, di] = True
@@ -168,9 +172,7 @@ def evaluate_engine_on_wider(
     import os
     from concurrent.futures import ThreadPoolExecutor
 
-    import cv2
-
-    from ..ops.geometry import letterbox_params
+    from ..ops.geometry import host_letterbox
     from ..utils.native import read_image_bgr
 
     gt = parse_wider_annotations(ann_file)
@@ -194,11 +196,8 @@ def evaluate_engine_on_wider(
         img = read_image_bgr(os.path.join(images_root, rel))
         if img is None:
             return None, None
-        hh, ww = img.shape[:2]
-        _, sh, sw, top, left = letterbox_params((hh, ww), (ih, iw))
-        canvas = np.full((ih, iw, 3), 125, np.uint8)
-        canvas[top:top + sh, left:left + sw] = cv2.resize(img, (sw, sh))
-        return canvas, (ww, hh)
+        return (host_letterbox(img, (ih, iw), engine.spec.preprocess.fill),
+                (img.shape[1], img.shape[0]))
 
     with ThreadPoolExecutor(max_workers=4) as pool:
         for start in range(0, len(paths), batch_size):

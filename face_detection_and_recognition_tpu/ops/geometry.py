@@ -95,6 +95,22 @@ def batched_pad_resize(
     return jax.vmap(lambda im: pad_resize_image(im, new_size, color))(imgs)
 
 
+def host_letterbox(img, out_hw: Tuple[int, int],
+                   fill: Color = GRAY_FILL):
+    """Numpy/cv2 letterbox with the SAME geometry as pad_resize_image
+    (letterbox_params is the shared source of truth) — for host-side block
+    builders (batched WIDER eval, imdb-wiki) that letterbox before upload."""
+    import cv2
+    import numpy as np
+
+    out_h, out_w = out_hw
+    ih, iw = img.shape[:2]
+    _, sh, sw, top, left = letterbox_params((ih, iw), (out_h, out_w))
+    canvas = np.full((out_h, out_w, 3), np.asarray(fill, np.uint8), np.uint8)
+    canvas[top:top + sh, left:left + sw] = cv2.resize(img, (sw, sh))
+    return canvas
+
+
 def clip_coords(boxes: jnp.ndarray, img_hw: Tuple[int, int]) -> jnp.ndarray:
     """Clip the 4 box coords to image bounds (``image.py:62-76``).
 

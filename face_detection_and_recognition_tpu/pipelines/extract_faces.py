@@ -95,6 +95,7 @@ class _MediaState:
     frame_feats: List[Optional[np.ndarray]] = dataclasses.field(
         default_factory=list)
     done: int = 0
+    poisoned: bool = False  # a device block containing this media failed
 
 
 def _host_crops(frame: np.ndarray, boxes: np.ndarray) -> List[np.ndarray]:
@@ -164,7 +165,19 @@ def extract_faces_from_dataset(
             stats.failed.append(st.item.path)
 
     def flush(entries):
-        """entries: list of (state, frame_pos, frame). ONE fused dispatch."""
+        """entries: list of (state, frame_pos, frame). ONE fused dispatch.
+        A failing block marks its media failed instead of killing the job
+        (the reference's per-media tolerance, :446-448, at block altitude)."""
+        try:
+            _flush(entries)
+        except Exception:
+            logger.exception("block of %d frames failed", len(entries))
+            for st, _, _ in entries:
+                if not st.poisoned:
+                    st.poisoned = True
+                    stats.failed.append(st.item.path)
+
+    def _flush(entries):
         frames = [e[2] for e in entries]
         pad = block_size - len(frames)
         imgs = np.stack(frames + [np.zeros_like(frames[0])] * pad)
@@ -191,7 +204,7 @@ def extract_faces_from_dataset(
                                              offsets=EXTRACTION_OFFSETS)
                 st.frame_feats[pos] = np.asarray(emb)
             st.done += 1
-            if st.done == st.n_frames:
+            if st.done == st.n_frames and not st.poisoned:
                 finalize(st)
 
     buckets: Dict[tuple, list] = {}

@@ -125,7 +125,7 @@ def extract_imdb_wiki_faces(
     import cv2
 
     from ..eval.coco_eval import _unletterbox
-    from ..ops.geometry import letterbox_params
+    from ..ops.geometry import host_letterbox
     from ..utils.native import read_image_bgr
 
     os.makedirs(out_dir, exist_ok=True)
@@ -140,11 +140,8 @@ def extract_imdb_wiki_faces(
         img = read_image_bgr(os.path.join(img_root, str(meta["full_path"][i])))
         if img is None:
             return None, None
-        hh, ww = img.shape[:2]
-        _, sh, sw, top, left = letterbox_params((hh, ww), (ih, iw))
-        canvas = np.full((ih, iw, 3), 125, np.uint8)
-        canvas[top:top + sh, left:left + sw] = cv2.resize(img, (sw, sh))
-        return img, canvas
+        return img, host_letterbox(img, (ih, iw),
+                                   engine.spec.preprocess.fill)
 
     for start in range(0, len(idxs), batch_size):
         chunk = idxs[start:start + batch_size]

@@ -75,32 +75,50 @@ class DynamicBatcher:
         self._stop.set()
         self._q.put(None)  # wake the worker
         self._worker.join(timeout=2.0)
+        self._fail_queued()  # anything enqueued after the worker exited
+
+    def _fail_queued(self) -> None:
+        while True:
+            try:
+                got = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if got is not None:
+                got.error = RuntimeError("batcher is shut down")
+                got.done.set()
 
     # ---- worker side ----
 
     def _loop(self) -> None:
         pending: List[_Request] = []
-        while not self._stop.is_set():
-            if not pending:
-                got = self._q.get()
-                if got is None:
-                    continue
-                pending.append(got)
-            # wait up to max_delay for same-group co-travellers
-            deadline = self.max_delay
-            group_key = pending[0].key
-            group = [r for r in pending if r.key == group_key]
-            rest = [r for r in pending if r.key != group_key]
-            while len(group) < self.max_batch:
-                try:
-                    got = self._q.get(timeout=deadline)
-                except queue.Empty:
-                    break
-                if got is None:
-                    break
-                (group if got.key == group_key else rest).append(got)
-            self._dispatch(group)
-            pending = rest
+        try:
+            while not self._stop.is_set():
+                if not pending:
+                    got = self._q.get()
+                    if got is None:
+                        continue
+                    pending.append(got)
+                # wait up to max_delay for same-group co-travellers
+                deadline = self.max_delay
+                group_key = pending[0].key
+                group = [r for r in pending if r.key == group_key]
+                rest = [r for r in pending if r.key != group_key]
+                while len(group) < self.max_batch:
+                    try:
+                        got = self._q.get(timeout=deadline)
+                    except queue.Empty:
+                        break
+                    if got is None:
+                        break
+                    (group if got.key == group_key else rest).append(got)
+                self._dispatch(group)
+                pending = rest
+        finally:
+            # never strand a caller: fail whatever is still waiting
+            for r in pending:
+                r.error = RuntimeError("batcher is shut down")
+                r.done.set()
+            self._fail_queued()
 
     def _dispatch(self, group: List[_Request]) -> None:
         self.requests += len(group)

@@ -73,8 +73,26 @@ class FaceService:
         def run_batch(imgs, key):
             _, dt, at = key
             res = self.engine.detect_embed_classify_batch(
-                imgs, dt, at, crop_size=self.cfg.face_size)
-            return [self._faces_out(res, i) for i in range(len(imgs))]
+                imgs, dt, at, crop_size=self.cfg.face_size,
+                want_embed=False, want_ag=False)
+            posts = res.det.to_numpy()          # once, not once per index
+            valid = np.asarray(res.det.valid)
+            crops = np.asarray(res.crops)
+            out = []
+            for i in range(len(imgs)):
+                m = valid[i]
+                if not m.any():
+                    out.append((np.zeros((0, 3, *self.cfg.face_size),
+                                         np.float32),
+                                NO_FACE_SENTINEL.copy(),
+                                np.zeros((0, 1), np.float32)))
+                    continue
+                faces = ((crops[i][m] - 127.5) / 127.5).transpose(0, 3, 1, 2)
+                out.append((faces.astype(np.float32),
+                            np.asarray(posts[i].boxes, np.float32),
+                            np.asarray(posts[i].bbox_confs,
+                                       np.float32)[:, None]))
+            return out
 
         self._batcher = DynamicBatcher(run_batch, max_batch=max_batch,
                                        max_delay_ms=max_delay_ms)
@@ -107,6 +125,9 @@ class FaceService:
         """image -> (faces [N, 3, 112, 112] in (-1, 1) CHW, bboxes [N, 4],
         confs [N, 1]); no faces -> (empty, [[0, 0, 0, 0]], empty) like the
         reference sentinel."""
+        if self.engine.spec.input_size == (-1, -1):
+            # native-resolution cascade (mtcnn): staged detect + crop
+            return self._faces_staged(image_bgr, det_thres, bbox_area_thres)
         if self._batcher is not None:
             # concurrent callers share one fused dispatch (Triton
             # dynamic_batching semantics)
@@ -118,8 +139,28 @@ class FaceService:
         res = self.engine.detect_embed_classify_batch(
             image_bgr[None], det_thres, bbox_area_thres,
             crop_size=self.cfg.face_size,
+            want_embed=False, want_ag=False,   # Detect returns crops only
         )
         return self._faces_out(res, 0)
+
+    def _faces_staged(self, image_bgr, det_thres=None, bbox_area_thres=None):
+        """Staged ensemble-contract path for detectors the fused program
+        cannot trace (native-resolution cascades)."""
+        import jax.numpy as jnp
+
+        from ..ops.crop import crop_and_resize
+
+        post = self.engine.detect_image(image_bgr, det_thres, bbox_area_thres)
+        if not len(post.boxes):
+            return (np.zeros((0, 3, *self.cfg.face_size), np.float32),
+                    NO_FACE_SENTINEL.copy(), np.zeros((0, 1), np.float32))
+        crops = crop_and_resize(jnp.asarray(image_bgr),
+                                jnp.asarray(post.boxes, jnp.float32),
+                                self.cfg.face_size)
+        faces = (np.asarray(crops) - 127.5) / 127.5
+        return (faces.transpose(0, 3, 1, 2).astype(np.float32),
+                np.asarray(post.boxes, np.float32),
+                np.asarray(post.bbox_confs, np.float32)[:, None])
 
     # ---- facenet server contract ----
 
@@ -143,6 +184,25 @@ class FaceService:
         labels — ONE fused XLA dispatch where Triton needed three containers
         and two gRPC hops, with no host round-trip or uint8 re-quantization
         between the stages."""
+        if self.engine.spec.input_size == (-1, -1):  # staged (mtcnn)
+            faces_chw, bboxes, confs = self._faces_staged(image_bgr)
+            if faces_chw.shape[0] == 0:
+                return {"bboxes": bboxes, "confs": confs,
+                        "embeddings": np.zeros((0, 512), np.float32),
+                        "labels": []}
+            faces = (faces_chw.transpose(0, 2, 3, 1) * 127.5) + 127.5
+            out = {"bboxes": bboxes, "confs": confs,
+                   "embeddings": self.embed(faces)
+                   if self.engine._embed is not None
+                   else np.zeros((len(bboxes), 512), np.float32)}
+            if self.engine._classify_ag is not None:
+                from ..models.age_gender import labels_from_probs
+
+                a, g = self.age_gender(faces)
+                out["labels"] = list(labels_from_probs(a, g))
+            else:
+                out["labels"] = []
+            return out
         res = self.engine.detect_embed_classify_batch(image_bgr[None])
         m = np.asarray(res.det.valid[0])
         if not m.any():

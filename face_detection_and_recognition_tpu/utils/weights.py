@@ -368,14 +368,68 @@ def _walk_slots(params: Mapping, stats: Mapping, path=()):
                            tuple(np.shape(sub_stats[leaf])), True)
 
 
-def structural_import(arrays, variables: Mapping, strict: bool = True) -> Dict:
+def execution_module_order(net, variables: Mapping, example_shape) -> list:
+    """Record the net's leaf-module CALL order (the order a serialized
+    weight file streams its layers) by intercepting module methods under an
+    abstract jax.eval_shape trace — no compute, no compile. flax's param
+    dicts and capture_intermediates are both alphabetically sorted, so this
+    interceptor is the only faithful source of execution order."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    records = []
+
+    def interceptor(next_fn, args, kwargs, context):
+        try:
+            records.append(tuple(context.module.path))
+        except Exception:
+            pass
+        return next_fn(*args, **kwargs)
+
+    with nn.intercept_methods(interceptor):
+        jax.eval_shape(
+            lambda v: net.apply(v, jnp.zeros(example_shape, jnp.float32)),
+            variables,
+        )
+    seen: list = []
+    for path in records:
+        if path and path not in seen:
+            seen.append(path)
+    return seen
+
+
+_LEAF_PRI = {"kernel": 0, "scale": 1, "bias": 2, "alpha": 3,
+             "mean": 4, "var": 5}
+
+
+def ordered_slots(variables: Mapping, module_order=None) -> list:
+    """The exact slot sequence structural_import consumes: canonical walk
+    order, re-sorted to true execution order when ``module_order`` (from
+    execution_module_order) is given."""
+    params = variables.get("params", variables)
+    stats = variables.get("batch_stats", {})
+    slots = list(_walk_slots(params, stats))
+    if module_order is None:
+        return slots
+    pos = {p: i for i, p in enumerate(module_order)}
+    missing = len(module_order)
+    return sorted(slots, key=lambda s: (pos.get(s[0], missing),
+                                        _LEAF_PRI.get(s[1], 9)))
+
+
+def structural_import(arrays, variables: Mapping, strict: bool = True,
+                      module_order=None) -> Dict:
     """Pour an ordered array stream into an existing flax variables tree.
 
     This is the shape-checked path for weight files whose graphs match one of
     our architectures structurally (SSD caffemodels via
-    ``caffe_layers_to_arrays``, OpenVINO IR consts): leaves are filled in
-    module insertion order; every shape mismatch names the offending path.
-    Returns a new {"params": ..., "batch_stats": ...} tree.
+    ``caffe_layers_to_arrays``, OpenVINO IR consts). Pass ``module_order``
+    (from ``execution_module_order``) so slots fill in the net's true
+    execution order — the order real files stream their layers; without it
+    the canonical walk order is used (alphabetical siblings, correct only
+    for strictly sequential module trees). Every shape mismatch names the
+    offending path. Returns a new {"params": ..., "batch_stats": ...} tree.
     """
     import copy
 
@@ -384,7 +438,8 @@ def structural_import(arrays, variables: Mapping, strict: bool = True) -> Dict:
     )
     stats = copy.deepcopy(dict(variables.get("batch_stats", {})))
     out = {"params": params, "batch_stats": stats} if stats else {"params": params}
-    slots = list(_walk_slots(params, stats))
+    slots = ordered_slots({"params": params, "batch_stats": stats},
+                          module_order)
     if strict and len(arrays) != len(slots):
         raise ValueError(
             f"weight stream has {len(arrays)} arrays but the model has "

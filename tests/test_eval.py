@@ -194,3 +194,16 @@ def test_batched_wider_runner_matches_per_image(tmp_path):
     per_image = evaluate_detections(gtb, detb)
     assert batched["AP"] == pytest.approx(per_image["AP"], abs=0.05)
     assert batched["AR"] == pytest.approx(per_image["AR"], abs=0.05)
+
+
+def test_matcher_tie_breaking_matches_classic_loop():
+    """Duplicate GT boxes with exactly equal IoU: the classic loop's >=
+    update assigns the LAST tied gt, leaving earlier ones for later dets
+    (round-2 review regression)."""
+    g = np.array([[10, 10, 20, 20], [10, 10, 20, 20]], float)  # identical
+    # det1 overlaps both equally; det2 only overlaps via the same box too
+    d = np.array([[10, 10, 20, 20, 0.9], [10, 10, 20, 20, 0.8]], float)
+    out = evaluate_detections({0: g}, {0: d})
+    # both dets must match (one gt each) -> perfect AP/AR
+    assert out["AP"] == pytest.approx(1.0, abs=1e-6)
+    assert out["AR"] == pytest.approx(1.0, abs=1e-6)

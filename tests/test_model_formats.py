@@ -160,8 +160,10 @@ def test_ssd_resnet10_caffemodel_entry_path(rng):
     cfg = SSDConfig(backbone="resnet10", input_size=(96, 96), keep_top_k=16)
     net, variables, detect = make_ssd_face(cfg)
 
-    # fabricate a caffemodel whose layer stream matches the module order
-    slots = list(W._walk_slots(variables["params"], variables["batch_stats"]))
+    # fabricate a caffemodel streaming layers in true EXECUTION order (what
+    # a real file does), not flax's alphabetical tree order
+    order = W.execution_module_order(net, variables, (1, 96, 96, 3))
+    slots = W.ordered_slots(variables, order)
     layers, i = [], 0
     while i < len(slots):
         path, leaf, shape, _ = slots[i]
@@ -188,7 +190,7 @@ def test_ssd_resnet10_caffemodel_entry_path(rng):
 
     parsed = MF.read_caffemodel(MF.write_caffemodel(layers))
     arrays = W.caffe_layers_to_arrays(parsed)
-    imported = W.structural_import(arrays, variables)
+    imported = W.structural_import(arrays, variables, module_order=order)
 
     # every leaf replaced, shapes intact, detector still executes
     dets, valid = detect(imported, jnp.zeros((1, 96, 96, 3), jnp.float32))
@@ -330,9 +332,9 @@ def test_ir_structural_import_reid_embedder(rng):
     (OIHW kernels) -> transpose -> structural_import."""
     from face_detection_and_recognition_tpu.models.embedders import get_embedder
 
-    _, variables, embed = get_embedder("reid-mnv2").build()
-    slots = list(W._walk_slots(variables["params"],
-                               variables.get("batch_stats", {})))
+    net, variables, embed = get_embedder("reid-mnv2").build()
+    order = W.execution_module_order(net, variables, (1, 128, 128, 3))
+    slots = W.ordered_slots(variables, order)
     arrays = []
     for path, leaf, shape, _ in slots:
         if leaf == "kernel" and len(shape) == 4:
@@ -343,7 +345,7 @@ def test_ir_structural_import_reid_embedder(rng):
         else:
             arrays.append(np.abs(_rand(rng, *shape)) + 0.5
                           if leaf == "var" else _rand(rng, *shape))
-    imported = W.structural_import(arrays, variables)
+    imported = W.structural_import(arrays, variables, module_order=order)
     out = embed(imported, np.zeros((1, 128, 128, 3), np.float32))
     assert out.shape == (1, 256) and np.isfinite(np.asarray(out)).all()
 
@@ -380,8 +382,7 @@ def test_engine_load_weights_pb_and_caffemodel(tmp_path, rng):
         detector="ssd-resnet10", max_det=8,
         detector_overrides={"input_size": (96, 96)},
     ))
-    slots = list(W._walk_slots(eng2.variables["params"],
-                               eng2.variables["batch_stats"]))
+    slots = W.ordered_slots(eng2.variables, eng2._execution_order())
     layers, i = [], 0
     while i < len(slots):
         path, leaf, shape, _ = slots[i]
@@ -409,3 +410,32 @@ def test_engine_load_weights_pb_and_caffemodel(tmp_path, rng):
     eng2.load_weights(str(cm))
     got = eng2.detect_image(rng.randint(0, 255, (64, 64, 3)).astype(np.uint8))
     assert got is not None  # pipeline re-traced and ran with loaded weights
+
+
+def test_structural_import_uses_execution_order(rng):
+    """Regression (round-2 review): flax sorts siblings alphabetically, so
+    a multi-branch net (mobilenetv2: final ConvBN_1 executes LAST but sorts
+    second; heads interleave loc/conf) would misassign a real weight stream
+    without execution ordering."""
+    from face_detection_and_recognition_tpu.models.ssd import (
+        SSDConfig, make_ssd_face,
+    )
+
+    cfg = SSDConfig(backbone="mobilenetv2", input_size=(64, 64), keep_top_k=8)
+    net, variables, _ = make_ssd_face(cfg)
+    order = W.execution_module_order(net, variables, (1, 64, 64, 3))
+    slots = W.ordered_slots(variables, order)
+    paths = [s[0] for s in slots]
+    # the backbone's final ConvBN_1 must come AFTER every inverted residual
+    bb = "_MobileNetV2Backbone_0"
+    conv1_last = max(i for i, p in enumerate(paths)
+                     if len(p) > 1 and p[0] == bb and p[1] == "ConvBN_1")
+    any_ir = min(i for i, p in enumerate(paths)
+                 if len(p) > 1 and p[0] == bb
+                 and p[1].startswith("_InvertedResidual"))
+    assert conv1_last > any_ir, "execution order not honored"
+    # heads interleave loc0, conf0, loc1, conf1, ...
+    head_seq = [p[0] for p in paths if p and p[0].startswith(("loc", "conf"))]
+    dedup = list(dict.fromkeys(head_seq))
+    assert dedup == ["loc0", "conf0", "loc1", "conf1",
+                     "loc2", "conf2", "loc3", "conf3"]

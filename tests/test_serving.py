@@ -175,3 +175,18 @@ def test_grpc_front_door(rng):
         assert e.value.code() == grpc.StatusCode.INVALID_ARGUMENT
     finally:
         server.stop(grace=None)
+
+
+def test_serving_native_resolution_detector(rng):
+    """Round-2 review regression: FaceService with a native-resolution
+    cascade (mtcnn) must serve via the staged path, not raise from the
+    fused program."""
+    svc = FaceService(ServiceConfig(detector="mtcnn", det_thres=0.3,
+                                    max_det=8, with_embedder=False,
+                                    with_age_gender=False))
+    img = rng.randint(0, 255, (72, 64, 3)).astype(np.uint8)
+    faces, bboxes, confs = svc.detect_faces(img)
+    if faces.shape[0] == 0:
+        np.testing.assert_array_equal(bboxes, [[0, 0, 0, 0]])
+    out = svc.detect_embed_classify(img)
+    assert set(out) == {"bboxes", "confs", "embeddings", "labels"}
