@@ -97,6 +97,46 @@ for _arch in ("yolov5s", "yolov5m", "yolov5l", "yolov5n", "yolov5n-0.5",
     )
 
 
+# ---------------- official (multiclass) yolov5 ----------------
+
+
+def _build_yolov5_official(arch: str, input_size):
+    def build(rng=None, dtype=jnp.float32, **kw):
+        from .yolov5_face import YoloV5FaceConfig, make_yolov5_official
+
+        kw.setdefault("input_size", input_size)
+        kw.setdefault("nc", 80)            # COCO classes
+        kw.setdefault("conf_thres", 0.4)   # reference official=True call
+        kw.setdefault("iou_thres", 0.5)
+        cfg = YoloV5FaceConfig(arch=arch, **kw)
+        net, variables, detect = make_yolov5_official(cfg, rng=rng, dtype=dtype)
+        iw, ih = cfg.input_size
+        scale = jnp.asarray([iw, ih, iw, ih, 1.0], jnp.float32)
+
+        @jax.jit
+        def detect_norm(variables, imgs):
+            dets, valid = detect(variables, imgs)
+            # [xyxy, conf, cls] pixels -> [xyxy, conf] normalized (the
+            # reference wrapper keeps 5 cols, modules/yolov5_face/model.py)
+            return dets[..., :5] / scale, valid
+
+        return net, variables, detect_norm
+
+    return build
+
+
+for _arch in ("yolov5s", "yolov5n"):
+    register(
+        DetectorSpec(
+            name=f"{_arch}-official",
+            input_size=(640, 640),
+            preprocess=P.YOLOV5_FACE,
+            n_landmark_cols=0,
+            build=_build_yolov5_official(_arch, (640, 640)),
+        )
+    )
+
+
 # ---------------- blazeface ----------------
 
 

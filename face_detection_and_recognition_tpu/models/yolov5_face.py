@@ -207,6 +207,7 @@ class YoloV5FaceNet(nn.Module):
     nc: int = 1
     dtype: Dtype = jnp.float32
     quantized: bool = False
+    with_landmarks: bool = True  # False = official yolov5 head (no = nc+5)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -214,7 +215,7 @@ class YoloV5FaceNet(nn.Module):
         gd, gw = spec["gd"], spec["gw"]
         anchors = spec["anchors"]
         na = len(anchors[0])
-        no = self.nc + 5 + 10
+        no = self.nc + 5 + (10 if self.with_landmarks else 0)
 
         def depth(n: int) -> int:
             return max(round(n * gd), 1) if n > 1 else n
@@ -290,11 +291,15 @@ def decode_heads(
     anchors: Sequence[Sequence[Tuple[float, float]]],
     strides: Sequence[int],
     nc: int = 1,
+    landmarks: bool = True,
 ) -> jnp.ndarray:
     """Fused grid/anchor decode over all levels (``onnx_utils.py:30-73``).
 
     maps: per-level [B, na, ny, nx, no]. Returns [B, total, no] rows
     [cx, cy, w, h, obj, l1x, l1y, ..., l5x, l5y, cls...] in INPUT PIXELS.
+    landmarks=False decodes the OFFICIAL yolov5 head layout
+    (no = nc + 5, everything sigmoided — the Detect-layer inference mode
+    the reference's official=True ONNX path exports already decoded).
     """
     outs = []
     for m, anc, stride in zip(maps, anchors, strides):
@@ -305,19 +310,22 @@ def decode_heads(
         grid = jnp.stack([gx, gy], axis=-1)[None, None]           # [1,1,ny,nx,2]
         anc = jnp.asarray(anc, jnp.float32).reshape(1, na, 1, 1, 2)
 
-        sig_cols = list(range(5)) + list(range(15, 15 + nc))
-        y = m.at[..., jnp.asarray(sig_cols)].set(
-            jax.nn.sigmoid(m[..., jnp.asarray(sig_cols)])
-        )
+        if landmarks:
+            sig_cols = list(range(5)) + list(range(15, 15 + nc))
+            y = m.at[..., jnp.asarray(sig_cols)].set(
+                jax.nn.sigmoid(m[..., jnp.asarray(sig_cols)])
+            )
+        else:
+            y = jax.nn.sigmoid(m)
         xy = (y[..., 0:2] * 2.0 - 0.5 + grid) * stride
         wh = (y[..., 2:4] * 2.0) ** 2 * anc
-        lmk = y[..., 5:15].reshape(b, na, ny, nx, 5, 2) * anc[..., None, :] + (
-            grid[..., None, :] * stride
-        )
-        rest = y[..., 15:]
-        out = jnp.concatenate(
-            [xy, wh, y[..., 4:5], lmk.reshape(b, na, ny, nx, 10), rest], axis=-1
-        )
+        if landmarks:
+            lmk = y[..., 5:15].reshape(b, na, ny, nx, 5, 2) * anc[..., None, :]                 + (grid[..., None, :] * stride)
+            out = jnp.concatenate(
+                [xy, wh, y[..., 4:5], lmk.reshape(b, na, ny, nx, 10),
+                 y[..., 15:]], axis=-1)
+        else:
+            out = jnp.concatenate([xy, wh, y[..., 4:]], axis=-1)
         outs.append(out.reshape(b, -1, no))
     return jnp.concatenate(outs, axis=1)
 
@@ -408,5 +416,76 @@ def make_yolov5_face(
         maps = net.apply(variables, imgs)
         pred = decode_heads(maps, spec["anchors"], spec["strides"], cfg.nc)
         return yolov5_face_postprocess(pred, cfg)
+
+    return net, variables, detect
+
+
+# ---------------- official (multiclass) yolov5 path ----------------
+
+# the official yolov5 anchor set (yolov5s.yaml; the face anchors above are
+# yolov5-face's re-tuned set)
+OFFICIAL_ANCHORS = (
+    ((10, 13), (16, 30), (33, 23)),
+    ((30, 61), (62, 45), (59, 119)),
+    ((116, 90), (156, 198), (373, 326)),
+)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def yolov5_official_postprocess(
+    pred: jnp.ndarray, cfg: YoloV5FaceConfig
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Reference ``non_max_suppression`` (``onnx_utils.py:193-288``) as a
+    masked fixed-size kernel: obj-conf candidate filter -> conf = obj * cls
+    -> best class -> torchvision-style class-offset NMS (strict IoU).
+
+    pred: [B, N, 5 + nc] decoded rows [cx, cy, w, h, obj, cls...].
+    Returns dets [B, max_det, 6] rows [x1, y1, x2, y2, conf, cls] and valid.
+    """
+    from ..ops.nms import multiclass_nms
+
+    def per_image(p):
+        obj = p[:, 4]
+        cand = obj > cfg.conf_thres                       # reference xc
+        k = min(cfg.max_candidates, p.shape[0])
+        top, idx = jax.lax.top_k(jnp.where(cand, obj, -1.0), k)
+        x = p[idx]
+        valid = top > cfg.conf_thres
+        cls_scores = x[:, 5:] * x[:, 4:5]                 # conf = obj * cls
+        conf = jnp.max(cls_scores, axis=-1)
+        cls = jnp.argmax(cls_scores, axis=-1)
+        valid = valid & (conf > cfg.conf_thres)
+        boxes = xywh2xyxy(x[:, :4])
+        dets, out_valid, _ = multiclass_nms(
+            boxes, conf, cls, valid, cfg.iou_thres, cfg.max_det,
+            agnostic=False,
+        )
+        return dets, out_valid
+
+    return jax.vmap(per_image)(pred)
+
+
+def make_yolov5_official(
+    cfg: YoloV5FaceConfig, rng: jax.Array = None, dtype=jnp.float32,
+):
+    """Official (landmark-less, multiclass) yolov5 — the reference's
+    ``official=True`` ONNX path (``onnx_utils.py:348-352``).
+
+    detect(variables, imgs [B,H,W,3] RGB in [0,1]) ->
+    (dets [B, max_det, 6] rows [xyxy, conf, cls] in input pixels, valid).
+    """
+    net = YoloV5FaceNet(arch=cfg.arch, nc=cfg.nc, dtype=dtype,
+                        with_landmarks=False)
+    w, h = cfg.input_size
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    variables = jax.jit(net.init)(rng, jnp.zeros((1, h, w, 3), jnp.float32))
+    spec = ARCHS[cfg.arch]
+
+    @jax.jit
+    def detect(variables, imgs):
+        maps = net.apply(variables, imgs)
+        pred = decode_heads(maps, OFFICIAL_ANCHORS, spec["strides"], cfg.nc,
+                            landmarks=False)
+        return yolov5_official_postprocess(pred, cfg)
 
     return net, variables, detect

@@ -296,3 +296,97 @@ def test_mtcnn_cascade_matches_numpy_oracle():
             np.testing.assert_allclose(got[order_g], ref[order_r],
                                        rtol=1e-3, atol=2e-4)
     assert hits >= 1, "no trial produced detections; oracle unexercised"
+
+
+def test_official_yolov5_nms_matches_reference(ref_onnx_utils, rng):
+    """Official (multiclass) path: our masked class-offset NMS vs the
+    reference's own non_max_suppression (onnx_utils.py:193-288), with a
+    FAITHFUL torchvision.ops.nms implanted in the stub (strict-IoU greedy,
+    plain x2-x1 areas)."""
+    import torch
+
+    from face_detection_and_recognition_tpu.models.yolov5_face import (
+        YoloV5FaceConfig, yolov5_official_postprocess,
+    )
+
+    def tv_nms(boxes, scores, thres):
+        order = scores.argsort(descending=True)
+        keep = []
+        while order.numel():
+            i = order[0]
+            keep.append(i)
+            if order.numel() == 1:
+                break
+            b1, rest = boxes[i], boxes[order[1:]]
+            lt = torch.max(b1[:2], rest[:, :2])
+            rb = torch.min(b1[2:], rest[:, 2:])
+            inter = (rb - lt).clamp(min=0).prod(1)
+            a1 = (b1[2] - b1[0]) * (b1[3] - b1[1])
+            a2 = (rest[:, 2] - rest[:, 0]) * (rest[:, 3] - rest[:, 1])
+            iou = inter / (a1 + a2 - inter)
+            order = order[1:][iou <= thres]
+        return torch.stack(keep)
+
+    sys.modules["torchvision"].ops.nms = tv_nms
+
+    nc = 6
+    for trial in range(3):
+        # decoded predictions [1, N, 5+nc]: plausible xywh, mostly-cold obj
+        n = 400
+        pred = np.zeros((1, n, 5 + nc), np.float32)
+        pred[0, :, 0:2] = rng.uniform(50, 590, (n, 2))
+        pred[0, :, 2:4] = rng.uniform(10, 120, (n, 2))
+        pred[0, :, 4] = 0.01
+        hot = rng.choice(n, 40, replace=False)
+        pred[0, hot, 4] = rng.uniform(0.45, 0.99, 40)
+        pred[0, :, 5:] = rng.uniform(0, 1, (n, nc))
+        # cluster half the hot boxes so NMS suppression executes
+        pred[0, hot[:20], 0:4] = pred[0, hot[0], 0:4] + rng.uniform(
+            -4, 4, (20, 4)).astype(np.float32)
+
+        ref = ref_onnx_utils.non_max_suppression(
+            torch.from_numpy(pred.copy()), conf_thres=0.4, iou_thres=0.5,
+            agnostic=False)[0].numpy()
+
+        cfg = YoloV5FaceConfig(conf_thres=0.4, iou_thres=0.5,
+                               max_candidates=256, max_det=300)
+        dets, valid = yolov5_official_postprocess(pred, cfg)
+        got = np.asarray(dets[0])[np.asarray(valid[0])]
+
+        assert len(got) == len(ref), f"trial {trial}"
+        if not len(got):
+            continue
+        o_r = np.argsort(-ref[:, 4], kind="stable")
+        o_g = np.argsort(-got[:, 4], kind="stable")
+        np.testing.assert_allclose(got[o_g], ref[o_r], rtol=1e-4, atol=1e-4)
+
+
+def test_official_decode_matches_torch_detect_inference(rng):
+    """decode_heads(landmarks=False) == the official Detect layer's
+    inference transform (sigmoid-all, xy/wh grid-anchor decode)."""
+    import torch
+
+    from face_detection_and_recognition_tpu.models.yolov5_face import (
+        OFFICIAL_ANCHORS, decode_heads,
+    )
+
+    nc, na = 3, 3
+    grids = ((8, 8), (4, 4), (2, 2))
+    strides = (8, 16, 32)
+    maps = [rng.uniform(-3, 3, (1, na, gh, gw, 5 + nc)).astype(np.float32)
+            for gh, gw in grids]
+    ours = np.asarray(decode_heads(maps, OFFICIAL_ANCHORS, strides, nc,
+                                   landmarks=False))
+
+    outs = []
+    for m, anc, stride in zip(maps, OFFICIAL_ANCHORS, strides):
+        t = torch.sigmoid(torch.from_numpy(m))
+        _, _, ny, nx, no = m.shape
+        yv, xv = torch.meshgrid([torch.arange(ny), torch.arange(nx)])
+        grid = torch.stack((xv, yv), 2).view(1, 1, ny, nx, 2).float()
+        anc_t = torch.tensor(anc, dtype=torch.float32).view(1, na, 1, 1, 2)
+        xy = (t[..., 0:2] * 2.0 - 0.5 + grid) * stride
+        wh = (t[..., 2:4] * 2.0) ** 2 * anc_t
+        outs.append(torch.cat([xy, wh, t[..., 4:]], -1).view(1, -1, no))
+    ref = torch.cat(outs, 1).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
