@@ -311,10 +311,12 @@ def decode_heads(
         anc = jnp.asarray(anc, jnp.float32).reshape(1, na, 1, 1, 2)
 
         if landmarks:
-            sig_cols = list(range(5)) + list(range(15, 15 + nc))
-            y = m.at[..., jnp.asarray(sig_cols)].set(
-                jax.nn.sigmoid(m[..., jnp.asarray(sig_cols)])
-            )
+            # three contiguous slices instead of a scattered column update:
+            # sigmoid [0:5) and [15:15+nc), landmarks [5:15) stay linear
+            y = jnp.concatenate([
+                jax.nn.sigmoid(m[..., :5]), m[..., 5:15],
+                jax.nn.sigmoid(m[..., 15:]),
+            ], axis=-1)
         else:
             y = jax.nn.sigmoid(m)
         xy = (y[..., 0:2] * 2.0 - 0.5 + grid) * stride
