@@ -6,6 +6,7 @@ this stdlib HTTP server only exists for callers in other processes/languages.
 
 Protocol (JSON + base64 or raw JPEG bytes):
     GET  /health               -> {"ready": true}
+    GET  /stats                -> request/dispatch counters, cache sizes
     POST /detect   (image/jpeg body, query det_thres/bbox_area_thres)
         -> {"bboxes": [[x1,y1,x2,y2],...], "confs": [...]}
     POST /ensemble (image/jpeg body)
@@ -40,8 +41,20 @@ def make_handler(service: FaceService):
             pass
 
         def do_GET(self):
-            if urlparse(self.path).path == "/health":
+            path = urlparse(self.path).path
+            if path == "/health":
                 self._send(200, {"ready": True})
+            elif path == "/stats":
+                # observability (Triton exposes /metrics; ours is JSON):
+                # dynamic-batching coalescing rate + engine cache size
+                b = service._batcher
+                self._send(200, {
+                    "dynamic_batching": b is not None,
+                    "requests": getattr(b, "requests", 0),
+                    "dispatches": getattr(b, "dispatches", 0),
+                    "compiled_pipelines": len(service.engine._pipeline_cache),
+                    "detector": service.cfg.detector,
+                })
             else:
                 self._send(404, {"error": "not found"})
 
