@@ -158,20 +158,30 @@ def test_age_groups():
     assert imdb_wiki.age_to_group(150) is None
 
 
-def test_extract_faces_job_with_engine(class_tree, tmp_path):
-    """Full extraction job with a real (random-weight) engine: must complete,
-    write zero-padded features, and resume-skip on second run."""
+@pytest.fixture(scope="module")
+def extraction_engine():
+    """One engine (and one set of compiled block programs) shared by all
+    extraction tests — engine builds and ensemble traces dominate suite
+    time on the 1-core host."""
     from face_detection_and_recognition_tpu.core.engine import (EngineConfig,
                                                                 FaceEngine)
+
+    return FaceEngine(EngineConfig(detector="blazeface-front",
+                                   det_thres=0.3, embedder="mobile_facenet",
+                                   max_det=8))
+
+
+def test_extract_faces_job_with_engine(class_tree, tmp_path,
+                                       extraction_engine):
+    """Full extraction job with a real (random-weight) engine: must complete,
+    write zero-padded features, and resume-skip on second run."""
     from face_detection_and_recognition_tpu.pipelines.extract_faces import \
         extract_faces_from_dataset
 
-    engine = FaceEngine(EngineConfig(detector="blazeface-front",
-                                     det_thres=0.3, embedder="mobile_facenet",
-                                     max_det=8))
+    engine = extraction_engine
     out = tmp_path / "out"
     stats = extract_faces_from_dataset(engine, str(class_tree), str(out),
-                                       num_workers=2)
+                                       num_workers=2, block_size=8)
     assert not stats.failed
     assert sum(c["media"] for c in stats.classes.values()) == 7
     # features zero-padded to [45, 512]
@@ -179,7 +189,7 @@ def test_extract_faces_job_with_engine(class_tree, tmp_path):
     assert feats.shape == (45, 512)
     # resume: nothing left to do
     stats2 = extract_faces_from_dataset(engine, str(class_tree), str(out),
-                                        num_workers=2)
+                                        num_workers=2, block_size=8)
     assert sum(c["media"] for c in stats2.classes.values()) == 0
 
 
@@ -206,18 +216,15 @@ def test_feature_slot_alignment(tmp_path):
 
 def test_extract_faces_block_batched_no_per_frame_dispatch(class_tree,
                                                            tmp_path,
-                                                           monkeypatch):
+                                                           monkeypatch,
+                                                           extraction_engine):
     """The extraction pipeline must drive the fused block program, never the
     single-image path (VERDICT r1: 'pipelines feed the TPU one frame at a
     time')."""
-    from face_detection_and_recognition_tpu.core.engine import (EngineConfig,
-                                                                FaceEngine)
     from face_detection_and_recognition_tpu.pipelines.extract_faces import \
         extract_faces_from_dataset
 
-    engine = FaceEngine(EngineConfig(detector="blazeface-front",
-                                     det_thres=0.3, embedder="mobile_facenet",
-                                     max_det=8))
+    engine = extraction_engine
 
     def boom(*a, **k):
         raise AssertionError("detect_image called from the batch pipeline")
@@ -226,23 +233,20 @@ def test_extract_faces_block_batched_no_per_frame_dispatch(class_tree,
     monkeypatch.setattr(engine, "embed_faces", boom)
     stats = extract_faces_from_dataset(engine, str(class_tree),
                                        str(tmp_path / "out"), num_workers=2,
-                                       block_size=4)
+                                       block_size=8)
     assert not stats.failed
     assert sum(c["media"] for c in stats.classes.values()) == 7
 
 
-def test_extract_faces_sharded_over_mesh(class_tree, tmp_path):
+def test_extract_faces_sharded_over_mesh(class_tree, tmp_path,
+                                         extraction_engine):
     """Same job with the block batch sharded over a virtual 8-device mesh;
     results must match the unsharded run bit-for-bit."""
-    from face_detection_and_recognition_tpu.core.engine import (EngineConfig,
-                                                                FaceEngine)
     from face_detection_and_recognition_tpu.parallel.mesh import make_mesh
     from face_detection_and_recognition_tpu.pipelines.extract_faces import \
         extract_faces_from_dataset
 
-    engine = FaceEngine(EngineConfig(detector="blazeface-front",
-                                     det_thres=0.3, embedder="mobile_facenet",
-                                     max_det=8))
+    engine = extraction_engine
     mesh = make_mesh(("data",), (8,))
     base = extract_faces_from_dataset(engine, str(class_tree),
                                       str(tmp_path / "base"), num_workers=2,

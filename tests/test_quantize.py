@@ -42,7 +42,8 @@ def test_yolov5n_quantized_graph(rng):
     vq = quantize_variables(jax.tree_util.tree_map(np.asarray, variables))
     netq, _, detectq = make_yolov5_face(cfg, quantized=True)
     # quantized tree structure matches the quantized net's init tree
-    init_q = netq.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+    init_q = jax.jit(netq.init)(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 128, 128, 3)))
     import jax.tree_util as jtu
 
     conv = {jtu.keystr(k): v.shape for k, v in jtu.tree_leaves_with_path(vq)}

@@ -109,15 +109,15 @@ def test_sharded_det_train_step_matches_single_device(rng):
         sharded_det_train_step,
     )
 
-    cfg = DetTrainConfig(arch="yolov5n-0.5", input_size=(64, 64),
-                         max_targets=4)
+    cfg = DetTrainConfig(arch="yolov5n-0.5", input_size=(32, 32),
+                         max_targets=2)
     state = create_det_train_state(cfg, jax.random.PRNGKey(0))
     B = 8
-    images = rng.uniform(0, 1, (B, 64, 64, 3)).astype(np.float32)
-    targets = np.zeros((B, 4, 14), np.float32)
+    images = rng.uniform(0, 1, (B, 32, 32, 3)).astype(np.float32)
+    targets = np.zeros((B, 2, 14), np.float32)
     targets[:, 0, :4] = [0.5, 0.5, 0.25, 0.25]  # one centered face per image
     targets[:, 0, 4:] = 0.5
-    tvalid = np.zeros((B, 4), bool)
+    tvalid = np.zeros((B, 2), bool)
     tvalid[:, 0] = True
 
     base_step = make_det_train_step(state)

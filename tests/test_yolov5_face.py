@@ -29,8 +29,10 @@ def test_builder_channel_widths_yolov5s():
     import jax.numpy as jnp
 
     net = Y5.YoloV5FaceNet(arch="yolov5s")
-    variables = net.init(__import__("jax").random.PRNGKey(0),
-                         jnp.zeros((1, 64, 64, 3), jnp.float32))
+    import jax
+
+    variables = jax.jit(net.init)(jax.random.PRNGKey(0),
+                                  jnp.zeros((1, 64, 64, 3), jnp.float32))
     p = variables["params"]
     # make_divisible(64*0.35, 8) = 24
     assert p["layer0"]["ConvBN_0"]["Conv_0"]["kernel"].shape[-1] == 24

@@ -75,7 +75,7 @@ def test_full_graph_parity(arch, torch_yolo, rng):
     net = YoloV5FaceNet(arch=arch, nc=1)
 
     # structure check: converted tree must exactly match the init tree
-    init_vars = net.init(jax.random.PRNGKey(0),
+    init_vars = jax.jit(net.init)(jax.random.PRNGKey(0),
                          np.zeros((1, 64, 64, 3), np.float32))
     conv_paths = {jax.tree_util.keystr(k): v.shape for k, v in
                   jax.tree_util.tree_leaves_with_path(variables)}
