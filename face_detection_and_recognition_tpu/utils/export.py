@@ -56,3 +56,39 @@ def export_embedder(engine, path: str, batch: int = 1) -> None:
     example = np.zeros((batch, eh, ew, 3), np.float32)
     export_jitted(lambda crops: engine._embed(engine.embed_vars, crops),
                   [example], path)
+
+
+def export_ensemble(engine, path: str, batch: int = 1,
+                    image_hw=(576, 1024), det_thres: float = None,
+                    bbox_area_thres: float = None) -> None:
+    """Export the FULL fused detect->crop->embed->age/gender program (the
+    Triton-ensemble equivalent) as one StableHLO artifact: raw BGR uint8
+    frames in, Detections + crops (+ embeddings/probs) out. This is the
+    deployable serving graph — no python model code needed at the other
+    end."""
+    import jax.numpy as jnp
+
+    h, w = image_hw
+    if engine.embed_spec is not None:
+        ew, eh = engine.embed_spec.input_size
+        crop_size = (eh, ew)
+    else:
+        crop_size = (112, 112)
+    run = engine._ensemble_for((h, w, 3), crop_size)
+    dt = engine.cfg.det_thres if det_thres is None else det_thres
+    at = (engine.cfg.bbox_area_thres if bbox_area_thres is None
+          else bbox_area_thres)
+
+    def fn(imgs):
+        post, crops, emb, age, gender = run(
+            engine.variables, engine.embed_vars, engine.ag_vars,
+            imgs, jnp.float32(dt), jnp.float32(at))
+        outs = (post.boxes, post.scores, post.valid, crops)
+        if emb is not None:
+            outs += (emb,)
+        if age is not None:
+            outs += (age, gender)
+        return outs
+
+    example = np.zeros((batch, h, w, 3), np.uint8)
+    export_jitted(fn, [example], path)
