@@ -189,6 +189,13 @@ class FaceEngine:
         self.variables = variables
         self._pipeline_cache.clear()
 
+    def save_weights(self, path: str) -> None:
+        """Save the detector variables as an orbax checkpoint (reloadable
+        with load_weights / --ckpt on any backend)."""
+        from ..utils.checkpoint import save_variables
+
+        save_variables(path, self.variables)
+
     def _execution_order(self):
         """Leaf-module call order of the detector net (for structural weight
         streams); None for native cascades / unavailable nets."""

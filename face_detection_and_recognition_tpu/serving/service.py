@@ -61,6 +61,20 @@ class FaceService:
         self.engine.detect_image(dummy)
         return True
 
+    def warmup(self, shapes=((576, 1024),), batches=(1,)) -> None:
+        """Pre-compile the fused program for the resolutions production
+        traffic will send (Triton model_warmup equivalent) so the first real
+        request never pays a 20-40s XLA compile."""
+        for h, w in shapes:
+            for b in batches:
+                img = np.zeros((b, h, w, 3), np.uint8)
+                if self.engine.spec.input_size == (-1, -1):
+                    self.engine.detect_batch(img)
+                else:
+                    self.engine.detect_embed_classify_batch(
+                        img, crop_size=self.cfg.face_size,
+                        want_embed=False, want_ag=False)
+
     # ---- dynamic batching (Triton config.pbtxt dynamic_batching) ----
 
     def enable_dynamic_batching(self, max_batch: int = 8,

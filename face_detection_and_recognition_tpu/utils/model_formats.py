@@ -190,11 +190,14 @@ def read_caffemodel(src: Union[str, bytes]) -> List[CaffeLayer]:
     for BatchNorm/Scale pairing)."""
     buf = open(src, "rb").read() if isinstance(src, str) else src
     layers: List[CaffeLayer] = []
-    for field, wire, val in iter_fields(buf):
-        if field == 100 and wire == _LEN:
-            layers.append(_parse_layer(val, v1=False))
-        elif field == 2 and wire == _LEN:
-            layers.append(_parse_layer(val, v1=True))
+    try:
+        for field, wire, val in iter_fields(buf):
+            if field == 100 and wire == _LEN:
+                layers.append(_parse_layer(val, v1=False))
+            elif field == 2 and wire == _LEN:
+                layers.append(_parse_layer(val, v1=True))
+    except (IndexError, ValueError) as e:
+        raise ValueError(f"not a valid caffemodel: {e}") from e
     return layers
 
 
@@ -293,6 +296,13 @@ def read_tf_graphdef(src: Union[str, bytes]) -> List[GraphConst]:
     mtcnn.pb is Const nodes + ops we reimplement natively."""
     buf = open(src, "rb").read() if isinstance(src, str) else src
     consts: List[GraphConst] = []
+    try:
+        return _read_graphdef_consts(buf, consts)
+    except (IndexError, ValueError) as e:
+        raise ValueError(f"not a valid GraphDef: {e}") from e
+
+
+def _read_graphdef_consts(buf, consts):
     for field, wire, val in iter_fields(buf):
         if field != 1 or wire != _LEN:
             continue

@@ -439,3 +439,16 @@ def test_structural_import_uses_execution_order(rng):
     dedup = list(dict.fromkeys(head_seq))
     assert dedup == ["loc0", "conf0", "loc1", "conf1",
                      "loc2", "conf2", "loc3", "conf3"]
+
+
+def test_readers_reject_garbage(rng):
+    """Random bytes must fail with a clear ValueError, never raw index
+    errors or silent nonsense."""
+    for _ in range(25):
+        blob = rng.bytes(rng.randint(1, 300))
+        for fn in (MF.read_caffemodel, MF.read_tf_graphdef):
+            try:
+                out = fn(blob)
+                assert isinstance(out, list)  # benign parse -> empty-ish ok
+            except ValueError:
+                pass
