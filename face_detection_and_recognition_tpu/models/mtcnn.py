@@ -46,6 +46,10 @@ class MTCNNConfig:
     max_stage1: int = 256
     max_stage2: int = 128
     max_faces: int = 64
+    # R/O-Net crop implementation: None = auto (Pallas VMEM kernel on TPU —
+    # the cascade's inputs are (-1,1) normalized so MXU-bf16-pass accuracy
+    # costs <1% of value range — exact gather elsewhere)
+    crop_method: str = None
 
 
 def _ceil_pool(x, k, s):
@@ -217,6 +221,10 @@ class MTCNN:
     def _detect(self, variables, img_bgr, h, w):
         cfg = self.cfg
         t1, t2, t3 = cfg.thresholds
+        crop_m = cfg.crop_method
+        if crop_m is None:
+            crop_m = ("pallas" if jax.devices()[0].platform == "tpu"
+                      else "gather")
         # mtcnn operates on RGB, normalized (x - 127.5) / 128
         img = img_bgr.astype(jnp.float32)[..., ::-1]
         norm = (img - 127.5) * 0.0078125
@@ -282,7 +290,8 @@ class MTCNN:
         boxes = jnp.trunc(_rerec(boxes))
 
         # ---- stage 2: R-Net ----
-        crops = crop_and_resize_padded(norm, boxes, (24, 24), valid)
+        crops = crop_and_resize_padded(norm, boxes, (24, 24), valid,
+                                       method=crop_m)
         prob, reg = self.rnet.apply(variables["rnet"], crops)
         score = prob[:, 1]
         valid = valid & (score > t2)
@@ -295,7 +304,8 @@ class MTCNN:
         valid = keep[: cfg.max_stage2]
 
         # ---- stage 3: O-Net ----
-        crops = crop_and_resize_padded(norm, boxes, (48, 48), valid)
+        crops = crop_and_resize_padded(norm, boxes, (48, 48), valid,
+                                       method=crop_m)
         prob, reg, lmk = self.onet.apply(variables["onet"], crops)
         score = prob[:, 1]
         valid = valid & (score > t3)

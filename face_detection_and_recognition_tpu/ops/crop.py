@@ -19,6 +19,12 @@ Two equivalent implementations, selected by ``method``:
     so on TPU this rides the MXU instead: measured 3-7x faster at MTCNN
     cascade shapes (B16 x K256 @ 576x1024: 21ms vs 59ms at 24x24, 27ms vs
     177ms at 48x48).
+  * "pallas" — the same separable GEMMs as ONE Pallas kernel
+    (ops/pallas_kernels.crop_gemm_pallas): the image loads into VMEM once
+    for all K crops and the per-crop row strip never hits HBM. Another
+    2.4x over "gemm" (8.8ms at the 24x24 shape above) at MXU-bf16-pass
+    accuracy (~0.6% of value range) — the default inside the MTCNN cascade
+    on TPU, whose inputs are (-1, 1)-normalized.
   * "auto" (default) — gemm on TPU, gather elsewhere.
 """
 from __future__ import annotations
@@ -98,6 +104,8 @@ def crop_and_resize(
     y2 = jnp.clip(jnp.floor(boxes[:, 3]), y1 + 1, h)
     cw, ch = x2 - x1, y2 - y1
 
+    if method == "pallas":
+        return _crop_pallas(img, boxes, valid, (oh, ow), clamp=True)
     if method == "gemm":
         o_y = (jnp.arange(oh, dtype=jnp.float32) + 0.5) / oh
         o_x = (jnp.arange(ow, dtype=jnp.float32) + 0.5) / ow
@@ -155,6 +163,8 @@ def crop_and_resize_padded(
     cw = jnp.maximum(jnp.floor(boxes[:, 2]) - x1, 1.0)
     ch = jnp.maximum(jnp.floor(boxes[:, 3]) - y1, 1.0)
 
+    if method == "pallas":
+        return _crop_pallas(img, boxes, valid, (oh, ow), clamp=False)
     if method == "gemm":
         # hat weights vanish outside [0, H-1]/[0, W-1]: exactly the facenet
         # zero-canvas pad semantics, no masking needed
@@ -188,6 +198,18 @@ def crop_and_resize_padded(
     if valid is not None:
         crops = jnp.where(valid[:, None, None, None], crops, 0.0)
     return crops
+
+
+def _crop_pallas(img, boxes, valid, out_hw, clamp):
+    from .pallas_kernels import crop_gemm_pallas
+
+    oh, ow = out_hw
+    h, w = img.shape[:2]
+    c = img.shape[2]
+    img_cm = img.transpose(2, 0, 1).reshape(c * h, w)
+    v = valid if valid is not None else jnp.ones(boxes.shape[0], jnp.float32)
+    out = crop_gemm_pallas(img_cm, boxes, v, (oh, ow), clamp=clamp)
+    return out.reshape(boxes.shape[0], c, oh, ow).transpose(0, 2, 3, 1)
 
 
 def pad_boxes(

@@ -227,3 +227,120 @@ def topk_gallery_pallas(
         interpret=interpret,
     )(queries.astype(jnp.float32), gallery.astype(jnp.float32))
     return scores, idx
+
+
+# ---------------- fused crop + bilinear resize (separable GEMMs) ----------------
+
+
+def _crop_kernel(boxes_ref, valid_ref, img_ref, out_ref, *, oh: int, ow: int,
+                 img_h: int, img_w: int, channels: int, clamp: bool):
+    """One crop per grid step: build hat-function interpolation matrices
+    from the box scalars (SMEM prefetch) and run the separable bilinear
+    resample as two MXU matmuls per channel, with the channels-major source
+    image resident in VMEM across the whole grid (index map is constant)."""
+    k = pl.program_id(0)
+    fx1 = boxes_ref[k, 0]
+    fy1 = boxes_ref[k, 1]
+    fx2 = boxes_ref[k, 2]
+    fy2 = boxes_ref[k, 3]
+    w_f = jnp.float32(img_w)
+    h_f = jnp.float32(img_h)
+    if clamp:
+        x1 = jnp.clip(jnp.floor(fx1), 0.0, w_f - 1.0)
+        y1 = jnp.clip(jnp.floor(fy1), 0.0, h_f - 1.0)
+        x2 = jnp.clip(jnp.floor(fx2), x1 + 1.0, w_f)
+        y2 = jnp.clip(jnp.floor(fy2), y1 + 1.0, h_f)
+        cw, ch = x2 - x1, y2 - y1
+    else:
+        x1 = jnp.floor(fx1)
+        y1 = jnp.floor(fy1)
+        cw = jnp.maximum(jnp.floor(fx2) - x1, 1.0)
+        ch = jnp.maximum(jnp.floor(fy2) - y1, 1.0)
+
+    # Mosaic iota must be integer-typed; cast to f32 after
+    # lane alignment: the written width is padded to 128 (ow_pad); rows
+    # beyond ow hold garbage weights and are sliced off by the wrapper
+    ow_pad = ((ow + 127) // 128) * 128
+    o_y = (jax.lax.broadcasted_iota(jnp.int32, (oh, 1), 0)
+           .astype(jnp.float32) + 0.5) / oh
+    o_x = (jax.lax.broadcasted_iota(jnp.int32, (ow_pad, 1), 0)
+           .astype(jnp.float32) + 0.5) / ow
+    ys = y1 + o_y * ch - 0.5                           # [oh, 1]
+    xs = x1 + o_x * cw - 0.5                           # [ow, 1]
+    if clamp:
+        ys = jnp.clip(ys, y1, y1 + ch - 1.0)
+        xs = jnp.clip(xs, x1, x1 + cw - 1.0)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (oh, img_h), 1).astype(jnp.float32)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (ow_pad, img_w), 1).astype(jnp.float32)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(ys - iy))      # [oh, H]
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(xs - ix))      # [ow, W]
+
+    v = valid_ref[k]
+    for c in range(channels):                          # static unroll
+        rows = jnp.dot(wy, img_ref[c * img_h:(c + 1) * img_h, :],
+                       preferred_element_type=jnp.float32)   # [oh, W]
+        crop = jnp.dot(rows, wx.T,
+                       preferred_element_type=jnp.float32)   # [oh, ow]
+        out_ref[c * oh:(c + 1) * oh, :] = crop * v
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("out_hw", "clamp", "interpret"))
+def crop_gemm_pallas(
+    img_cm: jnp.ndarray,
+    boxes: jnp.ndarray,
+    valid: jnp.ndarray,
+    out_hw: Tuple[int, int],
+    clamp: bool = True,
+    interpret: bool = None,
+) -> jnp.ndarray:
+    """Fused crop+resize for ALL boxes of one image in one kernel.
+
+    Args:
+        img_cm: [C*H, W] f32 CHANNELS-MAJOR image (img.transpose(2,0,1)
+            .reshape(C*H, W)).
+        boxes: [K, 4] xyxy pixels.
+        valid: [K] f32/bool — invalid crops come back zero.
+        out_hw: (oh, ow).
+        clamp: True = crop_and_resize clamp semantics; False = zero-pad
+            (MTCNN) semantics.
+    Returns:
+        [K, C*oh, ow] f32 (channel-major crops; reshape+transpose to NHWC
+        outside).
+
+    vs the XLA GEMM formulation this keeps the per-crop [oh, W] row strip in
+    VMEM (never materializing the [K, oh, W, C] intermediate in HBM) and the
+    image loads into VMEM once for all K crops.
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    k = boxes.shape[0]
+    oh, ow = out_hw
+    ow_pad = ((ow + 127) // 128) * 128
+    ch_total, w = img_cm.shape
+    # infer channels from divisibility (C is tiny and static at trace time)
+    c = 3 if ch_total % 3 == 0 else 1
+    h = ch_total // c
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(k,),
+        in_specs=[
+            pl.BlockSpec((ch_total, w), lambda i, *_: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, c * oh, ow_pad), lambda i, *_: (i, 0, 0)),
+    )
+
+    def body(boxes_s, valid_s, img_ref, out_ref):
+        _crop_kernel(boxes_s, valid_s, img_ref,
+                     out_ref.at[0], oh=oh, ow=ow, img_h=h, img_w=w,
+                     channels=c, clamp=clamp)
+
+    out = pl.pallas_call(
+        body,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k, c * oh, ow_pad), jnp.float32),
+        interpret=interpret,
+    )(boxes.astype(jnp.float32), valid.astype(jnp.float32),
+      img_cm.astype(jnp.float32))
+    return out[..., :ow]

@@ -101,3 +101,29 @@ def test_crop_gemm_matches_gather(rng):
                           jnp.asarray(valid), method="gemm"))
         np.testing.assert_allclose(a, b, atol=1e-3, rtol=1e-5)
         assert (b[-1] == 0).all()
+
+
+def test_crop_pallas_matches_gather(rng):
+    """The Pallas crop kernel (interpret mode on CPU) matches the gather
+    reference on both semantics."""
+    import jax.numpy as jnp
+
+    from face_detection_and_recognition_tpu.ops.crop import (
+        crop_and_resize, crop_and_resize_padded,
+    )
+
+    img = (rng.uniform(-1, 1, (57, 43, 3))).astype(np.float32)  # norm range
+    boxes = np.stack([
+        rng.uniform(-10, 30, 8), rng.uniform(-10, 40, 8),
+        rng.uniform(5, 60, 8), rng.uniform(5, 75, 8),
+    ], axis=-1).astype(np.float32)
+    boxes[:, 2:] = boxes[:, :2] + np.abs(boxes[:, 2:] - boxes[:, :2]) + 2
+    valid = np.ones(8, bool)
+    valid[-1] = False
+    for fn in (crop_and_resize, crop_and_resize_padded):
+        a = np.asarray(fn(jnp.asarray(img), jnp.asarray(boxes), (12, 9),
+                          jnp.asarray(valid), method="gather"))
+        b = np.asarray(fn(jnp.asarray(img), jnp.asarray(boxes), (12, 9),
+                          jnp.asarray(valid), method="pallas"))
+        np.testing.assert_allclose(a, b, atol=2e-3, rtol=1e-4)
+        assert (b[-1] == 0).all()
