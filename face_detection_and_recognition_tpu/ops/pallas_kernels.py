@@ -258,10 +258,12 @@ def _crop_kernel(boxes_ref, valid_ref, img_ref, out_ref, *, oh: int, ow: int,
         ch = jnp.maximum(jnp.floor(fy2) - y1, 1.0)
 
     # Mosaic iota must be integer-typed; cast to f32 after
-    # lane alignment: the written width is padded to 128 (ow_pad); rows
-    # beyond ow hold garbage weights and are sliced off by the wrapper
+    # tiling alignment: written width pads to 128 lanes (ow_pad) and height
+    # to 8 sublanes (oh_pad); rows/cols beyond oh/ow hold garbage weights
+    # and are sliced off by the wrapper
     ow_pad = ((ow + 127) // 128) * 128
-    o_y = (jax.lax.broadcasted_iota(jnp.int32, (oh, 1), 0)
+    oh_pad = ((oh + 7) // 8) * 8
+    o_y = (jax.lax.broadcasted_iota(jnp.int32, (oh_pad, 1), 0)
            .astype(jnp.float32) + 0.5) / oh
     o_x = (jax.lax.broadcasted_iota(jnp.int32, (ow_pad, 1), 0)
            .astype(jnp.float32) + 0.5) / ow
@@ -270,7 +272,7 @@ def _crop_kernel(boxes_ref, valid_ref, img_ref, out_ref, *, oh: int, ow: int,
     if clamp:
         ys = jnp.clip(ys, y1, y1 + ch - 1.0)
         xs = jnp.clip(xs, x1, x1 + cw - 1.0)
-    iy = jax.lax.broadcasted_iota(jnp.int32, (oh, img_h), 1).astype(jnp.float32)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (oh_pad, img_h), 1).astype(jnp.float32)
     ix = jax.lax.broadcasted_iota(jnp.int32, (ow_pad, img_w), 1).astype(jnp.float32)
     wy = jnp.maximum(0.0, 1.0 - jnp.abs(ys - iy))      # [oh, H]
     wx = jnp.maximum(0.0, 1.0 - jnp.abs(xs - ix))      # [ow, W]
@@ -278,10 +280,10 @@ def _crop_kernel(boxes_ref, valid_ref, img_ref, out_ref, *, oh: int, ow: int,
     v = valid_ref[k]
     for c in range(channels):                          # static unroll
         rows = jnp.dot(wy, img_ref[c * img_h:(c + 1) * img_h, :],
-                       preferred_element_type=jnp.float32)   # [oh, W]
+                       preferred_element_type=jnp.float32)   # [oh_pad, W]
         crop = jnp.dot(rows, wx.T,
-                       preferred_element_type=jnp.float32)   # [oh, ow]
-        out_ref[c * oh:(c + 1) * oh, :] = crop * v
+                       preferred_element_type=jnp.float32)   # [oh_pad, ow_pad]
+        out_ref[c * oh_pad:(c + 1) * oh_pad, :] = crop * v
 
 
 @functools.partial(jax.jit,
@@ -317,6 +319,7 @@ def crop_gemm_pallas(
     k = boxes.shape[0]
     oh, ow = out_hw
     ow_pad = ((ow + 127) // 128) * 128
+    oh_pad = ((oh + 7) // 8) * 8
     ch_total, w = img_cm.shape
     # infer channels from divisibility (C is tiny and static at trace time)
     c = 3 if ch_total % 3 == 0 else 1
@@ -328,7 +331,8 @@ def crop_gemm_pallas(
         in_specs=[
             pl.BlockSpec((ch_total, w), lambda i, *_: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, c * oh, ow_pad), lambda i, *_: (i, 0, 0)),
+        out_specs=pl.BlockSpec((1, c * oh_pad, ow_pad),
+                               lambda i, *_: (i, 0, 0)),
     )
 
     def body(boxes_s, valid_s, img_ref, out_ref):
@@ -339,8 +343,10 @@ def crop_gemm_pallas(
     out = pl.pallas_call(
         body,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((k, c * oh, ow_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((k, c * oh_pad, ow_pad), jnp.float32),
         interpret=interpret,
     )(boxes.astype(jnp.float32), valid.astype(jnp.float32),
       img_cm.astype(jnp.float32))
-    return out[..., :ow]
+    # strip tiling padding: [K, C*oh_pad, ow_pad] -> [K, C*oh, ow]
+    out = out.reshape(k, c, oh_pad, ow_pad)[:, :, :oh, :ow]
+    return out.reshape(k, c * oh, ow)
