@@ -307,14 +307,16 @@ class FaceEngine:
 
     def _ensemble_for(self, shape: Tuple[int, int, int], crop_hw: Tuple[int, int],
                       embed_offsets: Optional[Tuple[float, ...]] = None,
-                      want_embed: bool = True, want_ag: bool = True):
+                      want_embed: bool = True, want_ag: bool = True,
+                      sharded: bool = False):
         """ONE jitted XLA program: preprocess -> detect -> postprocess ->
         masked batched crop -> embed -> age/gender classify. No host
         boundary, no per-face loop, no uint8 re-quantization between stages
         — the TPU collapse of the Triton ensemble graph
         (``models/yolov5_face_postprocess/1/model.py:32-114`` +
         ``ensemble_yolov5_face/config.pbtxt``)."""
-        key = ("ens", shape, crop_hw, embed_offsets, want_embed, want_ag)
+        key = ("ens", shape, crop_hw, embed_offsets, want_embed, want_ag,
+               sharded)
         if key in self._pipeline_cache:
             return self._pipeline_cache[key]
         if self.spec.input_size == (-1, -1):
@@ -348,9 +350,11 @@ class FaceEngine:
             # TPU: the fused Pallas crop kernel (image VMEM-resident across
             # all K crops). Its MXU-bf16-pass accuracy (~0.4% of pixel
             # range) feeds normalize+conv stages — the same numeric regime
-            # as the reference's fp16 TensorRT ensemble.
-            crop_m = ("pallas" if jax.devices()[0].platform == "tpu"
-                      else "auto")
+            # as the reference's fp16 TensorRT ensemble. Mesh-sharded
+            # programs keep the XLA GEMM form: GSPMD cannot partition a
+            # pallas_call.
+            crop_m = ("pallas" if not sharded
+                      and jax.devices()[0].platform == "tpu" else "auto")
 
             def crop_batch(boxes, out_hw):
                 return jax.vmap(
@@ -421,7 +425,8 @@ class FaceEngine:
         run = self._ensemble_for(tuple(imgs.shape[1:]), tuple(crop_size),
                                  None if embed_offsets is None
                                  else tuple(embed_offsets),
-                                 want_embed, want_ag)
+                                 want_embed, want_ag,
+                                 sharded=mesh is not None)
         dt = self.cfg.det_thres if det_thres is None else det_thres
         at = self.cfg.bbox_area_thres if bbox_area_thres is None else bbox_area_thres
         det_vars, embed_vars, ag_vars = (self.variables, self.embed_vars,
