@@ -32,8 +32,7 @@ def build_pipeline(dtype):
     import jax.numpy as jnp
 
     from face_detection_and_recognition_tpu.models.yolov5_face import (
-        ARCHS, YoloV5FaceConfig, YoloV5FaceNet, decode_heads,
-        yolov5_face_postprocess)
+        ARCHS, YoloV5FaceConfig, YoloV5FaceNet, yolov5_face_detect_maps)
     from face_detection_and_recognition_tpu.ops import preprocess as P
 
     cfg = YoloV5FaceConfig(arch="yolov5s", input_size=(640, 640))
@@ -48,8 +47,9 @@ def build_pipeline(dtype):
         # resize/normalize bandwidth (uint8 values are exact in bf16)
         x = P.apply_preprocess_batch(frames_u8, P.YOLOV5_FACE, dtype)
         maps = net.apply(variables, x)
-        pred = decode_heads(maps, spec["anchors"], spec["strides"], cfg.nc)
-        return yolov5_face_postprocess(pred, cfg)
+        # candidates-first decode+NMS (top-k on raw logits before decode)
+        return yolov5_face_detect_maps(
+            maps, spec["anchors"], spec["strides"], cfg)
 
     return run, variables
 

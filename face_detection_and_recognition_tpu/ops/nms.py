@@ -28,16 +28,23 @@ NEG_INF = -1e30
 
 
 def sort_by_score(
-    scores: jnp.ndarray, valid: jnp.ndarray, *arrays: jnp.ndarray
+    scores: jnp.ndarray, valid: jnp.ndarray, *arrays: jnp.ndarray, top=None
 ):
     """Sort descending by score with invalid entries pushed to the end.
 
     Returns (order, sorted_scores, sorted_valid, *sorted_arrays).
+
+    ``top`` truncates the sorted order to the first ``top`` rows BEFORE
+    gathering ``arrays`` — row gathers are the expensive part on TPU
+    (latency-bound tile touches), so callers that only keep max_det rows
+    should pass it instead of slicing afterwards.
     """
     masked = jnp.where(valid, scores, NEG_INF)
     order = jnp.argsort(-masked)
+    if top is not None:
+        order = order[:top]
     out = tuple(a[order] for a in arrays)
-    return (order, masked[order] , valid[order]) + out
+    return (order, masked[order], valid[order]) + out
 
 
 @partial(jax.jit, static_argnames=("plus1", "strict", "mode"))

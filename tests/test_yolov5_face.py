@@ -128,3 +128,34 @@ def test_postprocess_suppresses_duplicates():
     assert kept[0, 4] == pytest.approx(0.9)   # sorted by obj conf
     # xywh -> xyxy conversion applied
     np.testing.assert_allclose(kept[0, :4], [75, 70, 125, 130])
+
+
+def test_detect_maps_matches_fullgrid_path(rng):
+    """Candidates-first fused path (top-k on raw logits -> gather -> decode
+    -> NMS) is bit-identical on valid rows to decode_heads + postprocess,
+    for square and non-square inputs and in bf16."""
+    import jax
+    import jax.numpy as jnp
+
+    for input_size, dtype in (((320, 320), jnp.float32),
+                              ((320, 256), jnp.float32),
+                              ((320, 320), jnp.bfloat16)):
+        cfg = Y5.YoloV5FaceConfig(arch="yolov5n", input_size=input_size,
+                                  max_candidates=256, max_det=32)
+        w, h = input_size
+        net = Y5.YoloV5FaceNet(arch=cfg.arch, nc=cfg.nc, dtype=dtype)
+        variables = jax.jit(net.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3), jnp.float32))
+        x = jnp.asarray(rng.rand(2, h, w, 3), jnp.float32)
+        maps = jax.jit(net.apply)(variables, x)
+        spec = Y5.ARCHS[cfg.arch]
+
+        d1, v1 = jax.jit(lambda m: Y5.yolov5_face_postprocess(
+            Y5.decode_heads(m, spec["anchors"], spec["strides"], cfg.nc),
+            cfg))(maps)
+        d2, v2 = jax.jit(lambda m: Y5.yolov5_face_detect_maps(
+            m, spec["anchors"], spec["strides"], cfg))(maps)
+        d1, v1, d2, v2 = map(np.asarray, (d1, v1, d2, v2))
+        assert (v1 == v2).all()
+        mask = v1
+        np.testing.assert_array_equal(d1[mask], d2[mask])
