@@ -9,8 +9,13 @@ Methodology notes (hard-won on the axon rig):
     [B, 640, 640, 3] output forces a lane-padded (C 3->128) layout copy
     that allocates 26GB and OOMs.
 
-Round-2 baseline (v5e-1, b128 @ 576x1024, bf16): preprocess ~7ms,
-+backbone ~21ms, +decode ~6ms, +NMS(Pallas) ~13ms -> ~2850 fps engine e2e.
+Round-2 baseline after the candidates-first rewrite (v5e-1, b128 @
+576x1024, bf16): preprocess ~6ms (normalize fused before letterbox pad),
++backbone ~21ms (at ~660GB/s, the HBM roofline), +select/decode ~5ms
+(top-k on raw logits, [B, K] decode), +NMS ~2ms -> ~3600 fps engine e2e.
+The old full-grid decode+postprocess stages cost ~13.6ms more; see
+yolov5_face_detect_maps. For an op-level breakdown use
+utils/trace_analysis.py on a jax.profiler trace.
 """
 from __future__ import annotations
 
@@ -35,8 +40,7 @@ def main():
     import jax.numpy as jnp
 
     from face_detection_and_recognition_tpu.models.yolov5_face import (
-        ARCHS, YoloV5FaceConfig, YoloV5FaceNet, decode_heads,
-        yolov5_face_postprocess)
+        ARCHS, YoloV5FaceConfig, YoloV5FaceNet, yolov5_face_detect_maps)
     from face_detection_and_recognition_tpu.ops import preprocess as P
 
     cfg = YoloV5FaceConfig(arch="yolov5s", input_size=(640, 640))
@@ -53,18 +57,14 @@ def main():
     def backbone(x):
         return net.apply(variables, pre(x))
 
-    def decode(x):
-        return decode_heads(backbone(x), spec["anchors"], spec["strides"],
-                            cfg.nc)
-
     def full(x):
-        return yolov5_face_postprocess(decode(x), cfg)
+        return yolov5_face_detect_maps(
+            backbone(x), spec["anchors"], spec["strides"], cfg)
 
     stages = [
         ("preprocess", jax.jit(lambda x: jnp.sum(pre(x)))),
         ("+backbone", jax.jit(lambda x: [jnp.sum(m) for m in backbone(x)])),
-        ("+decode", jax.jit(lambda x: jnp.sum(decode(x)))),
-        ("+NMS (full)", jax.jit(full)),
+        ("+select+NMS", jax.jit(full)),
     ]
 
     def sync(o):

@@ -582,6 +582,52 @@ def yolov5_official_postprocess(
     return jax.vmap(per_image)(pred)
 
 
+def yolov5_official_detect_maps(
+    maps: Sequence[jnp.ndarray],
+    anchors: Sequence[Sequence[Tuple[float, float]]],
+    strides: Sequence[int],
+    cfg: YoloV5FaceConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Candidates-first fusion of the official (multiclass, landmark-less)
+    path — same structure as ``yolov5_face_detect_maps``: obj top-k on the
+    raw maps, gather, decode [B, K] rows, class-offset NMS."""
+    b, no = maps[0].shape[0], maps[0].shape[-1]
+    flat = jnp.concatenate([m.reshape(b, -1, no) for m in maps], axis=1)
+    k = min(cfg.max_candidates, flat.shape[1])
+    _, idx = jax.lax.top_k(
+        jax.nn.sigmoid(flat[..., 4]).astype(jnp.float32), k)
+    cand = jnp.take_along_axis(flat, idx[..., None], axis=1)
+    grid, stride, anc = _candidate_grid_params(
+        idx, anchors, strides, cfg.input_size)
+    y = jax.nn.sigmoid(cand)
+    xy = (y[..., 0:2] * 2.0 - 0.5 + grid) * stride
+    wh = (y[..., 2:4] * 2.0) ** 2 * anc
+    pred = jnp.concatenate([xy, wh, y[..., 4:]], axis=-1)
+    return yolov5_official_postprocess_candidates(pred, cfg)
+
+
+def yolov5_official_postprocess_candidates(pred, cfg: YoloV5FaceConfig):
+    """NMS stage of the official path over already-selected candidate rows
+    (``pred`` [B, K, 5 + nc] decoded)."""
+    from ..ops.nms import multiclass_nms
+
+    def per_image(p):
+        obj = p[:, 4]
+        valid = obj > cfg.conf_thres                      # reference xc
+        cls_scores = p[:, 5:] * p[:, 4:5]                 # conf = obj * cls
+        conf = jnp.max(cls_scores, axis=-1)
+        cls = jnp.argmax(cls_scores, axis=-1)
+        valid = valid & (conf > cfg.conf_thres)
+        boxes = xywh2xyxy(p[:, :4])
+        dets, out_valid, _ = multiclass_nms(
+            boxes, conf, cls, valid, cfg.iou_thres, cfg.max_det,
+            agnostic=False,
+        )
+        return dets, out_valid
+
+    return jax.vmap(per_image)(pred)
+
+
 def make_yolov5_official(
     cfg: YoloV5FaceConfig, rng: jax.Array = None, dtype=jnp.float32,
 ):
@@ -601,8 +647,7 @@ def make_yolov5_official(
     @jax.jit
     def detect(variables, imgs):
         maps = net.apply(variables, imgs)
-        pred = decode_heads(maps, OFFICIAL_ANCHORS, spec["strides"], cfg.nc,
-                            landmarks=False)
-        return yolov5_official_postprocess(pred, cfg)
+        return yolov5_official_detect_maps(
+            maps, OFFICIAL_ANCHORS, spec["strides"], cfg)
 
     return net, variables, detect

@@ -229,5 +229,5 @@ def multiclass_nms(
     dets = jnp.concatenate(
         [boxes, scores[:, None], classes.astype(boxes.dtype)[:, None]], axis=-1
     )
-    _, _, kvalid, kdets = sort_by_score(scores, keep, dets)
-    return kdets[:max_out], kvalid[:max_out], keep
+    _, _, kvalid, kdets = sort_by_score(scores, keep, dets, top=max_out)
+    return kdets, kvalid, keep

@@ -159,3 +159,29 @@ def test_detect_maps_matches_fullgrid_path(rng):
         assert (v1 == v2).all()
         mask = v1
         np.testing.assert_array_equal(d1[mask], d2[mask])
+
+
+def test_official_detect_maps_matches_fullgrid_path(rng):
+    """Official (multiclass) candidates-first path == decode_heads +
+    yolov5_official_postprocess on valid rows."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = Y5.YoloV5FaceConfig(arch="yolov5n", nc=4, input_size=(320, 320),
+                              max_candidates=256, max_det=32,
+                              conf_thres=0.25, iou_thres=0.45)
+    net = Y5.YoloV5FaceNet(arch=cfg.arch, nc=cfg.nc, with_landmarks=False)
+    variables = jax.jit(net.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 320, 320, 3), jnp.float32))
+    x = jnp.asarray(rng.rand(2, 320, 320, 3), jnp.float32)
+    maps = jax.jit(net.apply)(variables, x)
+    spec = Y5.ARCHS[cfg.arch]
+
+    d1, v1 = jax.jit(lambda m: Y5.yolov5_official_postprocess(
+        Y5.decode_heads(m, Y5.OFFICIAL_ANCHORS, spec["strides"], cfg.nc,
+                        landmarks=False), cfg))(maps)
+    d2, v2 = jax.jit(lambda m: Y5.yolov5_official_detect_maps(
+        m, Y5.OFFICIAL_ANCHORS, spec["strides"], cfg))(maps)
+    d1, v1, d2, v2 = map(np.asarray, (d1, v1, d2, v2))
+    assert (v1 == v2).all()
+    np.testing.assert_array_equal(d1[v1], d2[v1])
