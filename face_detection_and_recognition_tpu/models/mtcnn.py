@@ -298,10 +298,8 @@ class MTCNN:
         keep = greedy_nms_mask(boxes, score, valid, 0.7)
         boxes = _bbreg(boxes, reg)
         boxes = jnp.trunc(_rerec(boxes))
-        _, score, keep, boxes = sort_by_score(score, keep, boxes)
-        boxes = boxes[: cfg.max_stage2]
-        score = score[: cfg.max_stage2]
-        valid = keep[: cfg.max_stage2]
+        _, score, valid, boxes = sort_by_score(
+            score, keep, boxes, top=cfg.max_stage2)
 
         # ---- stage 3: O-Net ----
         crops = crop_and_resize_padded(norm, boxes, (48, 48), valid,
@@ -322,5 +320,6 @@ class MTCNN:
         dets = jnp.concatenate([boxes, lmk_pairs, score[:, None]], axis=-1)
         denom = jnp.asarray([w, h] * 7 + [1], jnp.float32)
         dets = dets / denom
-        _, _, out_valid, out = sort_by_score(score, keep, dets)
-        return out[: cfg.max_faces], out_valid[: cfg.max_faces]
+        _, _, out_valid, out = sort_by_score(score, keep, dets,
+                                             top=cfg.max_faces)
+        return out, out_valid

@@ -241,8 +241,9 @@ def ssd_postprocess(
             from ..ops.pallas_kernels import nms_fixpoint_pallas
 
             keep = nms_fixpoint_pallas(rows[:, :4], valid, cfg.iou_thres)
-            _, _, out_valid, out = sort_by_score(rows[:, 4], keep, rows)
-            return out[: cfg.keep_top_k], out_valid[: cfg.keep_top_k]
+            _, _, out_valid, out = sort_by_score(
+                rows[:, 4], keep, rows, top=cfg.keep_top_k)
+            return out, out_valid
         return greedy_nms(rows, valid, cfg.iou_thres, cfg.keep_top_k, score_col=4)
 
     return jax.vmap(per_image)(boxes, conf)

@@ -346,6 +346,35 @@ class YoloV5FaceConfig:
     pallas_nms: bool = None
 
 
+def _use_pallas_nms(cfg: YoloV5FaceConfig) -> bool:
+    if cfg.pallas_nms is None:
+        return jax.devices()[0].platform == "tpu"
+    return cfg.pallas_nms
+
+
+def _nms_candidate_rows(p, cand_valid, cfg: YoloV5FaceConfig, use_pallas):
+    """Shared NMS stage over ONE image's decoded candidate rows (sorted by
+    score desc): xywh->xyxy, the custom +1px-IoU >=thres suppression, and a
+    max_det-sliced, score-ordered output block."""
+    boxes = xywh2xyxy(p[:, :4])
+    cls_conf = jnp.max(p[:, 15:], axis=-1, keepdims=True)
+    rows = jnp.concatenate([boxes, p[:, 4:5], p[:, 5:15], cls_conf], axis=-1)
+    if use_pallas:
+        from ..ops.nms import sort_by_score
+        from ..ops.pallas_kernels import nms_fixpoint_pallas
+
+        keep = nms_fixpoint_pallas(
+            boxes, cand_valid, cfg.iou_thres, plus1=True, strict=False)
+        # push suppressed rows to the end, keep score order among kept
+        _, _, out_valid, out = sort_by_score(
+            rows[:, 4], keep, rows, top=cfg.max_det)
+        return out, out_valid
+    return greedy_nms(
+        rows, cand_valid, cfg.iou_thres, cfg.max_det,
+        score_col=4, plus1=True, strict=False,
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def yolov5_face_postprocess(
     pred: jnp.ndarray, cfg: YoloV5FaceConfig
@@ -358,10 +387,7 @@ def yolov5_face_postprocess(
     Returns dets [B, max_det, 16] rows [x1, y1, x2, y2, obj, lmk x10, cls_conf]
     sorted by obj conf, and valid [B, max_det].
     """
-
-    use_pallas = cfg.pallas_nms
-    if use_pallas is None:
-        use_pallas = jax.devices()[0].platform == "tpu"
+    use_pallas = _use_pallas_nms(cfg)
 
     def per_image(p):
         obj = p[:, 4]
@@ -373,24 +399,7 @@ def yolov5_face_postprocess(
         top_scores, idx = jax.lax.top_k(scores, k)
         cand = p[idx]
         cand_valid = top_scores >= cfg.conf_thres
-        boxes = xywh2xyxy(cand[:, :4])
-        cls_conf = jnp.max(cand[:, 15:], axis=-1, keepdims=True)
-        rows = jnp.concatenate([boxes, cand[:, 4:5], cand[:, 5:15], cls_conf], axis=-1)
-        if use_pallas:
-            from ..ops.pallas_kernels import nms_fixpoint_pallas
-            from ..ops.nms import sort_by_score
-
-            keep = nms_fixpoint_pallas(
-                boxes, cand_valid, cfg.iou_thres, plus1=True, strict=False
-            )
-            # push suppressed rows to the end, keep score order among kept
-            _, _, out_valid, out = sort_by_score(rows[:, 4], keep, rows)
-            return out[: cfg.max_det], out_valid[: cfg.max_det]
-        out, out_valid = greedy_nms(
-            rows, cand_valid, cfg.iou_thres, cfg.max_det,
-            score_col=4, plus1=True, strict=False,
-        )
-        return out, out_valid
+        return _nms_candidate_rows(cand, cand_valid, cfg, use_pallas)
 
     return jax.vmap(per_image)(pred)
 
@@ -482,30 +491,11 @@ def yolov5_face_detect_maps(
     pred = jnp.concatenate(
         [xy, wh, y[..., 4:5], lmk.reshape(b, k, 10), y[..., 15:]], axis=-1)
 
-    use_pallas = cfg.pallas_nms
-    if use_pallas is None:
-        use_pallas = jax.devices()[0].platform == "tpu"
+    use_pallas = _use_pallas_nms(cfg)
 
     def per_image(p):
-        obj = p[:, 4]
-        cand_valid = obj >= cfg.conf_thres
-        boxes = xywh2xyxy(p[:, :4])
-        cls_conf = jnp.max(p[:, 15:], axis=-1, keepdims=True)
-        rows = jnp.concatenate(
-            [boxes, p[:, 4:5], p[:, 5:15], cls_conf], axis=-1)
-        if use_pallas:
-            from ..ops.nms import sort_by_score
-            from ..ops.pallas_kernels import nms_fixpoint_pallas
-
-            keep = nms_fixpoint_pallas(
-                boxes, cand_valid, cfg.iou_thres, plus1=True, strict=False)
-            _, _, out_valid, out = sort_by_score(
-                rows[:, 4], keep, rows, top=cfg.max_det)
-            return out, out_valid
-        out, out_valid = greedy_nms(
-            rows, cand_valid, cfg.iou_thres, cfg.max_det,
-            score_col=4, plus1=True, strict=False)
-        return out, out_valid
+        cand_valid = p[:, 4] >= cfg.conf_thres
+        return _nms_candidate_rows(p, cand_valid, cfg, use_pallas)
 
     return jax.vmap(per_image)(pred)
 

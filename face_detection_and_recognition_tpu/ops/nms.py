@@ -137,8 +137,8 @@ def greedy_nms(
     keep = greedy_nms_mask(
         dets[:, :4], scores, valid, iou_thres, plus1=plus1, strict=strict, mode=mode
     )
-    _, _, kvalid, kdets = sort_by_score(scores, keep, dets)
-    return kdets[:max_out], kvalid[:max_out]
+    _, _, kvalid, kdets = sort_by_score(scores, keep, dets, top=max_out)
+    return kdets, kvalid
 
 
 @partial(jax.jit, static_argnames=("max_out",))
