@@ -466,16 +466,26 @@ def yolov5_face_detect_maps(
     materializes max_det rows).
     """
     b, no = maps[0].shape[0], maps[0].shape[-1]
-    flat = jnp.concatenate([m.reshape(b, -1, no) for m in maps], axis=1)
-    n = flat.shape[1]
+    maps_flat = [m.reshape(b, -1, no) for m in maps]
+    n = sum(mf.shape[1] for mf in maps_flat)
     k = min(cfg.max_candidates, n)
     # top-k keyed on sigmoid(logit) — NOT the raw logit — so bf16 score TIES
     # fall in exactly the same classes as the full-grid path (greedy NMS is
     # order-dependent among ties); rows are gathered in the RAW dtype (bf16
     # rows gather 2x faster than decoded f32)
-    _, idx = jax.lax.top_k(
-        jax.nn.sigmoid(flat[..., 4]).astype(jnp.float32), k)
-    cand = jnp.take_along_axis(flat, idx[..., None], axis=1)   # [B, k, no]
+    obj = jnp.concatenate([mf[..., 4] for mf in maps_flat], axis=1)
+    _, idx = jax.lax.top_k(jax.nn.sigmoid(obj).astype(jnp.float32), k)
+    pack = 128 // no if 128 % no == 0 else 0
+    if pack and all(mf.shape[1] % pack == 0 for mf in maps_flat) \
+            and _use_pallas_nms(cfg):
+        # XLA row gathers here are latency-bound (~2 ms at [128,1024,16])
+        # and need the [B, ~25k, no] concat materialized; the streaming
+        # one-hot GEMM reads each level once at HBM bandwidth instead
+        from ..ops.pallas_kernels import candidate_rows_gather_pallas
+        cand = candidate_rows_gather_pallas(tuple(maps_flat), idx)
+    else:
+        flat = jnp.concatenate(maps_flat, axis=1)
+        cand = jnp.take_along_axis(flat, idx[..., None], axis=1)  # [B,k,no]
     grid, stride, anc = _candidate_grid_params(
         idx, anchors, strides, cfg.input_size)
 

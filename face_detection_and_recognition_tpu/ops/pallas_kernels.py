@@ -286,6 +286,117 @@ def _crop_kernel(boxes_ref, valid_ref, img_ref, out_ref, *, oh: int, ow: int,
         out_ref[c * oh_pad:(c + 1) * oh_pad, :] = crop * v
 
 
+def _crop_kernel_windowed(boxes_ref, valid_ref, img_ref, out_ref, strip_ref,
+                          *, oh: int, ow: int, img_h: int, img_w: int,
+                          channels: int, clamp: bool, win_h: int, win_w: int):
+    """Windowed variant of :func:`_crop_kernel`: the dense [oh, H] x [H, W]
+    interpolation GEMM is decomposed exactly into pieces over [win_h, win_w]
+    image windows, and only windows overlapping the box's source span are
+    multiplied (dynamic fori_loop trip counts). Bilinear hat weights have a
+    2-tap support, so a crop whose box fits one window costs
+    oh*win_h*win_w + oh*win_w*ow MACs instead of oh*H*W + oh*W*ow — ~10x
+    fewer FLOPs for typical face boxes on a 576x1024 frame. Piece weights
+    carry an absolute-row indicator so window clamping at the image edge
+    never double-counts; the decomposition is exact (same hat weights, f32
+    accumulation)."""
+    k = pl.program_id(0)
+    fx1 = boxes_ref[k, 0]
+    fy1 = boxes_ref[k, 1]
+    fx2 = boxes_ref[k, 2]
+    fy2 = boxes_ref[k, 3]
+    w_f = jnp.float32(img_w)
+    h_f = jnp.float32(img_h)
+    if clamp:
+        x1 = jnp.clip(jnp.floor(fx1), 0.0, w_f - 1.0)
+        y1 = jnp.clip(jnp.floor(fy1), 0.0, h_f - 1.0)
+        x2 = jnp.clip(jnp.floor(fx2), x1 + 1.0, w_f)
+        y2 = jnp.clip(jnp.floor(fy2), y1 + 1.0, h_f)
+        cw, ch = x2 - x1, y2 - y1
+    else:
+        x1 = jnp.floor(fx1)
+        y1 = jnp.floor(fy1)
+        cw = jnp.maximum(jnp.floor(fx2) - x1, 1.0)
+        ch = jnp.maximum(jnp.floor(fy2) - y1, 1.0)
+
+    ow_pad = ((ow + 127) // 128) * 128
+    oh_pad = ((oh + 7) // 8) * 8
+    o_y = (jax.lax.broadcasted_iota(jnp.int32, (oh_pad, 1), 0)
+           .astype(jnp.float32) + 0.5) / oh
+    o_x = (jax.lax.broadcasted_iota(jnp.int32, (ow_pad, 1), 0)
+           .astype(jnp.float32) + 0.5) / ow
+    ys = y1 + o_y * ch - 0.5                           # [oh_pad, 1]
+    xs = x1 + o_x * cw - 0.5                           # [ow_pad, 1]
+    if clamp:
+        ys = jnp.clip(ys, y1, y1 + ch - 1.0)
+        xs = jnp.clip(xs, x1, x1 + cw - 1.0)
+
+    def _span(lo_f, hi_f, size, align, win):
+        """Source-index span [base, hi] of the hat support for sample
+        coordinates in [lo_f, hi_f], plus the (bounded) piece count."""
+        base = jnp.maximum(
+            (jnp.floor(lo_f).astype(jnp.int32) // align) * align, 0)
+        hi = jnp.clip(jnp.floor(hi_f).astype(jnp.int32) + 1, 0, size - 1)
+        n = jnp.where(hi >= base, (hi - base) // win + 1, 0)
+        n = jnp.clip(n, 0, (size + win - 1) // win + 1)
+        return base, n
+
+    # sample coords are monotonic in the output index; row/col 0 and oh-1 /
+    # ow-1 bound the span (padded rows carry garbage weights but only ever
+    # reference in-window columns, and their output rows are sliced off)
+    ys_lo = y1 + (0.5 / oh) * ch - 0.5
+    ys_hi = y1 + ((oh - 1) + 0.5) / oh * ch - 0.5
+    xs_lo = x1 + (0.5 / ow) * cw - 0.5
+    xs_hi = x1 + ((ow - 1) + 0.5) / ow * cw - 0.5
+    if clamp:
+        ys_lo = jnp.clip(ys_lo, y1, y1 + ch - 1.0)
+        ys_hi = jnp.clip(ys_hi, y1, y1 + ch - 1.0)
+        xs_lo = jnp.clip(xs_lo, x1, x1 + cw - 1.0)
+        xs_hi = jnp.clip(xs_hi, x1, x1 + cw - 1.0)
+    base_r, n_r = _span(ys_lo, ys_hi, img_h, 8, win_h)
+    base_c, n_c = _span(xs_lo, xs_hi, img_w, 128, win_w)
+
+    v = valid_ref[k]
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (oh_pad, win_h), 1)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (ow_pad, win_w), 1)
+
+    for c in range(channels):                          # static unroll
+        out_ref[c * oh_pad:(c + 1) * oh_pad, :] = jnp.zeros(
+            (oh_pad, ow_pad), jnp.float32)
+
+    def body_t(t, _):
+        want_c = base_c + t * win_w
+        cs = pl.multiple_of(jnp.minimum(want_c, img_w - win_w), 128)
+        cols = (cs + col_iota).astype(jnp.float32)
+        wx_t = jnp.maximum(0.0, 1.0 - jnp.abs(xs - cols))
+        wx_t = jnp.where(cs + col_iota >= want_c, wx_t, 0.0) * v
+
+        for c in range(channels):                      # static unroll
+            strip_ref[...] = jnp.zeros((oh_pad, win_w), jnp.float32)
+
+            def body_j(j, _):
+                want_r = base_r + j * win_h
+                sj = pl.multiple_of(jnp.minimum(want_r, img_h - win_h), 8)
+                rows = (sj + row_iota).astype(jnp.float32)
+                wy_j = jnp.maximum(0.0, 1.0 - jnp.abs(ys - rows))
+                wy_j = jnp.where(sj + row_iota >= want_r, wy_j, 0.0)
+                win = img_ref[pl.ds(c * img_h + sj, win_h), pl.ds(cs, win_w)]
+                strip_ref[...] += jnp.dot(
+                    wy_j, win, preferred_element_type=jnp.float32)
+                return 0
+
+            jax.lax.fori_loop(0, n_r, body_j, 0)
+            sl = pl.ds(c * oh_pad, oh_pad)
+            out_ref[sl, :] += jnp.dot(strip_ref[...], wx_t.T,
+                                      preferred_element_type=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, n_c, body_t, 0)
+
+
+_CROP_WIN_H = 128
+_CROP_WIN_W = 256
+
+
 @functools.partial(jax.jit,
                    static_argnames=("out_hw", "clamp", "interpret"))
 def crop_gemm_pallas(
@@ -312,7 +423,10 @@ def crop_gemm_pallas(
 
     vs the XLA GEMM formulation this keeps the per-crop [oh, W] row strip in
     VMEM (never materializing the [K, oh, W, C] intermediate in HBM) and the
-    image loads into VMEM once for all K crops.
+    image loads into VMEM once for all K crops. When the source image is
+    tile-aligned and at least one window large, the windowed kernel
+    (:func:`_crop_kernel_windowed`) is used: it only multiplies image
+    windows overlapping each box — ~10x fewer MACs for typical face boxes.
     """
     if interpret is None:
         interpret = not _on_tpu()
@@ -324,6 +438,22 @@ def crop_gemm_pallas(
     # infer channels from divisibility (C is tiny and static at trace time)
     c = 3 if ch_total % 3 == 0 else 1
     h = ch_total // c
+    windowed = (h % 8 == 0 and w % 128 == 0
+                and h >= _CROP_WIN_H and w >= _CROP_WIN_W)
+
+    if windowed:
+        def body(boxes_s, valid_s, img_ref, out_ref, strip_ref):
+            _crop_kernel_windowed(
+                boxes_s, valid_s, img_ref, out_ref.at[0], strip_ref,
+                oh=oh, ow=ow, img_h=h, img_w=w, channels=c, clamp=clamp,
+                win_h=_CROP_WIN_H, win_w=_CROP_WIN_W)
+        scratch = [pltpu.VMEM((oh_pad, _CROP_WIN_W), jnp.float32)]
+    else:
+        def body(boxes_s, valid_s, img_ref, out_ref):
+            _crop_kernel(boxes_s, valid_s, img_ref,
+                         out_ref.at[0], oh=oh, ow=ow, img_h=h, img_w=w,
+                         channels=c, clamp=clamp)
+        scratch = []
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -333,12 +463,8 @@ def crop_gemm_pallas(
         ],
         out_specs=pl.BlockSpec((1, c * oh_pad, ow_pad),
                                lambda i, *_: (i, 0, 0)),
+        scratch_shapes=scratch,
     )
-
-    def body(boxes_s, valid_s, img_ref, out_ref):
-        _crop_kernel(boxes_s, valid_s, img_ref,
-                     out_ref.at[0], oh=oh, ow=ow, img_h=h, img_w=w,
-                     channels=c, clamp=clamp)
 
     out = pl.pallas_call(
         body,
@@ -350,3 +476,105 @@ def crop_gemm_pallas(
     # strip tiling padding: [K, C*oh_pad, ow_pad] -> [K, C*oh, ow]
     out = out.reshape(k, c, oh_pad, ow_pad)[:, :, :oh, :ow]
     return out.reshape(k, c * oh, ow)
+
+
+# ---------------- candidate-row gather as streaming one-hot GEMM ----------------
+
+
+def _rows_gather_kernel(idx_ref, flat_ref, out_ref, *, off: int, n_l: int,
+                        blk: int, k: int, pack: int):
+    """One [blk, lanes] block of a level's packed rows: build the one-hot
+    selection matrix TRANSPOSED (packed-row sublanes x K candidate lanes —
+    the natural layout for both operands) and accumulate S^T . block on the
+    MXU. Rows outside this level or this block select nothing; garbage
+    values in the OOB tail of the last block are zeroed before the dot so
+    0 x garbage can never produce NaN."""
+    j = pl.program_id(1)
+    lanes = flat_ref.shape[-1]
+    idx_row = idx_ref[0, 0, :]                    # [K] int32
+    lid = idx_row - off
+    r = lid // pack - j * blk                     # block-local packed row
+    # fold the level-membership test into the row id (-1 matches no iota
+    # row) — 2D i1 broadcasts hit Mosaic relayout limits
+    r = jnp.where((lid >= 0) & (lid < n_l), r, -1)
+    row_io = jax.lax.broadcasted_iota(jnp.int32, (blk, k), 0)
+    st = (row_io == r[None, :]).astype(jnp.bfloat16)          # [blk, K]
+    n_packed = (n_l + pack - 1) // pack
+    rmask = (jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
+             + j * blk) < n_packed
+    rows = jnp.where(rmask, flat_ref[0], jnp.bfloat16(0))     # [blk, lanes]
+    acc = jax.lax.dot_general(
+        st, rows, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(out_ref.dtype)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[0] = acc
+
+    @pl.when(j > 0)
+    def _acc():
+        out_ref[0] += acc
+
+
+def candidate_rows_gather_pallas(
+    maps_flat: Tuple[jnp.ndarray, ...],
+    idx: jnp.ndarray,
+    blk: int = 512,
+    interpret: bool = None,
+) -> jnp.ndarray:
+    """Gather candidate rows ``concat(maps_flat, 1)[b, idx[b]]`` as
+    streaming one-hot GEMMs instead of an XLA row gather.
+
+    TPU row gathers at these shapes are latency-bound (~2 ms for
+    [128, 1024, 16] bf16 regardless of payload bytes); this kernel streams
+    every level ONCE at HBM bandwidth, multiplying [blk, K] one-hot blocks
+    on the MXU (the ops/crop.py "gather as GEMM" trick applied to decode
+    candidate selection). It also removes the need to materialize the
+    [B, ~25k, no] concat: each level is read in its natural layout, packed
+    ``pack = 128 // no`` rows per 128-lane register row, and the packed
+    neighborhood is lane-selected with 8 static masked slices at the end.
+
+    Args:
+        maps_flat: per-level [B, n_l, no] arrays (bf16/f32), no | 128 and
+            pack | n_l required (caller falls back to take_along otherwise).
+        idx: [B, K] int32 global row indices into the level concat.
+    Returns:
+        [B, K, no] rows, identical to
+        jnp.take_along_axis(concat, idx[..., None], 1).
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    b, k = idx.shape
+    no = maps_flat[0].shape[-1]
+    pack = 128 // no
+    dtype = maps_flat[0].dtype
+    nb_total = None
+    off = 0
+    nb = None
+    for m in maps_flat:
+        n_l = m.shape[1]
+        n_packed = n_l // pack
+        packed = m.reshape(b, n_packed, no * pack)
+        grid_b = ((n_packed + blk - 1) // blk)
+        kernel = functools.partial(
+            _rows_gather_kernel, off=off, n_l=n_l, blk=blk, k=k, pack=pack)
+        part = pl.pallas_call(
+            kernel,
+            grid=(b, grid_b),
+            in_specs=[
+                pl.BlockSpec((1, 1, k), lambda bi, j: (bi, 0, 0)),
+                pl.BlockSpec((1, blk, no * pack), lambda bi, j: (bi, j, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, k, no * pack),
+                                   lambda bi, j: (bi, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, k, no * pack), dtype),
+            interpret=interpret,
+        )(idx.astype(jnp.int32).reshape(b, 1, k), packed)
+        nb = part if nb is None else nb + part
+        off += n_l
+    # lane-select the no-wide window of each packed neighborhood
+    phase = (idx % pack)[..., None]
+    out = jnp.zeros((b, k, no), dtype)
+    for s in range(pack):
+        out = jnp.where(phase == s, nb[..., s * no:(s + 1) * no], out)
+    return out

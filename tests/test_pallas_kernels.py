@@ -77,3 +77,64 @@ def test_topk_gallery_nonmultiple_and_negative_scores(rng):
     dense = q @ g.T
     ref = np.sort(dense, axis=1)[:, ::-1][:, :4]
     np.testing.assert_allclose(scores, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_crop_windowed_matches_dense(rng):
+    """The windowed crop kernel is bit-exact vs the dense kernel on an
+    image large enough to take the windowed path (window-crossing, huge,
+    edge-touching and fully-outside boxes included)."""
+    import jax.numpy as jnp
+
+    import face_detection_and_recognition_tpu.ops.pallas_kernels as PK
+
+    img = rng.uniform(-1, 1, (256, 256, 3)).astype(np.float32)
+    img_cm = jnp.asarray(img).transpose(2, 0, 1).reshape(-1, img.shape[1])
+    boxes = jnp.asarray(np.array([
+        [10, 10, 50, 60],          # inside one window
+        [100, 100, 260, 280],      # crosses window boundaries + image edge
+        [-30, -40, 300, 300],      # covers everything incl. outside
+        [120, 120, 140, 150],
+        [-50, -50, -10, -5],       # fully outside
+        [0, 190, 256, 256],        # bottom edge
+    ], np.float32))
+    valid = jnp.asarray(np.array([1, 1, 1, 1, 1, 0], np.float32))
+
+    for clamp in (True, False):
+        win = np.asarray(PK.crop_gemm_pallas.__wrapped__(
+            img_cm, boxes, valid, (24, 24), clamp, True))
+        orig = PK._CROP_WIN_H
+        try:
+            PK._CROP_WIN_H = 10 ** 6          # force the dense kernel
+            dense = np.asarray(PK.crop_gemm_pallas.__wrapped__(
+                img_cm, boxes, valid, (24, 24), clamp, True))
+        finally:
+            PK._CROP_WIN_H = orig
+        # identical hat weights; only f32 summation GROUPING differs when a
+        # 2-tap support straddles a piece boundary
+        np.testing.assert_allclose(win, dense, atol=1e-6)
+        assert (win[-1] == 0).all()
+
+
+def test_candidate_rows_gather_matches_take_along(rng):
+    """The streaming one-hot GEMM gather returns exactly
+    take_along_axis(concat(levels), idx) — partial tail blocks, level
+    boundaries and repeated indices included."""
+    import jax.numpy as jnp
+
+    from face_detection_and_recognition_tpu.ops.pallas_kernels import \
+        candidate_rows_gather_pallas
+
+    b, no, k = 3, 16, 64
+    sizes = (1200, 304, 80)                        # pack=8 divides each
+    maps = [jnp.asarray(rng.standard_normal((b, n, no)).astype(np.float32))
+            for n in sizes]
+    n_total = sum(sizes)
+    idx = rng.randint(0, n_total, (b, k)).astype(np.int32)
+    idx[0, :4] = [0, 7, sizes[0] - 1, sizes[0]]    # boundary rows
+    idx[1, :2] = [n_total - 1, n_total - 1]        # repeated last row
+    got = np.asarray(candidate_rows_gather_pallas(
+        tuple(maps), jnp.asarray(idx), blk=128, interpret=True))
+    ref = np.asarray(jnp.take_along_axis(
+        jnp.concatenate(maps, axis=1),
+        jnp.asarray(idx)[..., None], axis=1))
+    np.testing.assert_array_equal(got, ref)
