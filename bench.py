@@ -42,9 +42,11 @@ def build_pipeline(dtype):
     spec = ARCHS[cfg.arch]
 
     @jax.jit
-    def run(variables, frames_u8):
+    def run(frames_u8):
         # preprocess in the backbone dtype: ~25% of step time was f32
-        # resize/normalize bandwidth (uint8 values are exact in bf16)
+        # resize/normalize bandwidth (uint8 values are exact in bf16).
+        # variables are CLOSURE-CAPTURED (weights resident, as in serving):
+        # flattening the params pytree per dispatch costs ~2 ms on a tunnel
         x = P.apply_preprocess_batch(frames_u8, P.YOLOV5_FACE, dtype)
         maps = net.apply(variables, x)
         # candidates-first decode+NMS (top-k on raw logits before decode)
@@ -69,11 +71,11 @@ def bench(dtype) -> float:
         # scalar: in-order execution means last-result-ready => all done
         float(jnp.sum(d[0, 0]))
 
-    d, v = run(variables, frames)  # warmup / compile
+    d, v = run(frames)  # warmup / compile
     sync(d)
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        d, v = run(variables, frames)
+        d, v = run(frames)
     sync(d)
     dt = time.perf_counter() - t0
     return BATCH * ITERS / dt

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -105,6 +106,7 @@ class FaceEngine:
             rng=rng, dtype=cfg.dtype, **cfg.detector_overrides
         )
         self._pipeline_cache: Dict[Tuple[int, int, int], Any] = {}
+        self._scalar_cache: Dict[float, Any] = {}
 
         self.embed_net = self.embed_vars = self._embed = None
         self.embed_spec = None
@@ -216,10 +218,17 @@ class FaceEngine:
     def input_size(self) -> Tuple[int, int]:
         return self.spec.input_size
 
-    def _pipeline_for(self, shape: Tuple[int, int, int]):
-        """Fused preprocess+detect+postprocess for one source resolution."""
-        if shape in self._pipeline_cache:
-            return self._pipeline_cache[shape]
+    def _pipeline_for(self, shape: Tuple[int, int, int],
+                      with_vars: bool = False):
+        """Fused preprocess+detect+postprocess for one source resolution.
+
+        with_vars=False closes over ``self.variables`` (cleared from the
+        cache by ``load_weights``): flattening the ~300-leaf params pytree
+        on every dispatch costs ~2 ms/call through a tunneled TPU. The
+        sharded path passes mesh-replicated variables explicitly."""
+        key = (shape, with_vars)
+        if key in self._pipeline_cache:
+            return self._pipeline_cache[key]
         h, w = shape[:2]
         native = self.spec.input_size == (-1, -1)
         in_size = (w, h) if native else self.spec.input_size
@@ -229,8 +238,7 @@ class FaceEngine:
 
         # thresholds are TRACED arguments: per-call overrides (the Triton
         # ensemble contract) cost zero recompiles and are thread-safe
-        @jax.jit
-        def run(variables, imgs, det_thres, area_thres):
+        def body(variables, imgs, det_thres, area_thres):
             if native:
                 x = imgs  # cascade handles its own preprocessing
             else:
@@ -242,7 +250,13 @@ class FaceEngine:
                 dets, valid, (w, h), in_size, det_thres, area_thres
             )
 
-        self._pipeline_cache[shape] = run
+        if with_vars:
+            run = jax.jit(body)
+        else:
+            captured = self.variables
+            run = jax.jit(partial(body, captured))
+
+        self._pipeline_cache[key] = run
         return run
 
     def detect_batch(
@@ -255,7 +269,7 @@ class FaceEngine:
         run = self._pipeline_for(tuple(imgs.shape[1:]))
         dt = self.cfg.det_thres if det_thres is None else det_thres
         at = self.cfg.bbox_area_thres if bbox_area_thres is None else bbox_area_thres
-        return run(self.variables, imgs, jnp.float32(dt), jnp.float32(at))
+        return run(imgs, self._scalar(dt), self._scalar(at))
 
     def detect_batch_sharded(self, imgs: np.ndarray, mesh) -> Detections:
         """Multi-chip data-parallel detection: the frame batch is sharded
@@ -263,11 +277,20 @@ class FaceEngine:
         whole preprocess+detect+postprocess program (SURVEY §2.7 item 1)."""
         from ..parallel.sharding import batch_sharding, replicate_to_mesh
 
-        run = self._pipeline_for(tuple(imgs.shape[1:]))
+        run = self._pipeline_for(tuple(imgs.shape[1:]), with_vars=True)
         variables = replicate_to_mesh(self.variables, mesh)
         imgs = jax.device_put(np.asarray(imgs), batch_sharding(mesh, 4))
         return run(variables, imgs, jnp.float32(self.cfg.det_thres),
                    jnp.float32(self.cfg.bbox_area_thres))
+
+    def _scalar(self, v: float):
+        """Threshold scalars as CACHED device arrays: a fresh jnp.float32()
+        per call is a blocking host->device transfer (several ms through a
+        tunneled TPU) that would book against every detect step."""
+        key = float(v)
+        if key not in self._scalar_cache:
+            self._scalar_cache[key] = jnp.float32(key)
+        return self._scalar_cache[key]
 
     def detect_image(
         self, img: np.ndarray, det_thres: float = None,
@@ -336,8 +359,7 @@ class FaceEngine:
 
         from ..models.embedders import preprocess_crops
 
-        @jax.jit
-        def run(det_vars, embed_vars, ag_vars, imgs, det_thres, area_thres):
+        def body(det_vars, embed_vars, ag_vars, imgs, det_thres, area_thres):
             x = P.apply_preprocess_batch(imgs, spec_pre, pre_dtype)
             dets, valid = self._detect(det_vars, x)
             post = postprocess_detections(
@@ -390,6 +412,14 @@ class FaceEngine:
                 gender = g.reshape(bsz, k, -1)
             return post, crops, emb, age, gender
 
+        if sharded:
+            run = jax.jit(body)
+        else:
+            # close over the engine's variables (load_weights clears the
+            # cache): per-call pytree flattening costs ~2 ms on a tunnel
+            run = jax.jit(partial(body, self.variables, self.embed_vars,
+                                  self.ag_vars))
+
         self._pipeline_cache[key] = run
         return run
 
@@ -429,18 +459,20 @@ class FaceEngine:
                                  sharded=mesh is not None)
         dt = self.cfg.det_thres if det_thres is None else det_thres
         at = self.cfg.bbox_area_thres if bbox_area_thres is None else bbox_area_thres
-        det_vars, embed_vars, ag_vars = (self.variables, self.embed_vars,
-                                         self.ag_vars)
         if mesh is not None:
             from ..parallel.sharding import batch_sharding, replicate_to_mesh
 
             det_vars, embed_vars, ag_vars = replicate_to_mesh(
-                (det_vars, embed_vars, ag_vars), mesh)
+                (self.variables, self.embed_vars, self.ag_vars), mesh)
             imgs = jax.device_put(np.asarray(imgs), batch_sharding(mesh, 4))
-        post, crops, emb, age, gender = run(
-            det_vars, embed_vars, ag_vars,
-            imgs, jnp.float32(dt), jnp.float32(at),
-        )
+            post, crops, emb, age, gender = run(
+                det_vars, embed_vars, ag_vars,
+                imgs, self._scalar(dt), self._scalar(at),
+            )
+        else:  # variables closure-captured by the compiled program
+            post, crops, emb, age, gender = run(
+                imgs, self._scalar(dt), self._scalar(at),
+            )
         return EnsembleResult(det=post, crops=crops, embeddings=emb,
                               age_probs=age, gender_probs=gender)
 

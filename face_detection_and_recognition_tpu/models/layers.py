@@ -190,12 +190,26 @@ class SPP(nn.Module):
     def __call__(self, x, train: bool = False):
         c_ = x.shape[-1] // 2
         x = ConvBN(c_, 1, 1, dtype=self.dtype, quantized=self.quantized)(x, train)
-        pools = [
-            nn.max_pool(
-                x, (k, k), strides=(1, 1), padding=[(k // 2, k // 2)] * 2
-            )
-            for k in self.kernels
-        ]
+        ks = list(self.kernels)
+        if all(ks[i + 1] == ks[i] + ks[0] - 1 for i in range(len(ks) - 1)):
+            # cascade identity: stride-1 SAME max_pool(k) of max_pool(j) ==
+            # max_pool(j+k-1), so (5, 9, 13) = three chained 5x5 pools (the
+            # SPPF trick) — bit-exact, and XLA's reduce_window cost scales
+            # with k*k so the 13x13 window drops from 169 to 25 reads/elem
+            k = ks[0]
+            pools, y = [], x
+            for _ in ks:
+                y = nn.max_pool(
+                    y, (k, k), strides=(1, 1), padding=[(k // 2, k // 2)] * 2
+                )
+                pools.append(y)
+        else:
+            pools = [
+                nn.max_pool(
+                    x, (k, k), strides=(1, 1), padding=[(k // 2, k // 2)] * 2
+                )
+                for k in self.kernels
+            ]
         return ConvBN(self.features, 1, 1, dtype=self.dtype, quantized=self.quantized)(
             jnp.concatenate([x] + pools, axis=-1), train
         )

@@ -80,8 +80,8 @@ def export_ensemble(engine, path: str, batch: int = 1,
           else bbox_area_thres)
 
     def fn(imgs):
+        # non-sharded ensemble programs capture the engine's variables
         post, crops, emb, age, gender = run(
-            engine.variables, engine.embed_vars, engine.ag_vars,
             imgs, jnp.float32(dt), jnp.float32(at))
         outs = (post.boxes, post.scores, post.valid, crops)
         if emb is not None:
