@@ -218,6 +218,21 @@ between runs (device compute is ~8 ms at batch 1); on a PCIe host expect
   (`crop_gemm_pallas`: image VMEM-resident across all K crops).
 - Detector preprocess runs in the backbone dtype (bf16): uint8 pixels are
   exact in bf16, and the f32 resize/normalize was ~25% of the yolov5s step.
+- Round-2b kernel work: candidate rows are gathered by
+  `candidate_rows_gather_pallas` (streaming one-hot GEMM over the raw head
+  levels; XLA row gathers are latency-bound ~2.6 ms at [128,1024,16] and
+  needed the [B,~25k,16] concat — decode section 7.9 -> 4.5 ms device
+  time); the Pallas crop kernel is WINDOWED (only [128,256] image pieces
+  overlapping each box are multiplied — exact decomposition, ~10x fewer
+  MACs for typical face boxes); the MTCNN pyramid resamples in the P-Net
+  compute dtype; SPP's (5,9,13) pools run as three chained 5x5 pools (the
+  SPPF identity, bit-exact); `resize_bilinear` applies banded row-block
+  GEMMs weight-identical to jax.image.resize instead of its dense dots.
+- Dispatch overhead matters at these step times: engine pipelines CAPTURE
+  the params pytree in the compiled closure (flattening ~300 leaves per
+  call costs ~2 ms through the tunnel; `load_weights` invalidates the
+  cache) and threshold scalars are cached device arrays, not per-call
+  `jnp.float32(...)` transfers.
 - End-to-end *video file* throughput on THIS rig is bound by the axon
   tunnel's ~35MB/s host->device upload (18 fps at 576x1024 with decode,
   upload, compute and annotate fully overlapped —

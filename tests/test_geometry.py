@@ -143,3 +143,25 @@ def test_preprocess_blazeface_range(rng):
     out = np.asarray(P.apply_preprocess(img, P.BLAZEFACE_BACK))
     assert out.shape == (256, 256, 3)
     assert -1.0 - 1e-5 <= out.min() and out.max() <= 1.0 + 1e-5
+
+
+def test_banded_resize_matches_jax_image_resize(rng):
+    """resize_bilinear's banded row-block GEMMs are weight-identical to
+    jax.image.resize (downscale crosses block windows; upscale and the
+    no-op axis take the dense/shortcut paths)."""
+    import jax
+    import jax.numpy as jnp
+
+    from face_detection_and_recognition_tpu.ops.geometry import \
+        resize_bilinear
+
+    for (h, w), (oh, ow) in [((576, 320), (360, 200)), ((230, 310), (161, 217)),
+                             ((64, 48), (160, 120)), ((300, 256), (300, 160))]:
+        img = rng.randint(0, 255, (h, w, 3)).astype(np.uint8)
+        a = np.asarray(resize_bilinear(jnp.asarray(img), (oh, ow), jnp.float32))
+        b = np.asarray(jax.image.resize(
+            jnp.asarray(img).astype(jnp.float32), (oh, ow, 3), "linear",
+            antialias=False))
+        # identical weights; only f32 contraction order differs between the
+        # banded blocks and the dense dot (~1e-4 relative on 0..255 pixels)
+        np.testing.assert_allclose(a, b, atol=5e-2)
