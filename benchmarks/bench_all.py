@@ -227,7 +227,10 @@ between runs (device compute is ~8 ms at batch 1); on a PCIe host expect
   MACs for typical face boxes); the MTCNN pyramid resamples in the P-Net
   compute dtype; SPP's (5,9,13) pools run as three chained 5x5 pools (the
   SPPF identity, bit-exact); `resize_bilinear` applies banded row-block
-  GEMMs weight-identical to jax.image.resize instead of its dense dots.
+  GEMMs weight-identical to jax.image.resize instead of its dense dots;
+  and the crop kernel SKIPS invalid proposal slots with pl.when instead of
+  zero-multiplying them (mtcnn 1062 -> 1775 fps: stage blocks are mostly
+  padding, and the kernel is per-crop issue-bound).
 - Dispatch overhead matters at these step times: engine pipelines CAPTURE
   the params pytree in the compiled closure (flattening ~300 leaves per
   call costs ~2 ms through the tunnel; `load_weights` invalidates the

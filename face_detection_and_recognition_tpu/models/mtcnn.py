@@ -296,7 +296,8 @@ class MTCNN:
 
         # ---- stage 2: R-Net ----
         crops = crop_and_resize_padded(norm, boxes, (24, 24), valid,
-                                       method=crop_m)
+                                       method=crop_m,
+                                       compute_dtype=self.dtype)
         prob, reg = self.rnet.apply(variables["rnet"], crops)
         score = prob[:, 1]
         valid = valid & (score > t2)
@@ -308,7 +309,8 @@ class MTCNN:
 
         # ---- stage 3: O-Net ----
         crops = crop_and_resize_padded(norm, boxes, (48, 48), valid,
-                                       method=crop_m)
+                                       method=crop_m,
+                                       compute_dtype=self.dtype)
         prob, reg, lmk = self.onet.apply(variables["onet"], crops)
         score = prob[:, 1]
         valid = valid & (score > t3)

@@ -139,13 +139,14 @@ def crop_and_resize(
     return crops
 
 
-@partial(jax.jit, static_argnames=("out_hw", "method"))
+@partial(jax.jit, static_argnames=("out_hw", "method", "compute_dtype"))
 def crop_and_resize_padded(
     img: jnp.ndarray,
     boxes: jnp.ndarray,
     out_hw: Tuple[int, int],
     valid: jnp.ndarray = None,
     method: str = "auto",
+    compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Like crop_and_resize, but boxes may extend beyond the image: samples
     that fall outside are ZERO instead of clamped — matching MTCNN's ``pad``
@@ -164,7 +165,8 @@ def crop_and_resize_padded(
     ch = jnp.maximum(jnp.floor(boxes[:, 3]) - y1, 1.0)
 
     if method == "pallas":
-        return _crop_pallas(img, boxes, valid, (oh, ow), clamp=False)
+        return _crop_pallas(img, boxes, valid, (oh, ow), clamp=False,
+                            compute_dtype=compute_dtype)
     if method == "gemm":
         # hat weights vanish outside [0, H-1]/[0, W-1]: exactly the facenet
         # zero-canvas pad semantics, no masking needed
@@ -200,7 +202,11 @@ def crop_and_resize_padded(
     return crops
 
 
-def _crop_pallas(img, boxes, valid, out_hw, clamp):
+def _crop_pallas(img, boxes, valid, out_hw, clamp, compute_dtype=jnp.float32):
+    """compute_dtype=bf16 runs the crop GEMMs at full MXU rate (f32 is 1/4
+    on v5e) — right when the crops feed a bf16 network anyway (the pixels
+    get rounded to bf16 at its first conv regardless); keep f32 when the
+    crops themselves are the product (extraction jpgs)."""
     from .pallas_kernels import crop_gemm_pallas
 
     oh, ow = out_hw
@@ -208,7 +214,8 @@ def _crop_pallas(img, boxes, valid, out_hw, clamp):
     c = img.shape[2]
     img_cm = img.transpose(2, 0, 1).reshape(c * h, w)
     v = valid if valid is not None else jnp.ones(boxes.shape[0], jnp.float32)
-    out = crop_gemm_pallas(img_cm, boxes, v, (oh, ow), clamp=clamp)
+    out = crop_gemm_pallas(img_cm, boxes, v, (oh, ow), clamp=clamp,
+                           compute_dtype=compute_dtype)
     return out.reshape(boxes.shape[0], c, oh, ow).transpose(0, 2, 3, 1)
 
 

@@ -278,12 +278,20 @@ def _crop_kernel(boxes_ref, valid_ref, img_ref, out_ref, *, oh: int, ow: int,
     wx = jnp.maximum(0.0, 1.0 - jnp.abs(xs - ix))      # [ow, W]
 
     v = valid_ref[k]
+    wdt = img_ref.dtype
     for c in range(channels):                          # static unroll
-        rows = jnp.dot(wy, img_ref[c * img_h:(c + 1) * img_h, :],
-                       preferred_element_type=jnp.float32)   # [oh_pad, W]
-        crop = jnp.dot(rows, wx.T,
-                       preferred_element_type=jnp.float32)   # [oh_pad, ow_pad]
-        out_ref[c * oh_pad:(c + 1) * oh_pad, :] = crop * v
+        out_ref[c * oh_pad:(c + 1) * oh_pad, :] = jnp.zeros(
+            (oh_pad, ow_pad), jnp.float32)
+
+    @pl.when(v > 0.0)  # skip padding slots entirely
+    def _run():
+        for c in range(channels):                      # static unroll
+            rows = jnp.dot(wy.astype(wdt),
+                           img_ref[c * img_h:(c + 1) * img_h, :],
+                           preferred_element_type=jnp.float32)  # [oh_pad, W]
+            crop = jnp.dot(rows.astype(wdt), wx.astype(wdt).T,
+                           preferred_element_type=jnp.float32)
+            out_ref[c * oh_pad:(c + 1) * oh_pad, :] = crop
 
 
 def _crop_kernel_windowed(boxes_ref, valid_ref, img_ref, out_ref, strip_ref,
@@ -363,12 +371,14 @@ def _crop_kernel_windowed(boxes_ref, valid_ref, img_ref, out_ref, strip_ref,
         out_ref[c * oh_pad:(c + 1) * oh_pad, :] = jnp.zeros(
             (oh_pad, ow_pad), jnp.float32)
 
-    def body_t(t, _):
+    wdt = img_ref.dtype  # bf16 images run the GEMMs at full MXU rate
+
+    def body_t(t, _):  # runs only for valid crops (see pl.when below)
         want_c = base_c + t * win_w
         cs = pl.multiple_of(jnp.minimum(want_c, img_w - win_w), 128)
         cols = (cs + col_iota).astype(jnp.float32)
         wx_t = jnp.maximum(0.0, 1.0 - jnp.abs(xs - cols))
-        wx_t = jnp.where(cs + col_iota >= want_c, wx_t, 0.0) * v
+        wx_t = (jnp.where(cs + col_iota >= want_c, wx_t, 0.0) * v).astype(wdt)
 
         for c in range(channels):                      # static unroll
             strip_ref[...] = jnp.zeros((oh_pad, win_w), jnp.float32)
@@ -381,16 +391,21 @@ def _crop_kernel_windowed(boxes_ref, valid_ref, img_ref, out_ref, strip_ref,
                 wy_j = jnp.where(sj + row_iota >= want_r, wy_j, 0.0)
                 win = img_ref[pl.ds(c * img_h + sj, win_h), pl.ds(cs, win_w)]
                 strip_ref[...] += jnp.dot(
-                    wy_j, win, preferred_element_type=jnp.float32)
+                    wy_j.astype(wdt), win, preferred_element_type=jnp.float32)
                 return 0
 
             jax.lax.fori_loop(0, n_r, body_j, 0)
             sl = pl.ds(c * oh_pad, oh_pad)
-            out_ref[sl, :] += jnp.dot(strip_ref[...], wx_t.T,
+            out_ref[sl, :] += jnp.dot(strip_ref[...].astype(wdt), wx_t.T,
                                       preferred_element_type=jnp.float32)
         return 0
 
-    jax.lax.fori_loop(0, n_c, body_t, 0)
+    # invalid rows are SKIPPED, not zero-multiplied: stage proposal blocks
+    # are mostly padding on real images (max_stage2=128 slots vs ~10 faces)
+    # and the kernel is per-crop issue-bound, so skipping is the win
+    @pl.when(v > 0.0)
+    def _run():
+        jax.lax.fori_loop(0, n_c, body_t, 0)
 
 
 _CROP_WIN_H = 128
@@ -398,7 +413,8 @@ _CROP_WIN_W = 256
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("out_hw", "clamp", "interpret"))
+                   static_argnames=("out_hw", "clamp", "interpret",
+                                    "compute_dtype"))
 def crop_gemm_pallas(
     img_cm: jnp.ndarray,
     boxes: jnp.ndarray,
@@ -406,6 +422,7 @@ def crop_gemm_pallas(
     out_hw: Tuple[int, int],
     clamp: bool = True,
     interpret: bool = None,
+    compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Fused crop+resize for ALL boxes of one image in one kernel.
 
@@ -472,7 +489,7 @@ def crop_gemm_pallas(
         out_shape=jax.ShapeDtypeStruct((k, c * oh_pad, ow_pad), jnp.float32),
         interpret=interpret,
     )(boxes.astype(jnp.float32), valid.astype(jnp.float32),
-      img_cm.astype(jnp.float32))
+      img_cm.astype(compute_dtype))
     # strip tiling padding: [K, C*oh_pad, ow_pad] -> [K, C*oh, ow]
     out = out.reshape(k, c, oh_pad, ow_pad)[:, :, :oh, :ow]
     return out.reshape(k, c * oh, ow)
