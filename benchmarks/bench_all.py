@@ -191,12 +191,15 @@ def main():
 NOTES_FOOTER = """
 ## Serving latency (batch 1, 576x1024, yolov5s)
 
-`FaceService.detect_faces`: min 99 / p50 145 / p90 182 ms; full
-`detect_embed_classify`: min 98 / p50 121 / p90 165 ms
-(`benchmarks/bench_serving.py`, 80 iters) — dominated by the ~50-100 ms
-frame upload through the shared axon tunnel, whose load varies tens of ms
-between runs (device compute is ~8 ms at batch 1); on a PCIe host expect
-~10 ms p50. Concurrent callers amortize further via dynamic batching
+`FaceService.detect_faces`: min 55 / p50 64 / p90 71 ms; full
+`detect_embed_classify`: min 69 / p50 77 / p90 82 ms
+(`benchmarks/bench_serving.py`, 50 iters). Round-2b halved p50 (was
+145/121 ms): per-call `jnp.float32(threshold)` scalars were BLOCKING
+host->device transfers through the tunnel — they're cached device arrays
+now, and the params pytree is closure-captured. The remaining floor is
+the ~50 ms frame upload through the shared axon tunnel (device compute
+is ~8 ms at batch 1); on a PCIe host expect ~10 ms p50. Concurrent
+callers amortize further via dynamic batching
 (`enable_dynamic_batching`).
 
 ## Notes (round 2)

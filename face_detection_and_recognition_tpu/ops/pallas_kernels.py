@@ -595,3 +595,4 @@ def candidate_rows_gather_pallas(
     for s in range(pack):
         out = jnp.where(phase == s, nb[..., s * no:(s + 1) * no], out)
     return out
+

@@ -138,3 +138,4 @@ def test_candidate_rows_gather_matches_take_along(rng):
         jnp.concatenate(maps, axis=1),
         jnp.asarray(idx)[..., None], axis=1))
     np.testing.assert_array_equal(got, ref)
+
