@@ -32,11 +32,21 @@ def make_divisible_torch(x: float, divisor: int) -> int:
 
 
 def channel_shuffle(x: jnp.ndarray, groups: int) -> jnp.ndarray:
-    """ShuffleNet channel shuffle on NHWC tensors (common.py:21-31)."""
-    b, h, w, c = x.shape
-    x = x.reshape(b, h, w, groups, c // groups)
-    x = jnp.swapaxes(x, 3, 4)
-    return x.reshape(b, h, w, c)
+    """ShuffleNet channel shuffle on NHWC tensors (common.py:21-31).
+
+    Implemented as an EXACT one-hot matmul on the channel axis: a lane
+    permutation is a relayout copy on the VPU (measured ~425 GB/s on the
+    yolov5n stage tensors) but rides the MXU as a [C, C] one-hot GEMM at
+    the HBM roofline. One nonzero per output keeps it exact in every dtype
+    (1.0 * x with f32 accumulation)."""
+    import numpy as np
+
+    c = x.shape[-1]
+    perm = np.arange(c).reshape(groups, c // groups).T.reshape(-1)
+    p = jnp.asarray(np.eye(c, dtype=np.float32)[perm].T, x.dtype)
+    return jax.lax.dot_general(
+        x, p, (((x.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)
 
 
 class ConvBN(nn.Module):
