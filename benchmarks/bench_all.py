@@ -235,7 +235,11 @@ callers amortize further via dynamic batching
   zero-multiplying them (mtcnn 1062 -> 1775 fps: stage blocks are mostly
   padding, and the kernel is per-crop issue-bound). channel_shuffle runs as
   an exact one-hot [C, C] matmul on the MXU instead of a VPU lane-relayout
-  copy: yolov5n device step 42.3 -> 33.6 ms (2579 -> 3248 fps).
+  copy: yolov5n device step 42.3 -> 33.6 ms (2579 -> 3248 fps). BlazeFace's
+  weighted-blend NMS runs as ONE VMEM kernel (`weighted_blend_nms_pallas`:
+  greedy-keep fixpoint + first-kept-owner assignment + MXU one-hot blends —
+  the sequential jnp fori ran at 40 GB/s): blazeface-back 8639 -> 9685,
+  front 12815 -> 15025 fps at b256.
 - Dispatch overhead matters at these step times: engine pipelines CAPTURE
   the params pytree in the compiled closure (flattening ~300 leaves per
   call costs ~2 ms through the tunnel; `load_weights` invalidates the

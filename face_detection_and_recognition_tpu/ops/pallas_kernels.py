@@ -596,3 +596,109 @@ def candidate_rows_gather_pallas(
         out = jnp.where(phase == s, nb[..., s * no:(s + 1) * no], out)
     return out
 
+
+
+# ---------------- weighted-blend NMS (BlazeFace) ----------------
+
+
+def _blend_nms_kernel(dets_ref, valid_ref, thr_ref, out_ref, keep_ref, *,
+                      d: int):
+    """Parallel form of ops/nms.weighted_blend_nms's sequential loop.
+
+    The pick sequence of the reference while-loop is the greedy keep set
+    (same fixpoint as :func:`_nms_kernel`), and every detection is consumed
+    by the FIRST kept detection overlapping it — its "owner", a masked min
+    over kept ranks. Blends then become one-hot matmuls on the MXU. Rows
+    are score-sorted desc; coords in cols 0..d-2, score in col d-1."""
+    dets = dets_ref[:]                         # [K, DP] (cols >= d are 0)
+    valid = valid_ref[:]                       # [1, K] f32
+    iou_thres = thr_ref[0, 0]                  # traced threshold
+    k = dets.shape[0]
+
+    # IoU on the yx-layout cols: the intersection product is symmetric in
+    # the axis roles, so (ymin, xmin, ymax, xmax) needs no reordering
+    a1, b1, a2, b2 = dets[:, 0], dets[:, 1], dets[:, 2], dets[:, 3]
+    lt_a = jnp.maximum(a1[:, None], a1[None, :])
+    lt_b = jnp.maximum(b1[:, None], b1[None, :])
+    rb_a = jnp.minimum(a2[:, None], a2[None, :])
+    rb_b = jnp.minimum(b2[:, None], b2[None, :])
+    inter = jnp.clip(rb_a - lt_a, 0.0, None) * jnp.clip(rb_b - lt_b, 0.0, None)
+    area = (a2 - a1) * (b2 - b1)
+    iou = inter / (area[:, None] + area[None, :] - inter)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    ov = jnp.where(iou > iou_thres, 1.0, 0.0)          # strict, no +1
+    sup_higher = jnp.where((ov > 0.0) & (row < col), 1.0, 0.0)
+
+    def cond(c):
+        s, prev, it = c
+        return (it < 1) | jnp.any(s != prev)
+
+    def body(c):
+        s, _, it = c
+        keepv = valid * (1.0 - s)
+        sup = jnp.dot(keepv, sup_higher, preferred_element_type=jnp.float32)
+        return jnp.where(sup > 0.0, 1.0, 0.0), s, it + 1
+
+    s0 = valid * 0.0
+    s_final, _, _ = jax.lax.while_loop(cond, body, (s0, s0 + 1.0, 0))
+    keep = valid * (1.0 - s_final)                     # [1, K]
+
+    # owner(j) = first kept i with (iou(i,j) > thr or i == j); kept rows
+    # own themselves (nothing earlier overlaps them, by definition of keep)
+    eye = jnp.where(row == col, 1.0, 0.0)
+    cand = keep.reshape(k, 1) * valid * jnp.maximum(ov, eye)   # [K, K]
+    rank = jnp.where(cand > 0.0, row, k)
+    owner = jnp.min(rank, axis=0)                      # [K] int32
+
+    sel = jnp.where((row == owner[None, :]) & (owner[None, :] < k), 1.0, 0.0)
+    w = dets[:, d - 1] * valid[0]                      # scores
+    wsel = sel * w[None, :]
+    numer = jnp.dot(wsel, dets, preferred_element_type=jnp.float32)
+    denom = jnp.sum(wsel, axis=1)                      # [K]
+    n = jnp.sum(sel, axis=1)
+    safe = jnp.where(denom > 0.0, denom, 1.0)
+    blended = numer / safe[:, None]
+    score = denom / jnp.where(n > 0.0, n, 1.0)
+    use_blend = jnp.where(n > 1.0, 1.0, 0.0)[:, None]  # [K, 1]
+    out = blended * use_blend + dets * (1.0 - use_blend)
+    lane = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1)
+    sc = score[:, None] * use_blend + dets[:, d - 1:d] * (1.0 - use_blend)
+    out = jnp.where(lane == d - 1, sc, out)
+    out_ref[:] = out * keep.reshape(k, 1)
+    keep_ref[:] = keep
+
+
+def weighted_blend_nms_pallas(
+    sdets: jnp.ndarray,
+    svalid: jnp.ndarray,
+    iou_thres: float,
+    interpret: bool = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Blend rows + keep mask for score-sorted dets [K, D] (score last).
+    Returns (rows [K, D] — blended where kept, zero elsewhere, keep [K]).
+    The caller compacts kept rows into max_out slots (they are already in
+    the reference's emission order: kept rows by descending pick score)."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    k, d = sdets.shape
+    kp = ((k + 7) // 8) * 8
+    dp = ((d + 127) // 128) * 128
+    dets_p = jnp.zeros((kp, dp), jnp.float32).at[:k, :d].set(
+        sdets.astype(jnp.float32))
+    valid_p = jnp.zeros((1, kp), jnp.float32).at[0, :k].set(
+        svalid.astype(jnp.float32))
+    kernel = functools.partial(_blend_nms_kernel, d=d)
+    thr = jnp.asarray(iou_thres, jnp.float32).reshape(1, 1)
+    out, keep = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((kp, dp), jnp.float32),
+            jax.ShapeDtypeStruct((1, kp), jnp.float32),
+        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM)] * 3,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM)] * 2,
+        interpret=interpret,
+    )(dets_p, valid_p, thr)
+    return out[:k, :d], keep[0, :k] > 0.5

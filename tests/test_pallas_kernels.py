@@ -139,3 +139,43 @@ def test_candidate_rows_gather_matches_take_along(rng):
         jnp.asarray(idx)[..., None], axis=1))
     np.testing.assert_array_equal(got, ref)
 
+
+
+def test_weighted_blend_nms_pallas_matches_jnp(rng):
+    """The parallel blend-NMS kernel (keep fixpoint + owner one-hot blends)
+    reproduces the sequential fori-loop reference row-for-row — overlaps,
+    singletons, degenerate boxes and invalid rows included."""
+    import jax.numpy as jnp
+
+    from face_detection_and_recognition_tpu.ops.nms import (sort_by_score,
+                                                            weighted_blend_nms)
+    from face_detection_and_recognition_tpu.ops.pallas_kernels import \
+        weighted_blend_nms_pallas
+
+    k, d, max_out = 64, 17, 16
+    base = rng.uniform(0.1, 0.7, (k, 2)).astype(np.float32)
+    wh = rng.uniform(0.05, 0.3, (k, 2)).astype(np.float32)
+    dets = np.zeros((k, d), np.float32)
+    dets[:, 0:2] = base
+    dets[:, 2:4] = base + wh
+    # overlapping cluster + a degenerate (inverted) box
+    dets[5] = dets[4]; dets[5, :4] += 0.01
+    dets[6] = dets[4]; dets[6, :4] += 0.02
+    dets[9, 2:4] = dets[9, 0:2] - 0.1
+    dets[:, 4:16] = rng.standard_normal((k, 12)).astype(np.float32)
+    dets[:, 16] = rng.uniform(0.3, 1.0, k).astype(np.float32)
+    valid = np.ones(k, bool)
+    valid[-5:] = False
+
+    ref_out, ref_valid = weighted_blend_nms(
+        jnp.asarray(dets), jnp.asarray(valid), 0.3, max_out)
+    _, _, svalid, sdets = sort_by_score(
+        jnp.asarray(dets)[:, -1], jnp.asarray(valid), jnp.asarray(dets))
+    rows, keep = weighted_blend_nms_pallas(sdets, svalid, 0.3, interpret=True)
+    order = np.argsort(np.where(np.asarray(keep), 0, 1),
+                       kind="stable")[:max_out]
+    got_out = np.asarray(rows)[order]
+    got_valid = np.asarray(keep)[order]
+    np.testing.assert_array_equal(got_valid, np.asarray(ref_valid))
+    np.testing.assert_allclose(got_out, np.asarray(ref_out),
+                               atol=1e-5, rtol=1e-5)
