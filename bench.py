@@ -51,7 +51,8 @@ def build_pipeline(dtype):
         maps = net.apply(variables, x)
         # candidates-first decode+NMS (top-k on raw logits before decode)
         return yolov5_face_detect_maps(
-            maps, spec["anchors"], spec["strides"], cfg)
+            maps, spec["anchors"], spec["strides"], cfg,
+            rows_bf16_exact=(dtype == jnp.bfloat16))
 
     return run, variables
 

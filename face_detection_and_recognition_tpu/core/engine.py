@@ -102,11 +102,11 @@ class FaceEngine:
                                                size=ov_size),
             )
         rng = jax.random.PRNGKey(cfg.seed)
+        self._pipeline_cache: Dict[Tuple[int, int, int], Any] = {}
+        self._scalar_cache: Dict[float, Any] = {}
         self.net, self.variables, self._detect = self.spec.build(
             rng=rng, dtype=cfg.dtype, **cfg.detector_overrides
         )
-        self._pipeline_cache: Dict[Tuple[int, int, int], Any] = {}
-        self._scalar_cache: Dict[float, Any] = {}
 
         self.embed_net = self.embed_vars = self._embed = None
         self.embed_spec = None
@@ -123,6 +123,38 @@ class FaceEngine:
             _, self.ag_vars, self._classify_ag = make_age_gender(
                 rng=jax.random.fold_in(rng, 2), dtype=cfg.dtype
             )
+
+    # compiled pipelines CLOSE OVER the weight trees (passing the ~300-leaf
+    # pytree per dispatch costs ~2 ms through a tunneled TPU), so any
+    # assignment to them must invalidate the cache — property setters make
+    # `engine.variables = ...` (the eval_wider pattern) safe, not just
+    # load_weights()
+    @property
+    def variables(self):
+        return self._variables
+
+    @variables.setter
+    def variables(self, v):
+        self._variables = v
+        self._pipeline_cache.clear()
+
+    @property
+    def embed_vars(self):
+        return self._embed_vars
+
+    @embed_vars.setter
+    def embed_vars(self, v):
+        self._embed_vars = v
+        self._pipeline_cache.clear()
+
+    @property
+    def ag_vars(self):
+        return self._ag_vars
+
+    @ag_vars.setter
+    def ag_vars(self, v):
+        self._ag_vars = v
+        self._pipeline_cache.clear()
 
     # ---------------- weights ----------------
 
@@ -280,8 +312,8 @@ class FaceEngine:
         run = self._pipeline_for(tuple(imgs.shape[1:]), with_vars=True)
         variables = replicate_to_mesh(self.variables, mesh)
         imgs = jax.device_put(np.asarray(imgs), batch_sharding(mesh, 4))
-        return run(variables, imgs, jnp.float32(self.cfg.det_thres),
-                   jnp.float32(self.cfg.bbox_area_thres))
+        return run(variables, imgs, self._scalar(self.cfg.det_thres),
+                   self._scalar(self.cfg.bbox_area_thres))
 
     def _scalar(self, v: float):
         """Threshold scalars as CACHED device arrays: a fresh jnp.float32()
@@ -289,6 +321,8 @@ class FaceEngine:
         tunneled TPU) that would book against every detect step."""
         key = float(v)
         if key not in self._scalar_cache:
+            if len(self._scalar_cache) >= 256:  # per-request thresholds:
+                self._scalar_cache.clear()      # bound the device arrays
             self._scalar_cache[key] = jnp.float32(key)
         return self._scalar_cache[key]
 

@@ -451,6 +451,7 @@ def yolov5_face_detect_maps(
     anchors: Sequence[Sequence[Tuple[float, float]]],
     strides: Sequence[int],
     cfg: YoloV5FaceConfig,
+    rows_bf16_exact: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Candidates-first fusion of decode + NMS: top-k on RAW objectness
     logits selects ``cfg.max_candidates`` rows, then grid/anchor decode, box
@@ -477,10 +478,15 @@ def yolov5_face_detect_maps(
     _, idx = jax.lax.top_k(jax.nn.sigmoid(obj).astype(jnp.float32), k)
     pack = 128 // no if 128 % no == 0 else 0
     if pack and all(mf.shape[1] % pack == 0 for mf in maps_flat) \
-            and _use_pallas_nms(cfg):
+            and _use_pallas_nms(cfg) \
+            and (maps_flat[0].dtype == jnp.bfloat16 or rows_bf16_exact):
         # XLA row gathers here are latency-bound (~2 ms at [128,1024,16])
         # and need the [B, ~25k, no] concat materialized; the streaming
-        # one-hot GEMM reads each level once at HBM bandwidth instead
+        # one-hot GEMM reads each level once at HBM bandwidth instead.
+        # The kernel selects through bf16 one-hot dots, which is EXACT only
+        # when the row VALUES are bf16-representable: bf16 maps, or the f32
+        # maps of a bf16-compute head (rows_bf16_exact, set by the builder).
+        # Genuine f32 heads take the exact take_along path instead.
         from ..ops.pallas_kernels import candidate_rows_gather_pallas
         cand = candidate_rows_gather_pallas(tuple(maps_flat), idx)
     else:
@@ -528,11 +534,14 @@ def make_yolov5_face(
     variables = jax.jit(net.init)(rng, jnp.zeros((1, h, w, 3), jnp.float32))
     spec = ARCHS[cfg.arch]
 
+    rows_bf16 = (dtype == jnp.bfloat16) and not quantized
+
     @jax.jit
     def detect(variables, imgs):
         maps = net.apply(variables, imgs)
         return yolov5_face_detect_maps(
-            maps, spec["anchors"], spec["strides"], cfg)
+            maps, spec["anchors"], spec["strides"], cfg,
+            rows_bf16_exact=rows_bf16)
 
     return net, variables, detect
 

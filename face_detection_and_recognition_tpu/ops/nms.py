@@ -172,8 +172,16 @@ def weighted_blend_nms(
         from .pallas_kernels import weighted_blend_nms_pallas
 
         rows, keep = weighted_blend_nms_pallas(sdets, svalid, iou_thres)
-        order = jnp.argsort(jnp.where(keep, 0, 1), stable=True)[:max_out]
-        return rows[order], keep[order]
+        order = jnp.argsort(jnp.where(keep, 0, 1), stable=True)
+        if k >= max_out:
+            order = order[:max_out]
+            return rows[order], keep[order]
+        # fewer candidate rows than slots: keep the fixed [max_out] contract
+        # of the fori-loop branch (zero rows, False validity past k)
+        order = jnp.pad(order, (0, max_out - k))
+        slot_ok = jnp.arange(max_out) < k
+        out_valid = keep[order] & slot_ok
+        return jnp.where(out_valid[:, None], rows[order], 0.0), out_valid
     # blazeface boxes are [ymin, xmin, ymax, xmax] but IoU is symmetric in the
     # axis order, so the jaccard matrix is computed directly on cols 0:4.
     yx = sdets[:, :4]

@@ -515,7 +515,10 @@ def _rows_gather_kernel(idx_ref, flat_ref, out_ref, *, off: int, n_l: int,
     # row) — 2D i1 broadcasts hit Mosaic relayout limits
     r = jnp.where((lid >= 0) & (lid < n_l), r, -1)
     row_io = jax.lax.broadcasted_iota(jnp.int32, (blk, k), 0)
-    st = (row_io == r[None, :]).astype(jnp.bfloat16)          # [blk, K]
+    # the selector MUST match the data dtype: a bf16 one-hot against f32
+    # rows makes Mosaic demote the f32 operand (~bf16 precision, measured
+    # 7.5e-3); bf16 x bf16 selection is exact (1.0 * x, f32 accumulation)
+    st = (row_io == r[None, :]).astype(flat_ref.dtype)        # [blk, K]
     n_packed = (n_l + pack - 1) // pack
     rmask = (jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
              + j * blk) < n_packed
@@ -551,6 +554,12 @@ def candidate_rows_gather_pallas(
     ``pack = 128 // no`` rows per 128-lane register row, and the packed
     neighborhood is lane-selected with 8 static masked slices at the end.
 
+    Exactness: bit-identical to take_along_axis for bf16 (and for any
+    dtype in interpret mode). On real TPU hardware f32 inputs go through
+    the MXU's multi-pass f32 dot, which is NOT bit-exact — callers that
+    need the exact contract on TPU must pass bf16 rows (the production
+    detect paths do) or fall back to take_along_axis.
+
     Args:
         maps_flat: per-level [B, n_l, no] arrays (bf16/f32), no | 128 and
             pack | n_l required (caller falls back to take_along otherwise).
@@ -565,7 +574,6 @@ def candidate_rows_gather_pallas(
     no = maps_flat[0].shape[-1]
     pack = 128 // no
     dtype = maps_flat[0].dtype
-    nb_total = None
     off = 0
     nb = None
     for m in maps_flat:

@@ -144,3 +144,22 @@ def test_multiclass_nms_class_separation(rng):
         boxes, scores, classes, np.ones(2, bool), 0.5, agnostic=True
     )
     assert np.asarray(valid_a).sum() == 1
+
+
+def test_weighted_blend_nms_pads_to_max_out(rng):
+    """Fewer candidate rows than max_out still yields the fixed
+    [max_out, D]/[max_out] shapes on every backend (the TPU kernel branch
+    used to return K rows)."""
+    import jax.numpy as jnp
+
+    dets = np.zeros((4, 17), np.float32)
+    dets[:, 0:2] = rng.uniform(0.1, 0.4, (4, 2))
+    dets[:, 2:4] = dets[:, 0:2] + 0.2
+    dets[:, 16] = [0.9, 0.8, 0.7, 0.6]
+    valid = np.array([True, True, False, True])
+    out, out_valid = N.weighted_blend_nms(
+        jnp.asarray(dets), jnp.asarray(valid), 0.3, max_out=16)
+    assert np.asarray(out).shape == (16, 17)
+    assert np.asarray(out_valid).shape == (16,)
+    assert not np.asarray(out_valid)[4:].any()
+    assert (np.asarray(out)[~np.asarray(out_valid)] == 0).all()
