@@ -71,13 +71,18 @@ class CaffeNetHead(nn.Module):
 
 def _lrn(x: jnp.ndarray, n: int = 5, alpha: float = 1e-4, beta: float = 0.75,
          k: float = 1.0) -> jnp.ndarray:
-    """Local response normalization across channels (Caffe LRN layer)."""
+    """Local response normalization across channels (Caffe LRN layer).
+
+    The n-wide channel window sums run as ONE reduce_window pass — the
+    stack-of-shifted-copies formulation materialized n full tensors."""
     sq = x * x
-    c = x.shape[-1]
     half = n // 2
-    padded = jnp.pad(sq, ((0, 0), (0, 0), (0, 0), (half, half)))
-    windows = jnp.stack([padded[..., i : i + c] for i in range(n)], axis=0)
-    denom = (k + alpha / n * windows.sum(0)) ** beta
+    ssum = jax.lax.reduce_window(
+        sq, jnp.zeros((), sq.dtype), jax.lax.add,
+        (1, 1, 1, n), (1, 1, 1, 1),
+        padding=((0, 0), (0, 0), (0, 0), (half, half)),
+    )
+    denom = (k + alpha / n * ssum) ** beta
     return x / denom
 
 
