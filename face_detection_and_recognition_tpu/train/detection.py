@@ -76,6 +76,18 @@ class DetTrainConfig:
     lr: float = 0.01
     momentum: float = 0.937
     weight_decay: float = 5e-4
+    # --- schedule / loss-shape knobs (reference loss.py + train hyp) ---
+    # per-level objectness balance: small-face level weighted 4x so P3 is not
+    # drowned by the coarser grids (loss.py ``balance=[4.0,1.0,0.4]``)
+    level_balance: Tuple[float, ...] = (4.0, 1.0, 0.4)
+    obj_pw: float = 1.0            # objectness BCE pos_weight (hyp obj_pw)
+    cls_pw: float = 1.0            # class BCE pos_weight (hyp cls_pw)
+    gr: float = 1.0                # iou-ratio for tobj: (1-gr) + gr*iou
+    lrf: float = 0.2               # final LR fraction for cosine decay
+    warmup_steps: int = 0          # linear LR warmup steps (0 = constant-lr SGD)
+    total_steps: int = 0           # cosine horizon; 0 disables the schedule
+    ema_decay: float = 0.9999      # ModelEMA decay ceiling (0 disables EMA)
+    ema_tau: float = 2000.0        # ramp: d = decay*(1-exp(-updates/tau))
 
 
 def build_targets(
@@ -150,14 +162,32 @@ def build_targets(
     return out
 
 
+def weighted_bce_logits(logits: jnp.ndarray, labels: jnp.ndarray,
+                        pos_weight: float = 1.0) -> jnp.ndarray:
+    """BCE-with-logits with a positive-class weight (BCEWithLogitsLoss
+    pos_weight semantics): -[pw*z*log s(x) + (1-z)*log(1-s(x))]."""
+    log_p = jax.nn.log_sigmoid(logits)
+    log_not_p = jax.nn.log_sigmoid(-logits)
+    return -(pos_weight * labels * log_p + (1.0 - labels) * log_not_p)
+
+
 def detection_loss(
     maps: Sequence[jnp.ndarray],
     targets_per_level: Sequence[Dict[str, Any]],
     cfg: DetTrainConfig,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Total loss over raw detect maps [B, na, gh, gw, no]."""
+    """Total loss over raw detect maps [B, na, gh, gw, no].
+
+    Follows the reference recipe (loss.py compute_loss): CIoU box loss,
+    BCE objectness with per-level ``balance`` weights + ``obj_pw``, iou-ratio
+    objectness targets ``(1-gr) + gr*iou``, Wing landmarks, and class BCE only
+    when nc > 1 (single-class skips it, loss.py:162)."""
     lbox = lobj = llmk = lcls = 0.0
-    for m, t in zip(maps, targets_per_level):
+    nl = len(maps)
+    balance = list(cfg.level_balance)
+    if len(balance) < nl:  # P3-P6 variants: extend like [4.0,1.0,0.4,0.1]
+        balance = balance + [0.1] * (nl - len(balance))
+    for m, t, bal in zip(maps, targets_per_level, balance):
         pobj = m[..., 4]
         pos = t["tobj"]                                # [B,na,gh,gw] 0/1
         # box: sigmoid decode in grid units (xy in (-0.5,1.5), wh (2s)^2*anc)
@@ -166,25 +196,56 @@ def detection_loss(
         pbox = jnp.concatenate([pxy, pwh], axis=-1)
         iou = ciou(pbox, t["tbox"])
         lbox += jnp.sum((1.0 - iou) * pos) / jnp.maximum(jnp.sum(pos), 1.0)
-        # objectness: BCE with IoU-scored positives
-        tconf = pos * jnp.clip(jax.lax.stop_gradient(iou), 0.0, None)
-        lobj += optax.sigmoid_binary_cross_entropy(pobj, tconf).mean()
+        # objectness: iou-ratio targets at positives, balanced per level
+        tconf = pos * (
+            (1.0 - cfg.gr)
+            + cfg.gr * jnp.clip(jax.lax.stop_gradient(iou), 0.0, None)
+        )
+        lobj += weighted_bce_logits(pobj, tconf, cfg.obj_pw).mean() * bal
         # landmarks: wing loss on anchor-scaled offsets
         planc = m[..., 5:15] * jnp.tile(
             t["anchors"][None, :, None, None, :], (1, 1, 1, 1, 5)
         )
         llmk += wing_loss(planc, t["tlmk"], t["lmk_mask"])
-        # class loss at positive cells: faces are class 0 (targets carry no
-        # class column — extend build_targets with one for multi-class data)
-        pcls = m[..., 15:]
-        onehot = jax.nn.one_hot(jnp.zeros_like(pos, jnp.int32), cfg.nc)
-        lcls += jnp.sum(
-            optax.sigmoid_binary_cross_entropy(pcls, onehot)
-            * pos[..., None]
-        ) / jnp.maximum(jnp.sum(pos) * cfg.nc, 1.0)
+        # class loss at positive cells, multi-class only (faces are class 0;
+        # targets carry no class column — extend build_targets for real
+        # multi-class data)
+        if cfg.nc > 1:
+            pcls = m[..., 15:]
+            onehot = jax.nn.one_hot(jnp.zeros_like(pos, jnp.int32), cfg.nc)
+            lcls += jnp.sum(
+                weighted_bce_logits(pcls, onehot, cfg.cls_pw)
+                * pos[..., None]
+            ) / jnp.maximum(jnp.sum(pos) * cfg.nc, 1.0)
     total = (cfg.box_gain * lbox + cfg.obj_gain * lobj
              + cfg.lmk_gain * llmk + cfg.cls_gain * lcls)
-    return total, {"box": lbox, "obj": lobj, "lmk": llmk, "cls": lcls}
+    metrics = {"box": lbox, "obj": lobj, "lmk": llmk,
+               "cls": jnp.asarray(lcls, jnp.float32)}
+    return total, metrics
+
+
+def lr_schedule(cfg: DetTrainConfig):
+    """Warmup + cosine LR: linear 0 -> lr over ``warmup_steps``, then cosine
+    to ``lr*lrf`` at ``total_steps`` (train.py one-cycle lf + warmup ramp).
+    Returns an optax schedule, or the constant lr when total_steps == 0."""
+    if cfg.total_steps <= 0:
+        return cfg.lr
+    return optax.warmup_cosine_decay_schedule(
+        init_value=0.0 if cfg.warmup_steps > 0 else cfg.lr,
+        peak_value=cfg.lr,
+        warmup_steps=max(cfg.warmup_steps, 0),
+        decay_steps=max(cfg.total_steps, cfg.warmup_steps + 1),
+        end_value=cfg.lr * cfg.lrf,
+    )
+
+
+def ema_update(ema_params, params, updates: jnp.ndarray, cfg: DetTrainConfig):
+    """ModelEMA update (torch_utils.py:262-283): ramped decay
+    d = decay*(1 - exp(-updates/tau)); ema = d*ema + (1-d)*params."""
+    d = cfg.ema_decay * (1.0 - jnp.exp(-updates / cfg.ema_tau))
+    return jax.tree_util.tree_map(
+        lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d), ema_params, params
+    )
 
 
 def create_det_train_state(cfg: DetTrainConfig, rng: jax.Array) -> Dict[str, Any]:
@@ -193,13 +254,15 @@ def create_det_train_state(cfg: DetTrainConfig, rng: jax.Array) -> Dict[str, Any
     variables = jax.jit(net.init)(rng, jnp.zeros((1, h, w, 3), jnp.float32))
     tx = optax.chain(
         optax.add_decayed_weights(cfg.weight_decay),
-        optax.sgd(cfg.lr, momentum=cfg.momentum),
+        optax.sgd(lr_schedule(cfg), momentum=cfg.momentum),
     )
     return {
         "net": net, "cfg": cfg, "tx": tx,
         "params": variables["params"],
         "batch_stats": variables["batch_stats"],
         "opt_state": tx.init(variables["params"]),
+        # EMA shadow of params (ModelEMA); updated only by the _ema step
+        "ema_params": jax.tree_util.tree_map(jnp.copy, variables["params"]),
     }
 
 
@@ -230,6 +293,25 @@ def make_det_train_step(state: Dict[str, Any]):
         updates, new_opt = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         return new_params, new_stats, new_opt, loss, metrics
+
+    return step
+
+
+def make_det_train_step_ema(state: Dict[str, Any]):
+    """Like make_det_train_step but also carries the EMA shadow in one fused
+    program: step(params, batch_stats, opt_state, ema_params, n_updates,
+    images, targets, target_valid) -> (new params/stats/opt/ema, loss,
+    metrics). ``n_updates`` is a scalar int32 counter (for the decay ramp)."""
+    base = make_det_train_step(state)
+    cfg: DetTrainConfig = state["cfg"]
+
+    def step(params, batch_stats, opt_state, ema_params, n_updates,
+             images, targets, target_valid):
+        new_params, new_stats, new_opt, loss, metrics = base(
+            params, batch_stats, opt_state, images, targets, target_valid)
+        n = n_updates + 1
+        new_ema = ema_update(ema_params, new_params, n.astype(jnp.float32), cfg)
+        return new_params, new_stats, new_opt, new_ema, n, loss, metrics
 
     return step
 

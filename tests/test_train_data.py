@@ -63,3 +63,103 @@ def test_train_detector_cli_smoke(wider_tree, tmp_path):
 
     tree = load_variables(out)
     assert "params" in tree and "batch_stats" in tree
+
+
+def test_flip_lr_landmark_swap():
+    """Mirror x AND exchange left/right eye + mouth-corner slots
+    (face_datasets.py:419-442); invisible (-1) landmarks stay invisible."""
+    rows = np.zeros((1, 14), np.float32)
+    rows[0, :4] = [30, 50, 20, 24]
+    #            LE       RE      nose     LM        RM
+    rows[0, 4:] = [10, 11, 20, 21, 15, 16, 12, 40, 18, 41]
+    out = TD.flip_lr_targets(rows, img_w=100.0)
+    assert out[0, 0] == 70.0 and out[0, 1] == 50.0  # cx mirrored, cy kept
+    # new left eye = mirrored old right eye; new right eye = mirrored old left
+    assert (out[0, 4], out[0, 5]) == (80.0, 21.0)
+    assert (out[0, 6], out[0, 7]) == (90.0, 11.0)
+    # nose mirrors in place
+    assert (out[0, 8], out[0, 9]) == (85.0, 16.0)
+    # mouth corners swap
+    assert (out[0, 10], out[0, 11]) == (82.0, 41.0)
+    assert (out[0, 12], out[0, 13]) == (88.0, 40.0)
+    # invisible landmarks survive a flip untouched
+    rows[0, 4:] = -1.0
+    out = TD.flip_lr_targets(rows, img_w=100.0)
+    assert (out[0, 4:] == -1.0).all()
+
+
+def test_flip_ud_targets():
+    rows = np.zeros((1, 14), np.float32)
+    rows[0, :4] = [30, 20, 10, 10]
+    rows[0, 4:] = [5, 10, 6, 11, 7, 12, 8, 13, 9, 14]
+    out = TD.flip_ud_targets(rows, img_h=100.0)
+    assert out[0, 1] == 80.0 and out[0, 0] == 30.0
+    # only y mirrors, no slot swap
+    assert (out[0, 4], out[0, 5]) == (5.0, 90.0)
+    assert (out[0, 6], out[0, 7]) == (6.0, 89.0)
+
+
+def test_augment_hsv_zero_gains_identity(rng):
+    import random as pyrandom
+
+    img = rng.randint(0, 255, (32, 32, 3)).astype(np.uint8)
+    out = TD.augment_hsv(img.copy(), pyrandom.Random(0), 0.0, 0.0, 0.0)
+    np.testing.assert_array_equal(out, img)
+    # deterministic under a fixed seed
+    a = TD.augment_hsv(img.copy(), pyrandom.Random(7), 0.015, 0.7, 0.4)
+    b = TD.augment_hsv(img.copy(), pyrandom.Random(7), 0.015, 0.7, 0.4)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == img.shape and a.dtype == np.uint8
+
+
+def test_mosaic4_geometry_and_label_bounds():
+    import random as pyrandom
+
+    items = []
+    for c in range(4):
+        img = np.full((120, 160, 3), 40 * (c + 1), np.uint8)
+        rows = np.full((1, 14), -1.0, np.float32)
+        rows[0, :4] = [80, 60, 60, 50]  # centered box
+        items.append((img, rows))
+    canvas, rows = TD.mosaic4(items, (128, 128), pyrandom.Random(3), scale=0.2)
+    assert canvas.shape == (128, 128, 3) and canvas.dtype == np.uint8
+    assert len(rows) >= 1  # at least one GT survives the crop
+    # every surviving box lies inside the canvas
+    x1 = rows[:, 0] - rows[:, 2] / 2
+    y1 = rows[:, 1] - rows[:, 3] / 2
+    x2 = rows[:, 0] + rows[:, 2] / 2
+    y2 = rows[:, 1] + rows[:, 3] / 2
+    assert (x1 >= -1e-3).all() and (y1 >= -1e-3).all()
+    assert (x2 <= 128 + 1e-3).all() and (y2 <= 128 + 1e-3).all()
+    # deterministic under the same seed
+    canvas2, rows2 = TD.mosaic4(items, (128, 128), pyrandom.Random(3),
+                                scale=0.2)
+    np.testing.assert_array_equal(canvas, canvas2)
+    np.testing.assert_allclose(rows, rows2)
+
+
+def test_letterbox_example_matches_make_example(rng):
+    img = rng.randint(0, 255, (480, 640, 3)).astype(np.uint8)
+    boxes = np.array([[100, 120, 80, 60]], np.float64)
+    canvas, rows = TD.letterbox_example(img, TD.boxes_to_rows(boxes),
+                                        (320, 320))
+    assert canvas.shape == (320, 320, 3) and canvas.dtype == np.uint8
+    np.testing.assert_allclose(rows[0, :4], [70, 115, 40, 30], atol=1e-4)
+    assert (rows[0, 4:] == -1).all()
+
+
+def test_wider_batches_augmented(wider_tree):
+    ann, images = wider_tree
+    index = TD.load_wider_index(ann, images)
+    aug = TD.AugmentConfig(mosaic=1.0, fliplr=0.5)
+    batches = list(TD.wider_batches(index, 2, (128, 128), 8, epochs=1,
+                                    seed=11, augment=aug))
+    assert len(batches) == 3
+    x, t, v = batches[0]
+    assert x.shape == (2, 128, 128, 3) and 0 <= x.min() and x.max() <= 1
+    assert t.shape == (2, 8, 14)
+    assert v.any()  # mosaic keeps at least some GT across the batch
+    # deterministic under the same seed
+    batches2 = list(TD.wider_batches(index, 2, (128, 128), 8, epochs=1,
+                                     seed=11, augment=aug))
+    np.testing.assert_allclose(batches[0][0], batches2[0][0])

@@ -138,3 +138,90 @@ def test_sharded_det_train_step_matches_single_device(rng):
     k0 = jax.tree_util.tree_leaves(state["params"])[0]
     k1 = jax.tree_util.tree_leaves(new_params)[0]
     assert not np.allclose(np.asarray(k0), np.asarray(k1))
+
+
+def test_weighted_bce_matches_optax_at_pw1():
+    import jax.numpy as jnp
+    import optax
+
+    logits = jnp.asarray([-2.0, -0.5, 0.0, 1.5, 3.0])
+    labels = jnp.asarray([0.0, 1.0, 0.5, 1.0, 0.0])
+    ours = D.weighted_bce_logits(logits, labels, 1.0)
+    ref = optax.sigmoid_binary_cross_entropy(logits, labels)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-6)
+    # pos_weight=2 doubles only the positive-label term
+    pw = D.weighted_bce_logits(logits, labels, 2.0)
+    pos_term = -labels * jax.nn.log_sigmoid(logits)
+    np.testing.assert_allclose(np.asarray(pw - ours), np.asarray(pos_term),
+                               atol=1e-6)
+
+
+def test_level_balance_weights_obj_loss():
+    """P3 obj loss weighted 4x: raising P3 logits moves total 4x more than
+    the same raise on P5 (loss.py balance=[4.0,1.0,0.4])."""
+    import jax.numpy as jnp
+
+    cfg = D.DetTrainConfig(arch="yolov5n", nc=1, input_size=(64, 64),
+                           max_targets=2)
+    from face_detection_and_recognition_tpu.models.yolov5_face import ARCHS
+
+    spec = ARCHS["yolov5n"]
+    grids = [(8, 8), (4, 4), (2, 2)]
+    targets = jnp.zeros((1, 2, 14))
+    valid = jnp.zeros((1, 2), bool)
+    tpl = D.build_targets(targets, valid, spec["anchors"], spec["strides"],
+                          grids, 4.0)
+    base_maps = [jnp.zeros((1, 3, gh, gw, 16)) for gh, gw in grids]
+
+    def total_with_bump(level):
+        maps = [m.at[..., 4].add(1.0) if i == level else m
+                for i, m in enumerate(base_maps)]
+        t, _ = D.detection_loss(maps, tpl, cfg)
+        return float(t)
+
+    t0, _ = D.detection_loss(base_maps, tpl, cfg)
+    d_p3 = total_with_bump(0) - float(t0)
+    d_p5 = total_with_bump(2) - float(t0)
+    assert d_p3 == pytest.approx(10.0 * d_p5, rel=1e-4)  # 4.0 / 0.4
+
+
+def test_lr_schedule_warmup_and_cosine():
+    cfg = D.DetTrainConfig(lr=0.01, lrf=0.2, warmup_steps=10, total_steps=100)
+    sched = D.lr_schedule(cfg)
+    assert float(sched(0)) == pytest.approx(0.0, abs=1e-8)
+    assert float(sched(5)) == pytest.approx(0.005, rel=1e-3)  # linear ramp
+    assert float(sched(10)) == pytest.approx(0.01, rel=1e-3)  # peak
+    assert float(sched(100)) == pytest.approx(0.002, rel=1e-3)  # lr*lrf
+    # monotone decay after warmup
+    vals = [float(sched(s)) for s in range(10, 101, 10)]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+    # disabled schedule stays a constant float
+    assert D.lr_schedule(D.DetTrainConfig(lr=0.03)) == 0.03
+
+
+def test_ema_step_tracks_params():
+    """Fused EMA step: early in training (ramped decay ~0) the EMA shadow
+    follows new params almost exactly; the counter increments."""
+    cfg = D.DetTrainConfig(arch="yolov5n-0.5", input_size=(32, 32),
+                           max_targets=2, lr=0.05)
+    state = D.create_det_train_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(D.make_det_train_step_ema(state))
+    rngn = np.random.RandomState(0)
+    images = rngn.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32)
+    targets = np.zeros((1, 2, 14), np.float32)
+    targets[0, 0, :4] = [16, 16, 10, 12]
+    targets[..., 4:] = -1.0
+    valid = np.array([[True, False]])
+    p, bs, opt = state["params"], state["batch_stats"], state["opt_state"]
+    ema, n = state["ema_params"], np.int32(0)
+    p, bs, opt, ema, n, loss, _ = step(p, bs, opt, ema, n, images, targets,
+                                       valid)
+    assert int(n) == 1 and np.isfinite(float(loss))
+    pl = jax.tree_util.tree_leaves(p)
+    el = jax.tree_util.tree_leaves(ema)
+    # d = 0.9999*(1-exp(-1/2000)) ~ 5e-4 -> ema ~= new params
+    for a, b in zip(pl, el):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-2)
+    # after many virtual updates the decay saturates toward ema_decay
+    d_late = 0.9999 * (1.0 - np.exp(-10000 / 2000.0))
+    assert d_late > 0.99
