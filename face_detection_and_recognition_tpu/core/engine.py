@@ -102,8 +102,11 @@ class FaceEngine:
                                                size=ov_size),
             )
         rng = jax.random.PRNGKey(cfg.seed)
-        self._pipeline_cache: Dict[Tuple[int, int, int], Any] = {}
+        self._pipeline_cache: Dict[Any, Any] = {}  # LRU, insertion-ordered
         self._scalar_cache: Dict[float, Any] = {}
+        import threading
+
+        self._compile_lock = threading.RLock()
         self.net, self.variables, self._detect = self.spec.build(
             rng=rng, dtype=cfg.dtype, **cfg.detector_overrides
         )
@@ -128,7 +131,13 @@ class FaceEngine:
     # pytree per dispatch costs ~2 ms through a tunneled TPU), so any
     # assignment to them must invalidate the cache — property setters make
     # `engine.variables = ...` (the eval_wider pattern) safe, not just
-    # load_weights()
+    # load_weights().
+    #
+    # CONTRACT: weights update by REBIND ONLY. In-place mutation of the tree
+    # (engine.variables["params"][k] = new_leaf) cannot be observed — the
+    # compiled closures keep serving the old constants. Mutators must write
+    # `engine.variables = new_tree` (cheap: the dict swap just clears the
+    # pipeline cache).
     @property
     def variables(self):
         return self._variables
@@ -195,10 +204,15 @@ class FaceEngine:
         elif ext == ".caffemodel":
             from ..utils import model_formats as MF
 
-            layers = MF.read_caffemodel(path)
-            variables = W.structural_import(
-                W.caffe_layers_to_arrays(layers), self.variables,
-                module_order=self._execution_order())
+            if hasattr(self.net, "pour_blobs"):  # caffe deploy-graph nets
+                from ..utils.caffe_graph import read_caffemodel_graph
+
+                variables = self.net.pour_blobs(read_caffemodel_graph(path))
+            else:
+                layers = MF.read_caffemodel(path)
+                variables = W.structural_import(
+                    W.caffe_layers_to_arrays(layers), self.variables,
+                    module_order=self._execution_order())
         elif ext == ".pb":
             from ..utils import model_formats as MF
 
@@ -230,6 +244,52 @@ class FaceEngine:
 
         save_variables(path, self.variables)
 
+    def load_embed_weights(self, path: str) -> None:
+        """Load real EMBEDDER weights, dispatched by artifact kind:
+
+          <dir with saved_model.pb>   keras FaceNet SavedModel — the
+                                      similar-face filter's model
+                                      (filter_faces_using_reference.py:131);
+                                      variables read vendor-free from the
+                                      TensorBundle (utils/tensor_bundle.py)
+          *.h5                        keras FaceNet HDF5 (h5py layout)
+          *.pt / *.pth                mobile_facenet torch state dict
+          anything else               orbax checkpoint of embed_vars
+        """
+        if self.embed_spec is None:
+            raise ValueError("engine built without an embedder")
+        from ..utils import weights as W
+
+        name = self.embed_spec.name
+        ext = os.path.splitext(path)[1].lower()
+        if os.path.isdir(path) and os.path.exists(
+                os.path.join(path, "saved_model.pb")):
+            from ..utils.tensor_bundle import read_tensor_bundle
+
+            named = read_tensor_bundle(
+                os.path.join(path, "variables", "variables"))
+            stream = W.keras_bundle_stream(named)
+            variables = W.convert_facenet_keras(
+                stream, self.embed_net, self.embed_vars)
+        elif ext == ".h5":
+            stream = W.read_keras_h5_stream(path)
+            variables = W.convert_facenet_keras(
+                stream, self.embed_net, self.embed_vars)
+        elif ext in (".pt", ".pth"):
+            import torch
+
+            sd = torch.load(path, map_location="cpu", weights_only=False)
+            if hasattr(sd, "state_dict"):
+                sd = sd.state_dict()
+            if name != "mobile_facenet":
+                raise ValueError(f"no torch importer for embedder '{name}'")
+            variables = W.convert_mobile_facenet(sd)
+        else:
+            from ..utils.checkpoint import load_variables
+
+            variables = load_variables(path)
+        self.embed_vars = variables
+
     def _execution_order(self):
         """Leaf-module call order of the detector net (for structural weight
         streams); None for native cascades / unavailable nets."""
@@ -257,10 +317,28 @@ class FaceEngine:
         with_vars=False closes over ``self.variables`` (cleared from the
         cache by ``load_weights``): flattening the ~300-leaf params pytree
         on every dispatch costs ~2 ms/call through a tunneled TPU. The
-        sharded path passes mesh-replicated variables explicitly."""
+        sharded path passes mesh-replicated variables explicitly.
+
+        Thread-safe and bounded: concurrent first requests (the
+        ThreadingHTTPServer pattern) serialize compilation behind a lock,
+        and an adversarial client cycling novel resolutions evicts LRU
+        entries instead of growing compile state without limit."""
         key = (shape, with_vars)
-        if key in self._pipeline_cache:
-            return self._pipeline_cache[key]
+        hit = self._pipeline_cache.get(key)
+        if hit is not None:
+            with self._compile_lock:  # LRU touch
+                if key in self._pipeline_cache:
+                    self._pipeline_cache[key] = self._pipeline_cache.pop(key)
+            return hit
+        with self._compile_lock:
+            if key in self._pipeline_cache:  # raced another compiler
+                return self._pipeline_cache[key]
+            return self._compile_pipeline(key)
+
+    _PIPELINE_CACHE_MAX = 32  # distinct (resolution, with_vars) programs
+
+    def _compile_pipeline(self, key):
+        shape, with_vars = key
         h, w = shape[:2]
         native = self.spec.input_size == (-1, -1)
         in_size = (w, h) if native else self.spec.input_size
@@ -288,6 +366,8 @@ class FaceEngine:
             captured = self.variables
             run = jax.jit(partial(body, captured))
 
+        while len(self._pipeline_cache) >= self._PIPELINE_CACHE_MAX:
+            self._pipeline_cache.pop(next(iter(self._pipeline_cache)))
         self._pipeline_cache[key] = run
         return run
 

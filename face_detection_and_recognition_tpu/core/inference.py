@@ -200,7 +200,10 @@ def inference_vid(
             pending = handle
             if stop.is_set():
                 break
-        if pending is not None and not stop.is_set():
+        if pending is not None:
+            # emit the in-flight block even on a 'q' quit: every frame that
+            # was dispatched reaches `results` and the written video (frame
+            # count is conserved — only undispatched reader frames drop)
             emit(pending)
 
     if reader_error:

@@ -184,6 +184,25 @@ def _build_ssd(backbone: str, input_size):
 
 register(DetectorSpec("ssd-resnet10", (300, 300), P.OPENCV_SSD, 0,
                       _build_ssd("resnet10", (300, 300))))
+
+
+def _build_res10_graph():
+    def build(rng=None, dtype=jnp.float32, **kw):
+        from .res10 import build_res10
+
+        if kw.pop("input_size", None) not in (None, (300, 300)):
+            raise ValueError("res10 runs the fixed 300x300 deploy graph")
+        return build_res10(rng=rng)
+
+    return build
+
+
+# the EXACT public res10_300x300 deploy graph (models/res10.py) — the
+# import target for OpenCV's res10_300x300_ssd_iter_140000.caffemodel
+# (reference modules/opencv2_dnn/model.py:21); `ssd-resnet10` above is the
+# trainable TPU-native twin of the same class
+register(DetectorSpec("res10-ssd", (300, 300), P.OPENCV_SSD, 0,
+                      _build_res10_graph()))
 register(DetectorSpec("ssd-mobilenetv2", (448, 448),
                       dataclasses.replace(P.OPENCV_SSD, size=(448, 448)), 0,
                       _build_ssd("mobilenetv2", (448, 448))))

@@ -242,7 +242,12 @@ class YoloV5FaceNet(nn.Module):
                     # channel layout [na, no] matches torch's
                     # view(bs, na, no, ny, nx).permute(0,1,3,4,2)
                     m = m.reshape(b, ny, nx, na, no).transpose(0, 3, 1, 2, 4)
-                    maps.append(m.astype(jnp.float32))
+                    # bf16 heads stay bf16 so the candidate gather streams
+                    # half the bytes (values identical after the decode's
+                    # f32 upcast); f32 nets emit f32 as before
+                    if self.dtype != jnp.bfloat16:
+                        m = m.astype(jnp.float32)
+                    maps.append(m)
                 return maps
             else:
                 inp = cur if frm == -1 else outputs[frm]
@@ -492,6 +497,9 @@ def yolov5_face_detect_maps(
     else:
         flat = jnp.concatenate(maps_flat, axis=1)
         cand = jnp.take_along_axis(flat, idx[..., None], axis=1)  # [B,k,no]
+    # the gather streams raw (possibly bf16) rows; everything downstream
+    # decodes in f32 so bf16 heads match the f32 full-grid path bit-for-bit
+    cand = cand.astype(jnp.float32)
     grid, stride, anc = _candidate_grid_params(
         idx, anchors, strides, cfg.input_size)
 

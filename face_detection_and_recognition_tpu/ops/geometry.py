@@ -61,6 +61,12 @@ def _resample_matrix(n_in: int, n_out: int):
 
     key = (n_in, n_out)
     if key not in _RESAMPLE_CACHE:
+        if len(_RESAMPLE_CACHE) >= 256:
+            # variable-resolution callers (MTCNN pyramids over arbitrary
+            # source sizes) must not grow host memory without bound: drop
+            # the oldest half (dict preserves insertion order)
+            for old in list(_RESAMPLE_CACHE)[:128]:
+                del _RESAMPLE_CACHE[old]
         with jax.ensure_compile_time_eval():  # may be hit inside a trace
             w = jax.image.resize(jnp.eye(n_in, dtype=jnp.float32),
                                  (n_out, n_in), method="linear",

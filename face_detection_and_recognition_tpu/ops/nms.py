@@ -172,8 +172,9 @@ def weighted_blend_nms(
         from .pallas_kernels import weighted_blend_nms_pallas
 
         rows, keep = weighted_blend_nms_pallas(sdets, svalid, iou_thres)
-        order = jnp.argsort(jnp.where(keep, 0, 1), stable=True)
-        if k >= max_out:
+        rows = rows.astype(dets.dtype)  # kernel computes f32; keep the
+        order = jnp.argsort(jnp.where(keep, 0, 1), stable=True)  # jnp-branch
+        if k >= max_out:                                         # contract
             order = order[:max_out]
             return rows[order], keep[order]
         # fewer candidate rows than slots: keep the fixed [max_out] contract

@@ -693,6 +693,14 @@ def weighted_blend_nms_pallas(
     k, d = sdets.shape
     kp = ((k + 7) // 8) * 8
     dp = ((d + 127) // 128) * 128
+    # single-block kernel: the [K, K] IoU/ownership intermediates live in
+    # VMEM (4+ f32 copies). 2048 rows ~= 4*2048^2*4B = 67 MB > VMEM; fail
+    # loudly instead of an opaque Mosaic allocation error.
+    if kp > 2048:
+        raise ValueError(
+            f"weighted_blend_nms_pallas: {k} rows exceeds the single-block "
+            "VMEM budget (max 2048); use ops.nms.weighted_blend_nms's jnp "
+            "path for larger candidate sets")
     dets_p = jnp.zeros((kp, dp), jnp.float32).at[:k, :d].set(
         sdets.astype(jnp.float32))
     valid_p = jnp.zeros((1, kp), jnp.float32).at[0, :k].set(

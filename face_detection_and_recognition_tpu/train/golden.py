@@ -115,8 +115,8 @@ def _random_background(
     if mode < 0.70 and sources:
         src = sources[rng.randrange(len(sources))]
         h, w = src.shape[:2]
-        cw = rng.randint(ow // 2, min(w, ow * 2))
-        ch = rng.randint(oh // 2, min(h, oh * 2))
+        cw = rng.randint(min(ow // 2, w), min(w, ow * 2))
+        ch = rng.randint(min(oh // 2, h), min(h, oh * 2))
         x0 = rng.randint(0, max(w - cw, 0))
         y0 = rng.randint(0, max(h - ch, 0))
         crop = src[y0:y0 + ch, x0:x0 + cw]
@@ -128,7 +128,8 @@ def _random_background(
     # flat color with a soft vertical gradient
     base = np.array([rng.randint(0, 255) for _ in range(3)], np.float32)
     grad = np.linspace(0.6, 1.2, oh, dtype=np.float32)[:, None, None]
-    return np.clip(base[None, None] * grad, 0, 255).astype(np.uint8)
+    fill = np.broadcast_to(base[None, None] * grad, (oh, ow, 3))
+    return np.clip(fill, 0, 255).astype(np.uint8)
 
 
 def compose_image(
@@ -207,9 +208,11 @@ def make_composite_dataset(
         cv2.imwrite(os.path.join(images_root, rel), img,
                     [cv2.IMWRITE_JPEG_QUALITY, rng.randint(80, 98)])
         lines.append(f"{rel}\n{len(gt)}\n")
+        if len(gt) == 0:  # WIDER format: 0-face entries carry one dummy row
+            lines.append("0 0 0 0 0 0 0 0 0 0\n")
         for b in gt:
-            lines.append(f"{b[0]:.1f} {b[1]:.1f} {b[2]:.1f} {b[3]:.1f} "
-                         "0 0 0 0 0 0\n")
+            lines.append(f"{int(b[0])} {int(b[1])} {int(round(b[2]))} "
+                         f"{int(round(b[3]))} 0 0 0 0 0 0\n")
     ann = os.path.join(out_dir, "gt.txt")
     with open(ann, "w") as f:
         f.write("".join(lines))
@@ -292,7 +295,9 @@ def train_golden(
     state = create_det_train_state(cfg, jax.random.PRNGKey(seed))
     step = jax.jit(make_det_train_step_ema(state))
 
-    engine = FaceEngine(EngineConfig(detector=arch, det_thres=0.5))
+    overrides = {"input_size": (input_size, input_size)}
+    engine = FaceEngine(EngineConfig(detector=arch, det_thres=0.5,
+                                     detector_overrides=overrides))
 
     aug = AugmentConfig(mosaic=0.5, fliplr=0.5, scale=0.3)
     batches = wider_batches(index, batch_size, (input_size, input_size),
@@ -333,7 +338,8 @@ def train_golden(
     save_variables(ckpt_out, cand)
     log(f"[golden] checkpoint saved to {ckpt_out}")
     # the real gate: a FRESH engine loading the checkpoint must still pass
-    engine2 = FaceEngine(EngineConfig(detector=arch, det_thres=0.5))
+    engine2 = FaceEngine(EngineConfig(detector=arch, det_thres=0.5,
+                                      detector_overrides=overrides))
     engine2.load_weights(ckpt_out)
     reload_result = evaluate_golden(engine2)
     result["reload_ok"] = reload_result["ok"]

@@ -472,11 +472,14 @@ def convert_mtcnn_graphdef(consts, variables: Mapping) -> Dict:
     ``modules/mtcnn/model.py:57-101``) onto our cascade's variables
     (``MTCNN.variables()`` -> {"pnet": ..., "rnet": ..., "onet": ...}).
 
-    Consts are grouped per stage by name substring and consumed in graph
-    order by shape against our P/R/O-Net slots — TF kernels are HWIO like
-    flax, so no transposes. Frozen graphs are serialized topologically, so
-    in-order shape matching resolves the (bias vs PReLU-alpha) 1-D ties the
-    same way the graph executes them.
+    Consts are grouped per stage by name substring and matched against our
+    P/R/O-Net slots by NAME KIND first (kernel/weight vs bias vs
+    prelu/alpha substrings), graph order + shape as tie-break — TF kernels
+    are HWIO like flax, so no transposes. Name-kind matching makes the pour
+    robust to graphs whose const serialization order differs from execution
+    order (same-shape 1-D bias/alpha pairs would otherwise silently swap);
+    unnamed or uninformative consts still fall back to in-order shape
+    matching.
     """
     by_stage = {s: [] for s in _MTCNN_STAGES}
     for c in consts:
@@ -485,6 +488,18 @@ def convert_mtcnn_graphdef(consts, variables: Mapping) -> Dict:
             if s in low:
                 by_stage[s].append(c)
                 break
+
+    def name_kind(name: str):
+        low = name.lower()
+        base = low.rsplit("/", 1)[-1].split(":")[0]
+        if "alpha" in low or "prelu" in low:
+            return "alpha"
+        if "bias" in base or base in ("b", "beta"):
+            return "bias"
+        if "weight" in base or "kernel" in base or base == "w":
+            return "kernel"
+        return None
+
     out: Dict = {}
     for stage in _MTCNN_STAGES:
         tree = variables[stage]
@@ -493,13 +508,28 @@ def convert_mtcnn_graphdef(consts, variables: Mapping) -> Dict:
         pool = list(by_stage[stage])
         if not pool:
             raise ValueError(f"no consts matching stage '{stage}' in graph")
+        kinds = [name_kind(c.name) for c in pool]
         used = [False] * len(pool)
         for path, leaf, shape, _ in _walk_slots(params, {}):
+            want = leaf if leaf in ("kernel", "bias", "alpha") else None
             hit = None
-            for j, c in enumerate(pool):
-                if not used[j] and tuple(c.value.shape) == shape:
-                    hit = j
-                    break
+            if want is not None:  # pass 1: matching name kind + shape
+                for j, c in enumerate(pool):
+                    if (not used[j] and kinds[j] == want
+                            and tuple(c.value.shape) == shape):
+                        hit = j
+                        break
+            if hit is None:  # pass 2: kind-agnostic (unnamed consts only)
+                for j, c in enumerate(pool):
+                    if (not used[j] and kinds[j] is None
+                            and tuple(c.value.shape) == shape):
+                        hit = j
+                        break
+            if hit is None:  # pass 3: any shape match (legacy behavior)
+                for j, c in enumerate(pool):
+                    if not used[j] and tuple(c.value.shape) == shape:
+                        hit = j
+                        break
             if hit is None:
                 raise ValueError(
                     f"{stage}: no const of shape {shape} left for "
@@ -512,3 +542,78 @@ def convert_mtcnn_graphdef(consts, variables: Mapping) -> Dict:
             node[leaf] = np.asarray(pool[hit].value, np.float32)
         out[stage] = {"params": params}
     return out
+
+
+# ---------------------------------------------------------------------------
+# keras FaceNet importer (SavedModel TensorBundle / HDF5)
+# ---------------------------------------------------------------------------
+
+# keras attribute -> stream priority matching _LEAF_PRI's per-module order
+# (kernel, scale/gamma, bias/beta, mean, var)
+_KERAS_ATTR_PRI = {"kernel": 0, "depthwise_kernel": 0, "gamma": 1,
+                   "beta": 2, "bias": 2, "moving_mean": 3,
+                   "moving_variance": 4}
+
+
+def keras_bundle_stream(named) -> list:
+    """Order (name, array) pairs from a TF2 SavedModel variables bundle
+    into the model's layer stream.
+
+    TF2 object-graph checkpoint keys look like
+    ``layer_with_weights-12/kernel/.ATTRIBUTES/VARIABLE_VALUE``: layers are
+    numbered in build order, attributes sorted alphabetically (which puts
+    conv ``bias`` before ``kernel``) — regroup by layer index and emit
+    kernel/gamma/beta/mean/var order. Optimizer slots and the step counter
+    are dropped."""
+    import re
+
+    groups: dict = {}
+    for name, arr in named:
+        if "/.OPTIMIZER_SLOT" in name or ".ATTRIBUTES/VARIABLE_VALUE" not in name:
+            continue
+        m = re.search(r"layer_with_weights-(\d+)/([a-z_]+)/", name)
+        if not m:
+            continue
+        idx, attr = int(m.group(1)), m.group(2)
+        if attr not in _KERAS_ATTR_PRI:
+            continue
+        groups.setdefault(idx, []).append((_KERAS_ATTR_PRI[attr], attr, arr))
+    out = []
+    for idx in sorted(groups):
+        for _, _, arr in sorted(groups[idx], key=lambda t: t[0]):
+            out.append(arr)
+    return out
+
+
+def read_keras_h5_stream(path: str) -> list:
+    """Weight arrays from a keras ``.h5`` file in the model's own layer
+    order (``model_weights`` attrs ``layer_names`` / ``weight_names`` —
+    keras stores [kernel, bias] / [gamma, beta, moving_mean,
+    moving_variance], already the structural stream order)."""
+    import h5py
+
+    out = []
+    with h5py.File(path, "r") as f:
+        g = f["model_weights"] if "model_weights" in f else f
+        layer_names = [n.decode() if isinstance(n, bytes) else n
+                       for n in g.attrs.get("layer_names", [])]
+        if not layer_names:
+            layer_names = list(g.keys())
+        for lname in layer_names:
+            lg = g[lname]
+            wnames = [n.decode() if isinstance(n, bytes) else n
+                      for n in lg.attrs.get("weight_names", [])]
+            for wn in wnames:
+                out.append(np.asarray(lg[wn]))
+    return out
+
+
+def convert_facenet_keras(stream, net, variables: Mapping) -> Dict:
+    """Pour a keras FaceNet weight stream (from ``read_keras_h5_stream`` or
+    ``keras_bundle_stream``) into our InceptionResNetV1 tree
+    (``models/facenet.py``) — keras and flax are both HWIO, so this is a
+    pure shape-checked structural pour in execution order. Matches the
+    reference's ``tf.keras.models.load_model``
+    (``similar_face_filtering/filter_faces_using_reference.py:131``)."""
+    order = execution_module_order(net, variables, (1, 160, 160, 3))
+    return structural_import(list(stream), variables, module_order=order)

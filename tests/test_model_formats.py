@@ -452,3 +452,43 @@ def test_readers_reject_garbage(rng):
                 assert isinstance(out, list)  # benign parse -> empty-ish ok
             except ValueError:
                 pass
+
+
+def test_mtcnn_graphdef_reordered_consts(rng):
+    """Adversarial const ordering: a .pb whose same-shape 1-D consts
+    (bias vs PReLU alpha) are serialized in a DIFFERENT order than
+    execution must still pour correctly — name-kind matching, not
+    serialization order, decides (VERDICT r2 weak #7)."""
+    from face_detection_and_recognition_tpu.models.mtcnn import MTCNN
+
+    cascade = MTCNN()
+    variables = cascade.variables()
+
+    consts = []
+    for stage in ("pnet", "rnet", "onet"):
+        params = variables[stage]["params"]
+        stage_consts = []
+        for path, leaf, shape, _ in W._walk_slots(params, {}):
+            kind = {"kernel": "weights", "bias": "biases",
+                    "alpha": "alpha"}[leaf]
+            name = f"{stage}/{'/'.join(path)}/{kind}"
+            stage_consts.append(MF.GraphConst(name, _rand(rng, *shape)))
+        # adversarial: alphas first, then biases, then kernels — any
+        # shape-by-order matcher transposes the 1-D pairs
+        stage_consts.sort(key=lambda c: {"alpha": 0, "biases": 1,
+                                         "weights": 2}[c.name.rsplit("/", 1)[-1]])
+        consts.extend(stage_consts)
+
+    parsed = MF.read_tf_graphdef(MF.write_graphdef(consts))
+    imported = W.convert_mtcnn_graphdef(parsed, variables)
+    by_name = {c.name: c.value for c in consts}
+    # biases and alphas of equal width landed on their OWN slots
+    np.testing.assert_array_equal(
+        imported["pnet"]["params"]["Conv_0"]["bias"],
+        by_name["pnet/Conv_0/biases"])
+    np.testing.assert_array_equal(
+        imported["pnet"]["params"]["PReLU_0"]["alpha"],
+        by_name["pnet/PReLU_0/alpha"])
+    np.testing.assert_array_equal(
+        imported["onet"]["params"]["PReLU_3"]["alpha"],
+        by_name["onet/PReLU_3/alpha"])
