@@ -229,16 +229,18 @@ def _parse_permute_param(msg: bytes) -> Dict[str, object]:
 
 
 def _parse_reshape_param(msg: bytes) -> Dict[str, object]:
+    def signed(v: int) -> int:  # dim is int64: -1 arrives as 2^64-1
+        return v if v < (1 << 63) else v - (1 << 64)
+
     dims: List[int] = []
     for f, w, v in iter_fields(msg):
         if f == 1 and w == _LEN:  # BlobShape
             for f2, w2, v2 in iter_fields(v):
                 if f2 == 1:
                     if w2 == _LEN:
-                        dims.extend(_ints([(w2, v2)]))
+                        dims.extend(signed(x) for x in _ints([(w2, v2)]))
                     else:
-                        # zig-zag not used; dim is int64 varint
-                        dims.append(v2 if v2 < (1 << 63) else v2 - (1 << 64))
+                        dims.append(signed(v2))
     return {"shape": dims}
 
 
