@@ -89,7 +89,13 @@ class ConvBN(nn.Module):
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), jnp.float32)
             xf = x.astype(jnp.float32)
-            s = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-6) / 127.0
+            if self.quantized == "static":
+                # calibrated per-tensor scale (utils/quantize.
+                # calibrate_activation_scales) — no dynamic absmax pass
+                s = self.param("ascale", nn.initializers.ones, (),
+                               jnp.float32)
+            else:
+                s = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-6) / 127.0
             xq = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
             y = jax.lax.conv_general_dilated(
                 xq, kernel_q, (self.stride, self.stride), pad,

@@ -36,6 +36,10 @@ class ServiceConfig:
     face_size: Tuple[int, int] = (112, 112)
     with_embedder: bool = True
     with_age_gender: bool = True
+    # device mesh for data-parallel serving: None = single device, or a
+    # jax.sharding.Mesh with a "data" axis — batched ensemble dispatches
+    # shard the frame batch over it (multi-chip serving, SURVEY §2.7)
+    mesh: object = None
 
 
 class FaceService:
@@ -43,6 +47,7 @@ class FaceService:
 
     def __init__(self, cfg: ServiceConfig = ServiceConfig()):
         self.cfg = cfg
+        self.mesh = cfg.mesh
         self.engine = FaceEngine(
             EngineConfig(
                 detector=cfg.detector,
@@ -53,6 +58,37 @@ class FaceService:
                 with_age_gender=cfg.with_age_gender,
             )
         )
+
+    def _ensemble(self, imgs, *args, **kw):
+        """Route every batched ensemble dispatch through the mesh when
+        configured, padding the frame batch up to a data-axis multiple
+        (XLA requires the sharded axis to divide evenly) and slicing the
+        padding back off every result field."""
+        if self.mesh is None:
+            return self.engine.detect_embed_classify_batch(imgs, *args, **kw)
+        n = int(self.mesh.shape["data"])
+        b = len(imgs)
+        pad = (-b) % n
+        if pad:
+            imgs = np.concatenate(
+                [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
+        res = self.engine.detect_embed_classify_batch(
+            imgs, *args, mesh=self.mesh, **kw)
+        if not pad:
+            return res
+        import dataclasses as dc
+
+        import jax
+
+        def unpad(x):
+            return jax.tree_util.tree_map(lambda a: a[:b], x)
+
+        return dc.replace(
+            res, det=unpad(res.det), crops=unpad(res.crops),
+            embeddings=None if res.embeddings is None else unpad(res.embeddings),
+            age_probs=None if res.age_probs is None else unpad(res.age_probs),
+            gender_probs=None if res.gender_probs is None
+            else unpad(res.gender_probs))
 
     def ready(self) -> bool:
         """Readiness probe (replaces the Triton 100-retry ping): runs a tiny
@@ -71,7 +107,7 @@ class FaceService:
                 if self.engine.spec.input_size == (-1, -1):
                     self.engine.detect_batch(img)
                 else:
-                    self.engine.detect_embed_classify_batch(
+                    self._ensemble(
                         img, crop_size=self.cfg.face_size,
                         want_embed=False, want_ag=False)
 
@@ -86,7 +122,7 @@ class FaceService:
 
         def run_batch(imgs, key):
             _, dt, at = key
-            res = self.engine.detect_embed_classify_batch(
+            res = self._ensemble(
                 imgs, dt, at, crop_size=self.cfg.face_size,
                 want_embed=False, want_ag=False)
             posts = res.det.to_numpy()          # once, not once per index
@@ -150,7 +186,7 @@ class FaceService:
         # thresholds are traced arguments of the fused program: per-call
         # overrides (the ensemble contract) cost no recompile and are
         # thread-safe under ThreadingHTTPServer
-        res = self.engine.detect_embed_classify_batch(
+        res = self._ensemble(
             image_bgr[None], det_thres, bbox_area_thres,
             crop_size=self.cfg.face_size,
             want_embed=False, want_ag=False,   # Detect returns crops only
@@ -217,7 +253,7 @@ class FaceService:
             else:
                 out["labels"] = []
             return out
-        res = self.engine.detect_embed_classify_batch(image_bgr[None])
+        res = self._ensemble(image_bgr[None])
         m = np.asarray(res.det.valid[0])
         if not m.any():
             return {"bboxes": NO_FACE_SENTINEL.copy(),

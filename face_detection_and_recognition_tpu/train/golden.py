@@ -237,8 +237,16 @@ def evaluate_golden(
     with-vars pipeline (no cache invalidation / recompile per eval step);
     otherwise uses the engine's own weights via the public API."""
     results = {}
+    pos_shape = None
     for tag, path in (("pos", pos_img), ("neg", neg_img)):
         img = cv2.imread(path)
+        if tag == "pos":
+            pos_shape = img.shape
+        elif img.shape != pos_shape:
+            # one compiled pipeline for both gate images: the 0-face
+            # contract holds at any scale, and a second source resolution
+            # costs a second multi-minute axon compile per training run
+            img = cv2.resize(img, (pos_shape[1], pos_shape[0]))
         if variables is not None:
             run = engine._pipeline_for(tuple(img.shape), with_vars=True)
             post = run(variables, img[None], engine._scalar(det_thres),

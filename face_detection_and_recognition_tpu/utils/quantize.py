@@ -77,3 +77,49 @@ def quantize_variables(variables: Dict[str, Any]) -> Dict[str, Any]:
         return p
 
     return {"params": walk(params, stats)}
+
+
+# ---------------------------------------------------------------------------
+# static activation calibration
+# ---------------------------------------------------------------------------
+
+def calibrate_activation_scales(net, variables, batches) -> Dict[tuple, float]:
+    """Per-ConvBN input absmax over calibration batches -> static int8
+    activation scales (absmax / 127), keyed by module path.
+
+    Runs the F32 net with a method interceptor — no quantized graph needed;
+    the paths align with the quantized tree because quantization preserves
+    module structure."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    maxima: Dict[tuple, float] = {}
+
+    def interceptor(next_fn, args, kwargs, context):
+        m = context.module
+        if type(m).__name__ == "ConvBN" and args and hasattr(args[0], "shape"):
+            key = tuple(m.path)
+            val = float(jnp.max(jnp.abs(args[0].astype(jnp.float32))))
+            maxima[key] = max(maxima.get(key, 0.0), val)
+        return next_fn(*args, **kwargs)
+
+    with nn.intercept_methods(interceptor):
+        for b in batches:
+            net.apply(variables, b)
+    return {k: max(v, 1e-6) / 127.0 for k, v in maxima.items()}
+
+
+def pour_activation_scales(qvariables: Dict[str, Any],
+                           scales: Dict[tuple, float]) -> Dict[str, Any]:
+    """Insert calibrated ``ascale`` leaves into a quantized params tree (for
+    nets built with quantized="static"). Quantized ConvBN slots missing a
+    calibration record keep scale 1.0 (and a warning would be deserved)."""
+    def walk(p: Any, path: tuple) -> Any:
+        if isinstance(p, dict):
+            if "kernel_q" in p:
+                s = scales.get(path, 1.0)
+                return {**p, "ascale": np.float32(s)}
+            return {k: walk(v, path + (k,)) for k, v in p.items()}
+        return p
+
+    return {"params": walk(qvariables["params"], ())}

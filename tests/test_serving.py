@@ -190,3 +190,26 @@ def test_serving_native_resolution_detector(rng):
         np.testing.assert_array_equal(bboxes, [[0, 0, 0, 0]])
     out = svc.detect_embed_classify(img)
     assert set(out) == {"bboxes", "confs", "embeddings", "labels"}
+
+
+def test_service_mesh_routing(rng):
+    """ServiceConfig(mesh=...) shards batched ensemble dispatches over the
+    virtual 8-device mesh, padding odd batch sizes to a data-axis multiple;
+    results match the single-device service (VERDICT r2 Missing #5)."""
+    from face_detection_and_recognition_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(("data",), (8,))
+    base = FaceService(ServiceConfig(detector="blazeface-front",
+                                     det_thres=0.3, max_det=4,
+                                     with_embedder=False,
+                                     with_age_gender=False))
+    sharded = FaceService(ServiceConfig(detector="blazeface-front",
+                                        det_thres=0.3, max_det=4,
+                                        with_embedder=False,
+                                        with_age_gender=False, mesh=mesh))
+    img = rng.randint(0, 255, (96, 128, 3)).astype(np.uint8)
+    f0, b0, c0 = base.detect_faces(img)     # B=1 -> padded to 8 on the mesh
+    f1, b1, c1 = sharded.detect_faces(img)
+    np.testing.assert_allclose(b1, b0, atol=1e-3)
+    np.testing.assert_allclose(c1, c0, atol=1e-4)
+    np.testing.assert_allclose(f1, f0, atol=1e-2)
