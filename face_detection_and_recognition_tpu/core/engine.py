@@ -110,6 +110,16 @@ class FaceEngine:
         self.net, self.variables, self._detect = self.spec.build(
             rng=rng, dtype=cfg.dtype, **cfg.detector_overrides
         )
+        in_dims = getattr(self.net, "input_dims", None)
+        if in_dims and len(in_dims) == 4:
+            # graph-executor nets (openvino-ir) carry their own input size;
+            # retarget the preprocess recipe to the file's Parameter shape
+            size = (int(in_dims[3]), int(in_dims[2]))  # NCHW -> (w, h)
+            if size != self.spec.input_size:
+                self.spec = dataclasses.replace(
+                    self.spec, input_size=size,
+                    preprocess=dataclasses.replace(self.spec.preprocess,
+                                                   size=size))
 
         self.embed_net = self.embed_vars = self._embed = None
         self.embed_spec = None
@@ -221,15 +231,32 @@ class FaceEngine:
             variables = W.convert_mtcnn_graphdef(
                 MF.read_tf_graphdef(path), self.variables)
         elif ext == ".xml":
-            from ..utils import model_formats as MF
+            from ..models.ov_graph import OVGraphNet
 
-            consts = MF.read_openvino_ir(
-                path, os.path.splitext(path)[0] + ".bin")
-            arrays = [W.c2f_conv(c.value) if c.value.ndim == 4 else c.value
-                      for c in consts
-                      if np.issubdtype(c.value.dtype, np.floating)]
-            variables = W.structural_import(
-                arrays, self.variables, module_order=self._execution_order())
+            if isinstance(self.net, OVGraphNet) or name == "openvino-ir":
+                # the IR *is* the net: rebuild the executor from the new
+                # file (topology + weights both come from the artifact)
+                import jax as _jax
+
+                from ..models.ov_graph import make_ov_detect
+                from ..utils.ir_graph import parse_ir_graph
+
+                net = OVGraphNet(parse_ir_graph(
+                    path, os.path.splitext(path)[0] + ".bin"))
+                self.net = net
+                self._detect = _jax.jit(make_ov_detect(net))
+                variables = net.init_variables()
+            else:
+                from ..utils import model_formats as MF
+
+                consts = MF.read_openvino_ir(
+                    path, os.path.splitext(path)[0] + ".bin")
+                arrays = [W.c2f_conv(c.value) if c.value.ndim == 4
+                          else c.value for c in consts
+                          if np.issubdtype(c.value.dtype, np.floating)]
+                variables = W.structural_import(
+                    arrays, self.variables,
+                    module_order=self._execution_order())
         else:
             from ..utils.checkpoint import load_variables
 

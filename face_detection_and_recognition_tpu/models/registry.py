@@ -210,6 +210,40 @@ register(DetectorSpec("ssd-squeezenet", (300, 300), P.OPENCV_SSD, 0,
                       _build_ssd("squeezenet", (300, 300))))
 
 
+def _build_ov_ir():
+    def build(rng=None, dtype=jnp.float32, **kw):
+        import os
+
+        import jax
+
+        from ..utils.ir_graph import parse_ir_graph
+        from .ov_graph import OVGraphNet, make_ov_detect
+
+        xml = kw.pop("xml", None)
+        kw.pop("input_size", None)  # sizing comes from the IR itself
+        if xml is None:
+            raise ValueError(
+                "detector='openvino-ir' executes a REAL IR: pass "
+                "detector_overrides={'xml': 'model.xml'} (bin defaults to "
+                "the sibling .bin)")
+        bin_path = kw.pop("bin", os.path.splitext(xml)[0] + ".bin")
+        net = OVGraphNet(parse_ir_graph(xml, bin_path))
+        detect = jax.jit(make_ov_detect(net))
+        return net, net.init_variables(), detect
+
+    return build
+
+
+# generic executor for REAL OpenVINO IRs (face-detection-0204,
+# SqueezeNet-light, … — modules/openvino/model.py loads any model.xml the
+# same way); input size is read from the IR's Parameter layer, preprocess
+# matches OVModel.__call__ (pad_resize, raw BGR values)
+register(DetectorSpec(
+    "openvino-ir", (448, 448),
+    P.PreprocessSpec(size=(448, 448), resize="letterbox"), 0,
+    _build_ov_ir()))
+
+
 # ---------------- MTCNN ----------------
 
 

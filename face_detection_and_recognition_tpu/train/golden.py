@@ -307,6 +307,13 @@ def train_golden(
     engine = FaceEngine(EngineConfig(detector=arch, det_thres=0.5,
                                      detector_overrides=overrides))
 
+    # compile the eval pipeline up front (random weights): a wedged or slow
+    # first-eval compile then surfaces BEFORE hundreds of train steps
+    warm = {"params": jax.device_get(state["params"]),
+            "batch_stats": jax.device_get(state["batch_stats"])}
+    r0 = evaluate_golden(engine, variables=warm)
+    log(f"[golden] eval warmup ok (pos={r0['n_pos']} neg={r0['n_neg']})")
+
     aug = AugmentConfig(mosaic=0.5, fliplr=0.5, scale=0.3)
     batches = wider_batches(index, batch_size, (input_size, input_size),
                             cfg.max_targets, seed=seed, epochs=10_000,
