@@ -1,10 +1,18 @@
-.PHONY: test bench native clean
+.PHONY: test bench native clean accuracy
 
 test:
 	python -m pytest tests/ -q
 
 bench:
 	python bench.py
+
+# the executed end-to-end accuracy result: train yolov5n on golden-face
+# composites until the engine REALLY detects the 3 pinned faces
+# (IoU >= 0.5 vs the reference golden boxes), checkpoint -> reload -> regate.
+# Runs on the TPU; exits nonzero unless the reloaded checkpoint passes.
+accuracy:
+	python -m face_detection_and_recognition_tpu.cli.train_golden \
+		--out tests/data/golden_yolov5n_ckpt
 
 bench-all:
 	python benchmarks/bench_all.py

@@ -1,0 +1,47 @@
+"""Train a detector to its first REAL detections on the golden image.
+
+``python -m face_detection_and_recognition_tpu.cli.train_golden`` runs the
+full in-environment accuracy loop (train/golden.py): synthetic composites
+from the reference's pinned 3-face image -> augmented EMA training ->
+engine gate (3 faces at IoU >= 0.5 vs the golden boxes of
+tests/image_tests/test_yolov5_face.py:58-66, zero on the 0-face image) ->
+orbax checkpoint -> reload through a fresh engine -> regate.
+
+Exit code 0 only when the reloaded checkpoint passes the gate.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import tempfile
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", required=True, help="checkpoint output dir")
+    ap.add_argument("--arch", default="yolov5n")
+    ap.add_argument("--size", type=int, default=640)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--eval-every", type=int, default=200)
+    ap.add_argument("--images", type=int, default=512)
+    ap.add_argument("--lr", type=float, default=0.01)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--work-dir", default=None)
+    args = ap.parse_args(argv)
+
+    from ..train.golden import train_golden
+
+    work = args.work_dir or tempfile.mkdtemp(prefix="golden_")
+    r = train_golden(
+        args.out, work, arch=args.arch, input_size=args.size,
+        batch_size=args.batch, max_steps=args.steps,
+        eval_every=args.eval_every, n_images=args.images, lr=args.lr,
+        seed=args.seed)
+    print(f"golden gate: ok={r['ok']} reload_ok={r.get('reload_ok')} "
+          f"ious={['%.3f' % i for i in r['ious']]} steps={r.get('steps')}")
+    return 0 if (r["ok"] and r.get("reload_ok")) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
