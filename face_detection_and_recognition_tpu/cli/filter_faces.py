@@ -22,6 +22,11 @@ def main(argv=None) -> int:
     ap.add_argument("-t", "--target_dir", required=True)
     ap.add_argument("--embedder", default="facenet",
                     help="embedder registry name (reference uses 128-d facenet)")
+    ap.add_argument("-m", "--savedmodel_path", default=None,
+                    help="real facenet weights: a keras SavedModel dir "
+                         "(the reference's models/facenet/facenet_keras_p38,"
+                         " filter_faces_using_reference.py:131), a .h5, or "
+                         "an orbax checkpoint")
     ap.add_argument("--batch", type=int, default=32)
     args = ap.parse_args(argv)
 
@@ -33,7 +38,28 @@ def main(argv=None) -> int:
     from ..pipelines.similarity import SimilarFaceFilter
 
     spec = get_embedder(args.embedder)
-    _, variables, embed = spec.build()
+    net, variables, embed = spec.build()
+    if args.savedmodel_path:
+        import os
+
+        from ..utils import weights as W
+
+        path = args.savedmodel_path
+        if os.path.isdir(path) and os.path.exists(
+                os.path.join(path, "saved_model.pb")):
+            from ..utils.tensor_bundle import read_tensor_bundle
+
+            named = read_tensor_bundle(
+                os.path.join(path, "variables", "variables"))
+            variables = W.convert_facenet_keras(
+                W.keras_bundle_stream(named), net, variables)
+        elif path.endswith(".h5"):
+            variables = W.convert_facenet_keras(
+                W.read_keras_h5_stream(path), net, variables)
+        else:
+            from ..utils.checkpoint import load_variables
+
+            variables = load_variables(path)
     ew, eh = spec.input_size
 
     @jax.jit

@@ -183,3 +183,36 @@ def test_similar_face_golden_harness_ready(facenet_pair, tmp_path):
     np.testing.assert_allclose(mean, emb.mean(0))
     expected = max(np.linalg.norm(e - emb.mean(0)) for e in emb)
     assert thr == pytest.approx(expected, rel=1e-6)
+
+
+def test_filter_faces_cli_with_savedmodel(facenet_pair, tmp_path, rng):
+    """The reference's exact flow: filter_faces -m <SavedModel dir> loads
+    real-format facenet weights and routes images clean/unclean."""
+    import cv2
+
+    from face_detection_and_recognition_tpu.cli.filter_faces import main
+
+    net, donor_vars, _, _, _, groups = facenet_pair
+    sm = tmp_path / "facenet_keras_p38"
+    (sm / "variables").mkdir(parents=True)
+    (sm / "saved_model.pb").write_bytes(b"\x08\x01")
+    tensors = []
+    for i, (p, attrs) in enumerate(groups):
+        for attr, arr in attrs:
+            tensors.append((
+                f"layer_with_weights-{i}/{attr}/.ATTRIBUTES/VARIABLE_VALUE",
+                np.asarray(arr, np.float32)))
+    write_tensor_bundle(str(sm / "variables" / "variables"), tensors)
+
+    for d in ("data/person_a", "refs/person_a"):
+        (tmp_path / d).mkdir(parents=True)
+    for i in range(3):
+        img = rng.randint(0, 255, (160, 160, 3)).astype(np.uint8)
+        cv2.imwrite(str(tmp_path / "refs/person_a" / f"r{i}.jpg"), img)
+        cv2.imwrite(str(tmp_path / "data/person_a" / f"d{i}.jpg"), img)
+    rc = main(["-d", str(tmp_path / "data"), "-r", str(tmp_path / "refs"),
+               "-t", str(tmp_path / "out"), "-m", str(sm), "--batch", "2"])
+    assert rc in (0, None)
+    import os
+
+    assert os.path.isdir(str(tmp_path / "out"))
