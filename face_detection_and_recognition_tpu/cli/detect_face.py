@@ -32,15 +32,24 @@ def build_engine(args) -> FaceEngine:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    ckpt = getattr(args, "ckpt", None)
+    overrides = {}
+    if args.model == "openvino-ir":
+        # the IR *is* the net: the weights file defines the topology, so it
+        # must be present at build (detect_face_openvino.py's -m model.xml)
+        if not ckpt or not ckpt.endswith(".xml"):
+            raise SystemExit("--md openvino-ir requires --ckpt model.xml")
+        overrides["xml"] = ckpt
+        ckpt = None
     cfg = EngineConfig(
         detector=args.model,
         det_thres=args.det_thres,
         bbox_area_thres=args.bbox_area_thres,
         with_age_gender=getattr(args, "age_gender", False),
         embedder=getattr(args, "embedder", None),
+        detector_overrides=overrides,
     )
     engine = FaceEngine(cfg)
-    ckpt = getattr(args, "ckpt", None)
     if ckpt:
         # any reference weight format (.pt/.pth/.caffemodel/.pb/.xml) or an
         # orbax checkpoint of our own variables tree

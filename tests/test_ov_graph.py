@@ -306,3 +306,25 @@ def test_engine_openvino_ir_entry_path(tmp_path, rng):
     post2 = eng.detect_image(img)
     np.testing.assert_allclose(np.asarray(post2.boxes),
                                np.asarray(post.boxes), atol=1e-4)
+
+
+def test_detect_face_cli_openvino_ir(tmp_path, rng):
+    """detect_face --md openvino-ir --ckpt model.xml: the unified CLI covers
+    the reference's detect_face_openvino.py entry point with a REAL IR."""
+    import cv2
+
+    from face_detection_and_recognition_tpu.cli.detect_face import main
+
+    layers, edges, _ = _ssd_fixture(rng)
+    xml, blob = write_ir_graph(layers, edges)
+    (tmp_path / "model.xml").write_bytes(xml)
+    (tmp_path / "model.bin").write_bytes(blob)
+    img = rng.randint(0, 255, (60, 80, 3)).astype(np.uint8)
+    src = str(tmp_path / "in.jpg")
+    cv2.imwrite(src, img)
+    out = str(tmp_path / "out.jpg")
+    rc = main(["-i", src, "--md", "openvino-ir",
+               "--ckpt", str(tmp_path / "model.xml"),
+               "--dt", "0.01", "--no-display", "-o", out])
+    assert rc == 0
+    assert cv2.imread(out) is not None
