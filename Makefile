@@ -1,4 +1,4 @@
-.PHONY: test bench native clean accuracy
+.PHONY: test bench native clean accuracy accuracy-embed
 
 test:
 	python -m pytest tests/ -q
@@ -13,6 +13,13 @@ bench:
 accuracy:
 	python -m face_detection_and_recognition_tpu.cli.train_golden \
 		--out tests/data/golden_yolov5n_ckpt
+
+# executed RECOGNITION accuracy: train the ArcFace embedder until the
+# similar-face filter's own math separates the golden identities on
+# held-out probes, checkpoint -> engine.load_embed_weights -> regate.
+accuracy-embed:
+	python -m face_detection_and_recognition_tpu.cli.train_golden_embed \
+		--out tests/data/golden_embed_ckpt
 
 bench-all:
 	python benchmarks/bench_all.py

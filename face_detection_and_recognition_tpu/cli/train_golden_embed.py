@@ -1,0 +1,44 @@
+"""Train the ArcFace embedder to its first REAL recognition result.
+
+``python -m face_detection_and_recognition_tpu.cli.train_golden_embed`` runs
+the in-environment recognition accuracy loop (train/golden_embed.py): the
+three golden faces become three identities, MobileFaceNet + ArcFace train on
+augmented crop sets, and the gate demands the similar-face filter's own math
+(per-class mean + max-ref-distance threshold,
+``similar_face_filtering/filter_faces_using_reference.py:71-100``) route
+held-out probes perfectly — then checkpoint -> fresh
+``engine.load_embed_weights`` -> regate through the serving embed path.
+
+Exit code 0 only when the reloaded checkpoint passes the gate.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", required=True, help="checkpoint output dir")
+    ap.add_argument("--batch", type=int, default=48)
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--eval-every", type=int, default=50)
+    ap.add_argument("--train-per-id", type=int, default=96)
+    ap.add_argument("--lr", type=float, default=0.01)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    from ..train.golden_embed import train_golden_embedder
+
+    r = train_golden_embedder(
+        args.out, batch_size=args.batch, max_steps=args.steps,
+        eval_every=args.eval_every, n_train_per_id=args.train_per_id,
+        lr=args.lr, seed=args.seed)
+    print(f"golden-embed gate: ok={r['ok']} reload_ok={r.get('reload_ok')} "
+          f"same={r['same_acc']:.2f} cross={r['cross_acc']:.2f} "
+          f"margin={r['margin']:.3f} steps={r.get('steps')}")
+    return 0 if (r["ok"] and r.get("reload_ok")) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -267,6 +267,34 @@ def augment_example(
     return np.ascontiguousarray(canvas), rows
 
 
+def prefetch_iter(it: Iterator, depth: int = 2) -> Iterator:
+    """Run an iterator in a daemon thread feeding a bounded queue, so host
+    batch assembly overlaps the device step + host->device upload (both
+    release the GIL). Exceptions from the source re-raise at the consumer."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    end = object()
+
+    def run():
+        try:
+            for x in it:
+                q.put(x)
+            q.put(end)
+        except BaseException as e:  # noqa: BLE001 - propagate to consumer
+            q.put(e)
+
+    threading.Thread(target=run, daemon=True).start()
+    while True:
+        got = q.get()
+        if got is end:
+            return
+        if isinstance(got, BaseException):
+            raise got
+        yield got
+
+
 def wider_batches(
     index: List[Tuple[str, np.ndarray]],
     batch_size: int,
@@ -276,12 +304,16 @@ def wider_batches(
     seed: int = 0,
     epochs: int = 1,
     augment: Optional[AugmentConfig] = None,
+    as_uint8: bool = False,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Yield (images [B,h,w,3], targets [B,T,14], valid [B,T]).
 
     With ``augment`` set, each example goes through mosaic (probability
     ``augment.mosaic``, pulling 3 extra random images), HSV jitter, and
-    flips with the landmark left/right swap."""
+    flips with the landmark left/right swap.
+
+    ``as_uint8=True`` yields RGB uint8 images (the train step normalizes on
+    device; 4x less host->device traffic than f32 in [0,1])."""
     rng = random.Random(seed)
 
     def load(i):
@@ -308,7 +340,8 @@ def wider_batches(
                 canvas, rows = letterbox_example(item[0], item[1], out_wh)
             if augment is not None:
                 canvas, rows = augment_example(canvas, rows, rng, augment)
-            x = canvas[..., ::-1].astype(np.float32) / 255.0
+            rgb = np.ascontiguousarray(canvas[..., ::-1])
+            x = rgb if as_uint8 else rgb.astype(np.float32) / 255.0
             t, v = rows_to_padded(
                 rows, max_targets,
                 augment.min_box if augment is not None else 2.0)

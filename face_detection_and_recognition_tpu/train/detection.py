@@ -111,50 +111,69 @@ def build_targets(
         t = targets / stride                                   # to grid units
         cx, cy = t[..., 0], t[..., 1]
         w, h = t[..., 2], t[..., 3]
-        gi = jnp.clip(cx.astype(jnp.int32), 0, gw - 1)         # [B, T]
-        gj = jnp.clip(cy.astype(jnp.int32), 0, gh - 1)
-        # anchor match: max ratio < anchor_t
-        r_w = w[..., None] / anc_arr[None, None, :, 0]
-        r_h = h[..., None] / anc_arr[None, None, :, 1]
+        gi0 = jnp.clip(jnp.floor(cx).astype(jnp.int32), 0, gw - 1)  # [B, T]
+        gj0 = jnp.clip(jnp.floor(cy).astype(jnp.int32), 0, gh - 1)
+        # yolov5 neighbor-cell expansion (loss.py build_targets, off=0.5):
+        # each GT is also assigned to the nearest lateral cell in x and in y,
+        # tripling positives; the xy target stays in the head's (-0.5, 1.5)
+        # decode range relative to the assigned cell.
+        fx, fy = cx - jnp.floor(cx), cy - jnp.floor(cy)
+        gi_n = jnp.clip(gi0 + jnp.where(fx < 0.5, -1, 1), 0, gw - 1)
+        gj_n = jnp.clip(gj0 + jnp.where(fy < 0.5, -1, 1), 0, gh - 1)
+        ok_x = jnp.where(fx < 0.5, cx > 1.0, cx < gw - 1.0)
+        ok_y = jnp.where(fy < 0.5, cy > 1.0, cy < gh - 1.0)
+
+        def expand(center, x_neigh, y_neigh):
+            # [B, T] x3 -> [B, 3T] (variant-major along the target axis)
+            return jnp.concatenate([center, x_neigh, y_neigh], axis=1)
+
+        gi = expand(gi0, gi_n, gi0)                            # [B, 3T]
+        gj = expand(gj0, gj0, gj_n)
+        cell_ok = expand(jnp.ones_like(ok_x), ok_x, ok_y)
+        rep = lambda a: jnp.concatenate([a, a, a], axis=1)
+        cx_e, cy_e, w_e, h_e = rep(cx), rep(cy), rep(w), rep(h)
+
+        # anchor match: max ratio < anchor_t (size-only, same per variant)
+        r_w = w_e[..., None] / anc_arr[None, None, :, 0]
+        r_h = h_e[..., None] / anc_arr[None, None, :, 1]
         ratio = jnp.maximum(
             jnp.maximum(r_w, 1.0 / jnp.maximum(r_w, 1e-9)),
             jnp.maximum(r_h, 1.0 / jnp.maximum(r_h, 1e-9)),
         )
-        match = (ratio < anchor_t) & target_valid[..., None]   # [B, T, na]
+        match = ((ratio < anchor_t) & rep(target_valid)[..., None]
+                 & cell_ok[..., None])                         # [B, 3T, na]
 
-        b, tt = targets.shape[:2]
+        b = targets.shape[0]
+        tt = gi.shape[1]
         tobj = jnp.zeros((b, na, gh, gw), jnp.float32)
         tbox = jnp.zeros((b, na, gh, gw, 4), jnp.float32)
         tlmk = jnp.zeros((b, na, gh, gw, 10), jnp.float32)
         lmk_mask = jnp.zeros((b, na, gh, gw, 10), jnp.float32)
 
         bidx = jnp.broadcast_to(jnp.arange(b)[:, None, None], (b, tt, na))
+        # route non-matching rows to an out-of-range batch index so
+        # mode="drop" discards them — a padded/unmatched row must never
+        # clobber a real target sharing its (cell, anchor) slot
+        bsafe = jnp.where(match, bidx, b)
         aidx = jnp.broadcast_to(jnp.arange(na)[None, None, :], (b, tt, na))
         gjb = jnp.broadcast_to(gj[..., None], (b, tt, na))
         gib = jnp.broadcast_to(gi[..., None], (b, tt, na))
 
-        boxv = jnp.stack([cx - gi, cy - gj, w, h], axis=-1)     # cell-relative
+        boxv = jnp.stack([cx_e - gi, cy_e - gj, w_e, h_e], axis=-1)
         boxb = jnp.broadcast_to(boxv[:, :, None, :], (b, tt, na, 4))
-        lmk = t[..., 4:14]
-        # landmarks relative to the cell in grid units
+        lmk = jnp.concatenate([t[..., 4:14]] * 3, axis=1)       # [B, 3T, 10]
+        # landmarks relative to the assigned cell in grid units
         lmk_rel = lmk - jnp.stack([gi, gj] * 5, axis=-1).astype(jnp.float32)
         lmkb = jnp.broadcast_to(lmk_rel[:, :, None, :], (b, tt, na, 10))
         lmk_vis = jnp.broadcast_to(
-            (lmk[..., :] > 0).astype(jnp.float32)[:, :, None, :],
-            (b, tt, na, 10),
-        )
+            (lmk > 0).astype(jnp.float32)[:, :, None, :], (b, tt, na, 10))
 
-        m = match.astype(jnp.float32)
-        tobj = tobj.at[bidx, aidx, gjb, gib].max(m)
-        tbox = tbox.at[bidx, aidx, gjb, gib].set(
-            jnp.where(match[..., None], boxb, 0.0), mode="drop"
-        )
-        tlmk = tlmk.at[bidx, aidx, gjb, gib].set(
-            jnp.where(match[..., None], lmkb, 0.0)
-        )
-        lmk_mask = lmk_mask.at[bidx, aidx, gjb, gib].set(
-            jnp.where(match[..., None], lmk_vis, 0.0)
-        )
+        tobj = tobj.at[bsafe, aidx, gjb, gib].max(
+            match.astype(jnp.float32), mode="drop")
+        tbox = tbox.at[bsafe, aidx, gjb, gib].set(boxb, mode="drop")
+        tlmk = tlmk.at[bsafe, aidx, gjb, gib].set(lmkb, mode="drop")
+        lmk_mask = lmk_mask.at[bsafe, aidx, gjb, gib].set(
+            lmk_vis, mode="drop")
         out.append({
             "tobj": tobj, "tbox": tbox, "tlmk": tlmk, "lmk_mask": lmk_mask,
             "anchors": anc_arr,
@@ -277,6 +296,10 @@ def make_det_train_step(state: Dict[str, Any]):
     grid_hw = [(h // s, w // s) for s in spec["strides"]]
 
     def loss_fn(params, batch_stats, images, targets, target_valid):
+        if images.dtype == jnp.uint8:
+            # uint8 batches upload at 1/4 the bytes of f32 (the tunnel is
+            # the training wall on this rig); normalize on device instead
+            images = images.astype(jnp.float32) / 255.0
         maps, updates = net.apply(
             {"params": params, "batch_stats": batch_stats},
             images, train=True, mutable=["batch_stats"],

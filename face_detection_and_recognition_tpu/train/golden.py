@@ -315,9 +315,11 @@ def train_golden(
     log(f"[golden] eval warmup ok (pos={r0['n_pos']} neg={r0['n_neg']})")
 
     aug = AugmentConfig(mosaic=0.5, fliplr=0.5, scale=0.3)
-    batches = wider_batches(index, batch_size, (input_size, input_size),
-                            cfg.max_targets, seed=seed, epochs=10_000,
-                            augment=aug)
+    from .data import prefetch_iter
+    batches = prefetch_iter(
+        wider_batches(index, batch_size, (input_size, input_size),
+                      cfg.max_targets, seed=seed, epochs=10_000,
+                      augment=aug, as_uint8=True), depth=2)
     p, bs, opt = state["params"], state["batch_stats"], state["opt_state"]
     ema, n = state["ema_params"], jnp.int32(0)
     result: Dict[str, object] = {"ok": False}

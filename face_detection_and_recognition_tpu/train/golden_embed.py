@@ -1,0 +1,205 @@
+"""In-environment executed RECOGNITION accuracy: train the ArcFace embedder
+until the similar-face filter REALLY separates the golden identities.
+
+The reference's strongest numeric recognition contract is the similar-face
+filter: per-class reference mean vector + threshold = max L2 distance of the
+refs from that mean, then route images clean/unclean by ``||f - mean|| <=
+thres`` (``similar_face_filtering/filter_faces_using_reference.py:71-100,
+183-197``; golden threshold test ``tests/base/test_similar_faces_filter.py:
+30-64``). Its keras FaceNet weights are not downloadable here, so — like
+train/golden.py for detection — this module closes the loop with what the
+repo owns: the three golden faces of ``test2_faces_3.jpg`` become three
+IDENTITIES, augmented crop sets are sampled per identity, MobileFaceNet is
+trained with the ArcFace head (train/arcface.py), and the gate demands the
+filter's own math route held-out probes perfectly: every same-identity probe
+inside its class threshold, every cross-identity probe outside, with a
+positive distance margin. Checkpoint -> fresh engine.load_embed_weights ->
+engine.embed_crops -> regate: train -> checkpoint -> serving path verified
+on real pixels.
+"""
+from __future__ import annotations
+
+import os
+import random
+from typing import Dict, List, Tuple
+
+import cv2
+import numpy as np
+
+from .data import augment_hsv
+from .golden import GOLDEN_IMG, extract_golden_faces
+
+N_IDENTITIES = 3
+
+
+def make_identity_crops(
+    seed: int,
+    n_per_id: int,
+    size: int = 112,
+    img_path: str = GOLDEN_IMG,
+) -> List[List[np.ndarray]]:
+    """Sample augmented BGR uint8 crops per golden identity.
+
+    Each sample jitters the crop window around the identity's face box
+    (scale/shift), resizes to ``size``, then applies HSV jitter, horizontal
+    flip, and sensor noise — distinct seeds give disjoint ref/probe/train
+    sets of the same identities."""
+    rng = random.Random(seed)
+    faces = extract_golden_faces(img_path)
+    out: List[List[np.ndarray]] = []
+    for f in faces:
+        patch, box = f["patch"], f["box"]
+        ph, pw = patch.shape[:2]
+        cx, cy = (box[0] + box[2]) / 2, (box[1] + box[3]) / 2
+        side0 = max(box[2] - box[0], box[3] - box[1])
+        crops = []
+        for _ in range(n_per_id):
+            s = side0 * rng.uniform(1.0, 1.45)
+            jx = cx + rng.uniform(-0.08, 0.08) * s
+            jy = cy + rng.uniform(-0.08, 0.08) * s
+            half = s / 2
+            x1 = int(np.clip(jx - half, 0, pw - 2))
+            y1 = int(np.clip(jy - half, 0, ph - 2))
+            x2 = int(np.clip(jx + half, x1 + 2, pw))
+            y2 = int(np.clip(jy + half, y1 + 2, ph))
+            crop = cv2.resize(patch[y1:y2, x1:x2], (size, size))
+            crop = augment_hsv(crop, rng, 0.015, 0.5, 0.3)
+            if rng.random() < 0.5:
+                crop = np.ascontiguousarray(np.fliplr(crop))
+            sigma = rng.uniform(0.0, 6.0)
+            if sigma > 0.5:
+                noise = np.random.RandomState(
+                    rng.randrange(1 << 31)).normal(0, sigma, crop.shape)
+                crop = np.clip(crop.astype(np.float32) + noise,
+                               0, 255).astype(np.uint8)
+            crops.append(crop)
+        out.append(crops)
+    return out
+
+
+def _normalize_half_bgr(crops_u8: np.ndarray) -> np.ndarray:
+    """mobile_facenet's input recipe: BGR, (x - 127.5)/127.5
+    (EmbedderSpec 'half', rgb=False — mobile_facenet/utils.py:5-18)."""
+    return (np.asarray(crops_u8, np.float32) - 127.5) / 127.5
+
+
+def evaluate_identity_filter(
+    embed_u8_fn,
+    ref_seed: int = 101,
+    probe_seed: int = 202,
+    n_ref: int = 16,
+    n_probe: int = 16,
+) -> Dict[str, object]:
+    """Score an embedder (u8 BGR crops -> [N, D]) with the similar-face
+    filter's exact math: per-identity mean + max-ref-distance threshold from
+    one crop set, held-out probes routed by ``||f - mean|| <= thres``.
+
+    ok = every same-id probe accepted AND every cross-id probe rejected for
+    every identity, with a positive margin (min cross dist - max same dist)."""
+    from ..pipelines.similarity import ref_mean_and_threshold
+
+    refs = make_identity_crops(ref_seed, n_ref)
+    probes = make_identity_crops(probe_seed, n_probe)
+    means, thres = [], []
+    for crops in refs:
+        m, t = ref_mean_and_threshold(embed_u8_fn(np.stack(crops)))
+        means.append(m)
+        thres.append(t)
+    n_same_ok = n_cross_ok = 0
+    margins = []
+    for cid in range(N_IDENTITIES):
+        emb = embed_u8_fn(np.stack(probes[cid]))  # [P, D]
+        d = np.linalg.norm(emb[:, None] - np.stack(means)[None], axis=-1)
+        same = d[:, cid]
+        cross = np.delete(d, cid, axis=1)
+        n_same_ok += int((same <= thres[cid]).sum())
+        other_thres = np.delete(np.asarray(thres), cid)[None]
+        n_cross_ok += int((cross > other_thres).sum())
+        margins.append(float(cross.min() - same.max()))
+    n_same = N_IDENTITIES * n_probe
+    n_cross = N_IDENTITIES * n_probe * (N_IDENTITIES - 1)
+    ok = n_same_ok == n_same and n_cross_ok == n_cross and min(margins) > 0
+    return {"ok": bool(ok), "same_acc": n_same_ok / n_same,
+            "cross_acc": n_cross_ok / n_cross,
+            "margin": float(min(margins)),
+            "thresholds": [float(t) for t in thres]}
+
+
+def train_golden_embedder(
+    ckpt_out: str,
+    batch_size: int = 48,
+    max_steps: int = 600,
+    eval_every: int = 50,
+    n_train_per_id: int = 96,
+    lr: float = 0.01,
+    seed: int = 0,
+    log=print,
+) -> Dict[str, object]:
+    """Full loop: identity crops -> ArcFace training -> filter gate ->
+    orbax checkpoint -> fresh engine.load_embed_weights -> regate."""
+    import jax
+    import jax.numpy as jnp
+
+    from .arcface import (ArcFaceTrainConfig, create_train_state,
+                          make_train_step)
+
+    train_sets = make_identity_crops(seed + 1, n_train_per_id)
+    xs = np.concatenate([_normalize_half_bgr(np.stack(c))
+                         for c in train_sets])
+    ys = np.concatenate([np.full(n_train_per_id, cid, np.int32)
+                         for cid in range(N_IDENTITIES)])
+    log(f"[golden-embed] train crops: {len(xs)} over {N_IDENTITIES} ids")
+
+    cfg = ArcFaceTrainConfig(num_classes=N_IDENTITIES, lr=lr)
+    state = create_train_state(cfg, jax.random.PRNGKey(seed))
+    step = jax.jit(make_train_step(state))
+    net = state["net"]
+    p, bs, opt = state["params"], state["batch_stats"], state["opt_state"]
+
+    @jax.jit
+    def embed_eval(params, batch_stats, x):
+        return net.apply({"params": params, "batch_stats": batch_stats}, x)
+
+    def embed_u8(crops_u8):
+        return np.asarray(embed_eval(
+            p["net"], bs, jnp.asarray(_normalize_half_bgr(crops_u8))))
+
+    rng = np.random.RandomState(seed)
+    result: Dict[str, object] = {"ok": False}
+    for i in range(max_steps):
+        sel = rng.choice(len(xs), batch_size, replace=False)
+        p, bs, opt, loss = step(p, bs, opt, jnp.asarray(xs[sel]),
+                                jnp.asarray(ys[sel]))
+        if (i + 1) % 25 == 0:
+            log(f"[golden-embed] step {i+1} loss {float(loss):.4f}")
+        if (i + 1) % eval_every == 0 or i + 1 == max_steps:
+            r = evaluate_identity_filter(embed_u8)
+            log(f"[golden-embed] eval@{i+1}: same={r['same_acc']:.2f} "
+                f"cross={r['cross_acc']:.2f} margin={r['margin']:.3f}")
+            if r["ok"]:
+                result = r
+                result["steps"] = i + 1
+                break
+    if not result.get("ok"):
+        result = evaluate_identity_filter(embed_u8)
+        result["steps"] = max_steps
+
+    from ..utils.checkpoint import save_variables
+
+    save_variables(ckpt_out, {"params": jax.device_get(p["net"]),
+                              "batch_stats": jax.device_get(bs)})
+    log(f"[golden-embed] checkpoint saved to {ckpt_out}")
+
+    # the real gate: a fresh ENGINE loads the checkpoint and its serving
+    # embed path (resize + preprocess + embed in one program) must pass
+    from ..core.engine import EngineConfig, FaceEngine
+
+    eng = FaceEngine(EngineConfig(detector="blazeface-front",
+                                  embedder="mobile_facenet"))
+    eng.load_embed_weights(ckpt_out)
+    reload_result = evaluate_identity_filter(eng.embed_crops)
+    result["reload_ok"] = reload_result["ok"]
+    result["reload_margin"] = reload_result["margin"]
+    log(f"[golden-embed] reload gate: {reload_result['ok']} "
+        f"margin={reload_result['margin']:.3f}")
+    return result

@@ -47,6 +47,48 @@ def test_wider_batches(wider_tree):
     assert v.any()
 
 
+def test_wider_batches_uint8_matches_f32(wider_tree):
+    """as_uint8 yields the same pixels pre-normalization, and the train
+    step's in-graph /255 makes the loss identical to the f32 input path."""
+    import jax
+
+    from face_detection_and_recognition_tpu.train.detection import (
+        DetTrainConfig, create_det_train_state, make_det_train_step)
+
+    ann, images = wider_tree
+    index = TD.load_wider_index(ann, images)
+    xf, tf_, vf = next(iter(TD.wider_batches(index, 2, (128, 128), 4)))
+    xu, tu, vu = next(iter(TD.wider_batches(index, 2, (128, 128), 4,
+                                            as_uint8=True)))
+    assert xu.dtype == np.uint8 and xf.dtype == np.float32
+    np.testing.assert_allclose(xf, xu.astype(np.float32) / 255.0, atol=1e-7)
+    np.testing.assert_array_equal(tf_, tu)
+
+    cfg = DetTrainConfig(arch="yolov5n", nc=1, input_size=(128, 128),
+                         max_targets=4)
+    state = create_det_train_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(make_det_train_step(state))
+    out_f = step(state["params"], state["batch_stats"], state["opt_state"],
+                 xf, tf_, vf)
+    out_u = step(state["params"], state["batch_stats"], state["opt_state"],
+                 xu, tu, vu)
+    np.testing.assert_allclose(float(out_f[3]), float(out_u[3]),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_prefetch_iter_order_and_errors():
+    assert list(TD.prefetch_iter(iter(range(7)), depth=3)) == list(range(7))
+
+    def boom():
+        yield 1
+        raise ValueError("source failed")
+
+    it = TD.prefetch_iter(boom(), depth=1)
+    assert next(it) == 1
+    with pytest.raises(ValueError, match="source failed"):
+        list(it)
+
+
 def test_train_detector_cli_smoke(wider_tree, tmp_path):
     from face_detection_and_recognition_tpu.cli.train_detector import main
 

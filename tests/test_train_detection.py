@@ -67,10 +67,73 @@ def test_build_targets_places_positives():
     tpl = D.build_targets(jnp.asarray(targets), jnp.asarray(valid),
                           spec["anchors"], spec["strides"],
                           [(16, 16), (8, 8), (4, 4)], 4.0)
-    # the P3 level must have at least one positive at cell (5,5)
+    # the P3 level must have at least one positive at cell (5,5), plus the
+    # yolov5 lateral neighbors: frac(5.0)=0 < 0.5 -> (gi-1, gj) and (gi, gj-1)
     tobj = np.asarray(tpl[0]["tobj"])
     assert tobj[0, :, 5, 5].max() == 1.0
-    assert tobj.sum() == tobj[0, :, 5, 5].sum()  # nowhere else
+    assert tobj[0, :, 5, 4].max() == 1.0  # x neighbor (gj, gi-1)
+    assert tobj[0, :, 4, 5].max() == 1.0  # y neighbor (gj-1, gi)
+    cells = (tobj[0, :, 5, 5].sum() + tobj[0, :, 5, 4].sum()
+             + tobj[0, :, 4, 5].sum())
+    assert tobj.sum() == cells  # nowhere else
+
+
+def test_build_targets_neighbor_box_offsets_in_decode_range():
+    """Neighbor-cell xy targets sit in the head's (-0.5, 1.5) decode range
+    relative to THEIR cell, and w/h are unchanged."""
+    import jax.numpy as jnp
+
+    from face_detection_and_recognition_tpu.models.yolov5_face import ARCHS
+
+    spec = ARCHS["yolov5n"]
+    targets = np.zeros((1, 1, 14), np.float32)
+    targets[0, 0, :4] = [46.4, 41.6, 24, 30]  # grid (5.8, 5.2): neighbors
+    valid = np.array([[True]])                # x -> gi+1, y -> gj-1
+    tpl = D.build_targets(jnp.asarray(targets), jnp.asarray(valid),
+                          spec["anchors"], spec["strides"],
+                          [(16, 16), (8, 8), (4, 4)], 4.0)
+    tobj = np.asarray(tpl[0]["tobj"])
+    tbox = np.asarray(tpl[0]["tbox"])
+    a = int(tobj[0, :, 5, 5].argmax())
+    assert tobj[0, a, 5, 5] == 1.0 and tobj[0, a, 5, 6] == 1.0 \
+        and tobj[0, a, 4, 5] == 1.0
+    np.testing.assert_allclose(tbox[0, a, 5, 5, :2], [0.8, 0.2], atol=1e-5)
+    np.testing.assert_allclose(tbox[0, a, 5, 6, :2], [-0.2, 0.2], atol=1e-5)
+    np.testing.assert_allclose(tbox[0, a, 4, 5, :2], [0.8, 1.2], atol=1e-5)
+    for cell in ((5, 5), (5, 6), (4, 5)):
+        np.testing.assert_allclose(tbox[0, a, cell[0], cell[1], 2:],
+                                   [3.0, 3.75], atol=1e-5)
+
+
+def test_build_targets_unmatched_row_does_not_clobber():
+    """A padded (invalid) row sharing a cell with a real target must not
+    zero the real target's box — unmatched writes are dropped, not written."""
+    import jax.numpy as jnp
+
+    from face_detection_and_recognition_tpu.models.yolov5_face import ARCHS
+
+    spec = ARCHS["yolov5n"]
+    targets = np.zeros((1, 2, 14), np.float32)
+    targets[0, 0, :4] = [12, 12, 24, 30]   # stride-8 cell (1, 1)
+    targets[0, 1, :4] = [12, 12, 500, 500]  # same cell, fails anchor match
+    valid = np.array([[True, True]])
+    tpl = D.build_targets(jnp.asarray(targets), jnp.asarray(valid),
+                          spec["anchors"], spec["strides"],
+                          [(16, 16), (8, 8), (4, 4)], 4.0)
+    tobj = np.asarray(tpl[0]["tobj"])
+    tbox = np.asarray(tpl[0]["tbox"])
+    a = int(tobj[0, :, 1, 1].argmax())
+    assert tobj[0, a, 1, 1] == 1.0
+    np.testing.assert_allclose(tbox[0, a, 1, 1, 2:], [3.0, 3.75], atol=1e-5)
+
+    # padded rows at origin must not mark cell (0,0) positive either
+    targets2 = np.zeros((1, 2, 14), np.float32)
+    targets2[0, 0, :4] = [40, 40, 24, 30]
+    tpl2 = D.build_targets(jnp.asarray(targets2),
+                           jnp.asarray(np.array([[True, False]])),
+                           spec["anchors"], spec["strides"],
+                           [(16, 16), (8, 8), (4, 4)], 4.0)
+    assert np.asarray(tpl2[0]["tobj"])[0, :, 0, 0].max() == 0.0
 
 
 def test_multiclass_cls_loss_has_positive_signal():
