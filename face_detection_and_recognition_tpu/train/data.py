@@ -305,6 +305,7 @@ def wider_batches(
     epochs: int = 1,
     augment: Optional[AugmentConfig] = None,
     as_uint8: bool = False,
+    cache_mb: float = 0.0,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Yield (images [B,h,w,3], targets [B,T,14], valid [B,T]).
 
@@ -313,13 +314,28 @@ def wider_batches(
     flips with the landmark left/right swap.
 
     ``as_uint8=True`` yields RGB uint8 images (the train step normalizes on
-    device; 4x less host->device traffic than f32 in [0,1])."""
+    device; 4x less host->device traffic than f32 in [0,1]).
+
+    ``cache_mb`` bounds an in-memory decoded-image cache: with mosaic every
+    example pulls 3 extra random images, so on small datasets JPEG decode
+    dominates batch assembly; caching removes it. 0 disables."""
     rng = random.Random(seed)
+    cache: dict = {}
+    cache_bytes = [0]
+    budget = int(cache_mb * 1e6)
 
     def load(i):
-        path, boxes = index[i]
-        img = cv2.imread(path)
-        return (img, boxes_to_rows(boxes)) if img is not None else None
+        img = cache.get(i)
+        if img is None:
+            img = cv2.imread(index[i][0])
+            if img is not None and cache_bytes[0] + img.nbytes <= budget:
+                cache[i] = img
+                cache_bytes[0] += img.nbytes
+        if img is None:
+            return None
+        # fresh rows per call: downstream transforms own their copy, the
+        # cached pixels are never written through
+        return img, boxes_to_rows(index[i][1])
 
     for _ in range(epochs):
         order = list(range(len(index)))

@@ -319,7 +319,7 @@ def train_golden(
     batches = prefetch_iter(
         wider_batches(index, batch_size, (input_size, input_size),
                       cfg.max_targets, seed=seed, epochs=10_000,
-                      augment=aug, as_uint8=True), depth=2)
+                      augment=aug, as_uint8=True, cache_mb=1200.0), depth=2)
     p, bs, opt = state["params"], state["batch_stats"], state["opt_state"]
     ema, n = state["ema_params"], jnp.int32(0)
     result: Dict[str, object] = {"ok": False}

@@ -87,12 +87,18 @@ def evaluate_identity_filter(
     embed_u8_fn,
     ref_seed: int = 101,
     probe_seed: int = 202,
-    n_ref: int = 16,
+    n_ref: int = 64,
     n_probe: int = 16,
 ) -> Dict[str, object]:
     """Score an embedder (u8 BGR crops -> [N, D]) with the similar-face
     filter's exact math: per-identity mean + max-ref-distance threshold from
     one crop set, held-out probes routed by ``||f - mean|| <= thres``.
+
+    ``n_ref`` defaults high because the threshold is a MAX statistic: refs
+    must cover the augmentation spread or held-out same-identity probes land
+    beyond it. This mirrors real filter usage — the reference feeds a whole
+    directory of reference crops per class
+    (filter_faces_using_reference.py:183-197).
 
     ok = every same-id probe accepted AND every cross-id probe rejected for
     every identity, with a positive margin (min cross dist - max same dist)."""

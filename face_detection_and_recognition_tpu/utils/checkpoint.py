@@ -16,12 +16,14 @@ import numpy as np
 
 
 def save_variables(path: str, variables: Any) -> None:
+    """Write (or REPLACE) the checkpoint at ``path`` — an explicit save to a
+    named destination overwrites, like every vendor format it stands in for."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     variables = jax.tree_util.tree_map(np.asarray, variables)
-    ckptr.save(path, variables)
+    ckptr.save(path, variables, force=True)
     ckptr.wait_until_finished()
 
 

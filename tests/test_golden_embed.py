@@ -95,7 +95,9 @@ def test_trained_embedder_through_filter_pipeline():
     eng = FaceEngine(EngineConfig(detector="blazeface-front",
                                   embedder="mobile_facenet"))
     eng.load_embed_weights(CKPT)
-    refs = GE.make_identity_crops(seed=911, n_per_id=12)
+    # the threshold is a max statistic: refs must be dense enough to cover
+    # the augmentation spread (same lesson as evaluate_identity_filter)
+    refs = GE.make_identity_crops(seed=911, n_per_id=64)
     probes = GE.make_identity_crops(seed=912, n_per_id=12)
     mean, thres = ref_mean_and_threshold(eng.embed_crops(np.stack(refs[0])))
     for cid in range(GE.N_IDENTITIES):
