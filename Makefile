@@ -1,4 +1,4 @@
-.PHONY: test bench native clean accuracy accuracy-embed
+.PHONY: test bench native clean accuracy accuracy-ssd accuracy-embed
 
 test:
 	python -m pytest tests/ -q
@@ -13,6 +13,13 @@ bench:
 accuracy:
 	python -m face_detection_and_recognition_tpu.cli.train_golden \
 		--out tests/data/golden_yolov5n_ckpt
+
+# same loop for the SSD family (MultiBox loss, train/ssd.py): res10-class
+# detector trained to the golden gate at its native 300px
+accuracy-ssd:
+	python -m face_detection_and_recognition_tpu.cli.train_golden \
+		--out tests/data/golden_ssd_ckpt --arch ssd-resnet10 --size 300 \
+		--batch 32 --lr 0.002
 
 # executed RECOGNITION accuracy: train the ArcFace embedder until the
 # similar-face filter's own math separates the golden identities on

@@ -28,6 +28,8 @@ def main(argv=None) -> int:
     ap.add_argument("--lr", type=float, default=0.01)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--work-dir", default=None)
+    ap.add_argument("--resume-from", default=None,
+                    help="continue from a previous golden checkpoint")
     args = ap.parse_args(argv)
 
     from ..train.golden import train_golden
@@ -37,9 +39,21 @@ def main(argv=None) -> int:
         args.out, work, arch=args.arch, input_size=args.size,
         batch_size=args.batch, max_steps=args.steps,
         eval_every=args.eval_every, n_images=args.images, lr=args.lr,
-        seed=args.seed)
+        seed=args.seed, resume_from=args.resume_from)
     print(f"golden gate: ok={r['ok']} reload_ok={r.get('reload_ok')} "
           f"ious={['%.3f' % i for i in r['ious']]} steps={r.get('steps')}")
+    if r["ok"] and r.get("reload_ok"):
+        from ..core.engine import EngineConfig, FaceEngine
+        from ..train.golden import evaluate_holdout_ap
+
+        eng = FaceEngine(EngineConfig(
+            detector=args.arch, det_thres=0.5,
+            detector_overrides={"input_size": (args.size, args.size)}))
+        eng.load_weights(args.out)
+        ap = evaluate_holdout_ap(eng, work, input_size=args.size,
+                                 seed=args.seed + 7777)
+        print(f"holdout AP50={ap['AP50']:.3f} AP={ap['AP']:.3f} "
+              f"AR={ap['AR']:.3f}")
     return 0 if (r["ok"] and r.get("reload_ok")) else 1
 
 

@@ -306,8 +306,12 @@ def wider_batches(
     augment: Optional[AugmentConfig] = None,
     as_uint8: bool = False,
     cache_mb: float = 0.0,
+    to_rgb: bool = True,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Yield (images [B,h,w,3], targets [B,T,14], valid [B,T]).
+
+    ``to_rgb=False`` keeps the decoded BGR channel order (the OpenCV-SSD
+    training convention; yolo-family trainers take RGB).
 
     With ``augment`` set, each example goes through mosaic (probability
     ``augment.mosaic``, pulling 3 extra random images), HSV jitter, and
@@ -356,8 +360,8 @@ def wider_batches(
                 canvas, rows = letterbox_example(item[0], item[1], out_wh)
             if augment is not None:
                 canvas, rows = augment_example(canvas, rows, rng, augment)
-            rgb = np.ascontiguousarray(canvas[..., ::-1])
-            x = rgb if as_uint8 else rgb.astype(np.float32) / 255.0
+            out = np.ascontiguousarray(canvas[..., ::-1]) if to_rgb else canvas
+            x = out if as_uint8 else out.astype(np.float32) / 255.0
             t, v = rows_to_padded(
                 rows, max_targets,
                 augment.min_box if augment is not None else 2.0)

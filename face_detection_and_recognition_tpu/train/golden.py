@@ -252,6 +252,15 @@ def evaluate_golden(
             post = run(variables, img[None], engine._scalar(det_thres),
                        engine._scalar(engine.cfg.bbox_area_thres)
                        ).to_numpy()[0]
+            if tag == "pos":
+                # diagnostic: strongest raw score regardless of threshold —
+                # shows how close the objectness head is to the 0.5 gate
+                # (same compiled pipeline, near-zero threshold)
+                low = run(variables, img[None], engine._scalar(0.01),
+                          engine._scalar(engine.cfg.bbox_area_thres)
+                          ).to_numpy()[0]
+                confs = np.asarray(low.bbox_confs, np.float32).reshape(-1)
+                results["top_conf"] = float(confs.max()) if len(confs) else 0.0
         else:
             post = engine.detect_image(img, det_thres=det_thres)
         results[tag] = np.asarray(post.boxes, np.float32).reshape(-1, 4)
@@ -261,7 +270,32 @@ def evaluate_golden(
           and all(i >= iou_thres for i in ious))
     return {"ok": bool(ok), "n_pos": int(len(pred)),
             "n_neg": int(len(results["neg"])), "ious": ious,
-            "pred_boxes": pred}
+            "pred_boxes": pred, "top_conf": results.get("top_conf", 0.0)}
+
+
+def evaluate_holdout_ap(
+    engine,
+    work_dir: str,
+    n_images: int = 96,
+    input_size: int = 640,
+    seed: int = 7777,
+    det_thres: float = 0.05,
+) -> Dict[str, float]:
+    """COCO metrics on a HELD-OUT composite set (disjoint seed from every
+    training seed): the detector's executed mAP, not just the 3-box golden
+    gate. Mirrors the reference's WIDER eval
+    (eval/eval_face_detector.py:185-193) on the data this environment owns."""
+    from ..eval.coco_eval import evaluate_engine_on_wider
+
+    ann, images_root = make_composite_dataset(
+        os.path.join(work_dir, "holdout_ds"), n_images=n_images,
+        out_wh=(input_size, input_size), seed=seed)
+    old = engine.cfg.det_thres
+    engine.cfg.det_thres = det_thres  # eval sweeps the PR curve from low conf
+    try:
+        return evaluate_engine_on_wider(engine, ann, images_root)
+    finally:
+        engine.cfg.det_thres = old
 
 
 def train_golden(
@@ -275,6 +309,7 @@ def train_golden(
     n_images: int = 384,
     lr: float = 0.01,
     seed: int = 0,
+    resume_from: Optional[str] = None,
     log=print,
 ) -> Dict[str, object]:
     """Full loop: composites -> augmented batches -> EMA training -> golden
@@ -286,22 +321,49 @@ def train_golden(
 
     from ..core.engine import EngineConfig, FaceEngine
     from .data import AugmentConfig, load_wider_index, wider_batches
-    from .detection import (DetTrainConfig, create_det_train_state,
-                            make_det_train_step_ema)
 
+    is_ssd = arch.startswith("ssd") or arch == "res10-ssd"
     ann, images_root = make_composite_dataset(
         os.path.join(work_dir, "golden_ds"), n_images=n_images,
         out_wh=(input_size, input_size), seed=seed)
     index = load_wider_index(ann, images_root)
     log(f"[golden] dataset: {len(index)} composites at {input_size}px")
 
-    cfg = DetTrainConfig(
-        arch=arch, nc=1, input_size=(input_size, input_size),
-        max_targets=8, lr=lr, warmup_steps=max(3 * len(index) // batch_size,
-                                               50),
-        total_steps=max_steps, ema_decay=0.999, ema_tau=500.0)
-    state = create_det_train_state(cfg, jax.random.PRNGKey(seed))
-    step = jax.jit(make_det_train_step_ema(state))
+    warmup = max(3 * len(index) // batch_size, 50)
+    if is_ssd:
+        from .ssd import (SSDTrainConfig, create_ssd_train_state,
+                          make_ssd_train_step_ema)
+
+        cfg = SSDTrainConfig(
+            backbone=arch.split("-", 1)[1], max_targets=8, lr=lr,
+            input_size=(input_size, input_size), warmup_steps=warmup,
+            total_steps=max_steps, ema_decay=0.999, ema_tau=500.0)
+        state = create_ssd_train_state(cfg, jax.random.PRNGKey(seed))
+        make_step = make_ssd_train_step_ema
+    else:
+        from .detection import (DetTrainConfig, create_det_train_state,
+                                make_det_train_step_ema)
+
+        cfg = DetTrainConfig(
+            arch=arch, nc=1, input_size=(input_size, input_size),
+            max_targets=8, lr=lr, warmup_steps=warmup,
+            total_steps=max_steps, ema_decay=0.999, ema_tau=500.0)
+        state = create_det_train_state(cfg, jax.random.PRNGKey(seed))
+        make_step = make_det_train_step_ema
+    if resume_from:
+        # continue a previous golden run: pour its EMA weights into BOTH the
+        # live params and the EMA shadow (optimizer momentum restarts cold)
+        from ..utils.checkpoint import load_variables
+
+        prev = load_variables(resume_from)
+        state["params"] = jax.tree_util.tree_map(
+            jnp.asarray, prev["params"])
+        state["ema_params"] = jax.tree_util.tree_map(
+            jnp.asarray, prev["params"])
+        state["batch_stats"] = jax.tree_util.tree_map(
+            jnp.asarray, prev["batch_stats"])
+        log(f"[golden] resumed weights from {resume_from}")
+    step = jax.jit(make_step(state))
 
     overrides = {"input_size": (input_size, input_size)}
     engine = FaceEngine(EngineConfig(detector=arch, det_thres=0.5,
@@ -319,7 +381,8 @@ def train_golden(
     batches = prefetch_iter(
         wider_batches(index, batch_size, (input_size, input_size),
                       cfg.max_targets, seed=seed, epochs=10_000,
-                      augment=aug, as_uint8=True, cache_mb=1200.0), depth=2)
+                      augment=aug, as_uint8=True, cache_mb=1200.0,
+                      to_rgb=not is_ssd), depth=2)
     p, bs, opt = state["params"], state["batch_stats"], state["opt_state"]
     ema, n = state["ema_params"], jnp.int32(0)
     result: Dict[str, object] = {"ok": False}
@@ -336,7 +399,8 @@ def train_golden(
                     jax.device_get(bs)}
             r = evaluate_golden(engine, variables=cand)
             log(f"[golden] eval@{i+1}: pos={r['n_pos']} neg={r['n_neg']} "
-                f"ious={['%.2f' % x for x in r['ious']]}")
+                f"ious={['%.2f' % x for x in r['ious']]} "
+                f"top_conf={r.get('top_conf', 0.0):.3f}")
             if r["ok"]:
                 result = r
                 result["steps"] = i + 1

@@ -40,6 +40,24 @@ def test_trained_checkpoint_detects_golden_faces():
 
 @pytest.mark.skipif(not os.path.isdir(CKPT),
                     reason="golden checkpoint not trained yet: make accuracy")
+def test_trained_checkpoint_holdout_ap(tmp_path):
+    """Executed mAP on a held-out composite set the checkpoint never saw:
+    the detector generalizes past the 3-box golden gate (reference analog:
+    eval/eval_face_detector.py:185-193 WIDER AP)."""
+    from face_detection_and_recognition_tpu.core.engine import (
+        EngineConfig, FaceEngine)
+    from face_detection_and_recognition_tpu.train.golden import (
+        evaluate_holdout_ap)
+
+    eng = FaceEngine(EngineConfig(detector="yolov5n", det_thres=0.5))
+    eng.load_weights(CKPT)
+    ap = evaluate_holdout_ap(eng, str(tmp_path), n_images=48)
+    assert ap["AP50"] >= 0.60, ap
+    assert ap["AP"] > 0.25, ap
+
+
+@pytest.mark.skipif(not os.path.isdir(CKPT),
+                    reason="golden checkpoint not trained yet: make accuracy")
 def test_trained_checkpoint_through_cli_detect():
     """The same checkpoint through the user-facing CLI: detect_face on the
     golden image writes an annotated output and reports 3 faces."""
