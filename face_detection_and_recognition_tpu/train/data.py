@@ -341,11 +341,13 @@ def wider_batches(
         # cached pixels are never written through
         return img, boxes_to_rows(index[i][1])
 
+    # batch accumulators live OUTSIDE the epoch loop so a batch can span an
+    # epoch boundary — otherwise batch_size > len(index) never yields
+    batch_x, batch_t, batch_v = [], [], []
     for _ in range(epochs):
         order = list(range(len(index)))
         if shuffle:
             rng.shuffle(order)
-        batch_x, batch_t, batch_v = [], [], []
         for i in order:
             item = load(i)
             if item is None:

@@ -320,7 +320,7 @@ def train_golden(
     import jax.numpy as jnp
 
     from ..core.engine import EngineConfig, FaceEngine
-    from .data import AugmentConfig, load_wider_index, wider_batches
+    from .data import AugmentConfig, load_wider_index
 
     is_ssd = arch.startswith("ssd") or arch == "res10-ssd"
     ann, images_root = make_composite_dataset(
@@ -363,7 +363,6 @@ def train_golden(
         state["batch_stats"] = jax.tree_util.tree_map(
             jnp.asarray, prev["batch_stats"])
         log(f"[golden] resumed weights from {resume_from}")
-    step = jax.jit(make_step(state))
 
     overrides = {"input_size": (input_size, input_size)}
     engine = FaceEngine(EngineConfig(detector=arch, det_thres=0.5,
@@ -376,41 +375,40 @@ def train_golden(
     r0 = evaluate_golden(engine, variables=warm)
     log(f"[golden] eval warmup ok (pos={r0['n_pos']} neg={r0['n_neg']})")
 
-    aug = AugmentConfig(mosaic=0.5, fliplr=0.5, scale=0.3)
-    from .data import prefetch_iter
-    batches = prefetch_iter(
-        wider_batches(index, batch_size, (input_size, input_size),
-                      cfg.max_targets, seed=seed, epochs=10_000,
-                      augment=aug, as_uint8=True, cache_mb=1200.0,
-                      to_rgb=not is_ssd), depth=2)
-    p, bs, opt = state["params"], state["batch_stats"], state["opt_state"]
-    ema, n = state["ema_params"], jnp.int32(0)
+    # pre-augment (mosaic/HSV) ONCE into a device-resident buffer; flips and
+    # brightness re-randomize per step ON DEVICE. The whole optimizer loop
+    # then runs as scanned chunks with zero per-step host traffic — the
+    # streaming path was tunnel-bound at ~0.25 steps/s (train/device_loop.py)
+    aug = AugmentConfig(mosaic=0.5, fliplr=0.0, scale=0.3)
+    from .device_loop import build_example_buffer, run_device_training
+
+    n_buffer = max(2 * len(index), 768)
+    data = build_example_buffer(
+        index, n_buffer, (input_size, input_size), cfg.max_targets,
+        seed=seed, augment=aug, to_rgb=not is_ssd)
+
     result: Dict[str, object] = {"ok": False}
-    for i, (x, t, v) in enumerate(batches):
-        if i >= max_steps:
-            break
-        p, bs, opt, ema, n, loss, metrics = step(p, bs, opt, ema, n, x, t, v)
-        if (i + 1) % 25 == 0:
-            log(f"[golden] step {i+1} loss {float(loss):.4f} "
-                f"box {float(metrics['box']):.3f} "
-                f"obj {float(metrics['obj']):.3f}")
-        if (i + 1) % eval_every == 0 or i + 1 == max_steps:
-            cand = {"params": jax.device_get(ema), "batch_stats":
-                    jax.device_get(bs)}
-            r = evaluate_golden(engine, variables=cand)
-            log(f"[golden] eval@{i+1}: pos={r['n_pos']} neg={r['n_neg']} "
-                f"ious={['%.2f' % x for x in r['ious']]} "
-                f"top_conf={r.get('top_conf', 0.0):.3f}")
-            if r["ok"]:
-                result = r
-                result["steps"] = i + 1
-                break
-    else:
-        pass
+
+    def on_eval(done: int, variables: dict) -> bool:
+        r = evaluate_golden(engine, variables=variables)
+        log(f"[golden] eval@{done}: pos={r['n_pos']} neg={r['n_neg']} "
+            f"ious={['%.2f' % x for x in r['ious']]} "
+            f"top_conf={r.get('top_conf', 0.0):.3f}")
+        if r["ok"]:
+            result.update(r)
+            result["steps"] = done
+            return True
+        return False
+
+    state = run_device_training(
+        state, make_step, data, batch_size, max_steps,
+        chunk_steps=min(eval_every, 100), seed=seed,
+        flip_lr=0.5, brightness=0.2,
+        on_eval=on_eval, eval_every=eval_every, log=log)
+    cand = {"params": jax.device_get(state["ema_params"]),
+            "batch_stats": jax.device_get(state["batch_stats"])}
     if not result.get("ok"):
         # keep the best-effort weights anyway for inspection
-        cand = {"params": jax.device_get(ema),
-                "batch_stats": jax.device_get(bs)}
         result = evaluate_golden(engine, variables=cand)
         result["steps"] = max_steps
 
