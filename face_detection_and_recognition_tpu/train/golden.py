@@ -132,6 +132,16 @@ def _random_background(
     return np.clip(fill, 0, 255).astype(np.uint8)
 
 
+def _paste_feathered(canvas: np.ndarray, patch: np.ndarray,
+                     x0: int, y0: int, border: int) -> None:
+    sh, sw = patch.shape[:2]
+    alpha = _feather_mask(sh, sw, border=border)
+    region = canvas[y0:y0 + sh, x0:x0 + sw].astype(np.float32)
+    canvas[y0:y0 + sh, x0:x0 + sw] = (
+        patch.astype(np.float32) * alpha + region * (1 - alpha)
+    ).astype(np.uint8)
+
+
 def compose_image(
     rng: random.Random,
     faces: Sequence[Dict[str, np.ndarray]],
@@ -139,9 +149,14 @@ def compose_image(
     out_wh: Tuple[int, int] = (640, 640),
     max_faces: int = 4,
     empty_prob: float = 0.15,
+    max_distractors: int = 3,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """One composite: 0..max_faces golden-face patches feather-pasted onto a
-    face-free background at random scales/positions (non-overlapping).
+    face-free background at random scales/positions (non-overlapping), PLUS
+    unlabeled NON-face distractor patches pasted with the exact same
+    feathering. Without distractors the net learns the paste artifact itself
+    ("a feathered rectangle appeared") instead of face content — it then
+    fires all over real photos and on the 0-face negative.
 
     Returns (img BGR u8, boxes [N,4] xywh pixel GT)."""
     ow, oh = out_wh
@@ -167,13 +182,36 @@ def compose_image(
             fb = np.array([x0 + box[0] * s, y0 + box[1] * s,
                            x0 + box[2] * s, y0 + box[3] * s], np.float32)
             if all(bbox_iou_xyxy(fb, p) < 0.05 for p in placed):
-                alpha = _feather_mask(sh, sw, border=max(3, int(6 * s)))
-                region = canvas[y0:y0 + sh, x0:x0 + sw].astype(np.float32)
-                canvas[y0:y0 + sh, x0:x0 + sw] = (
-                    patch_s * alpha + region * (1 - alpha)).astype(np.uint8)
+                _paste_feathered(canvas, patch_s, x0, y0,
+                                 border=max(3, int(6 * s)))
                 placed.append(fb)
                 boxes.append(np.array(
                     [fb[0], fb[1], fb[2] - fb[0], fb[3] - fb[1]], np.float32))
+                break
+    # hard negatives: background crops pasted exactly like faces (feathered,
+    # same scale range) but carrying NO label — breaks the paste shortcut
+    for _ in range(rng.randint(0, max_distractors)):
+        if not sources:
+            break
+        src = sources[rng.randrange(len(sources))]
+        h, w = src.shape[:2]
+        cw = rng.randint(16, max(min(w, ow) // 2, 17))
+        ch = rng.randint(16, max(min(h, oh) // 2, 17))
+        x0s, y0s = rng.randint(0, w - cw), rng.randint(0, h - ch)
+        target = rng.uniform(28, 0.55 * min(ow, oh))
+        s = target / cw
+        sw, sh = max(int(cw * s), 8), max(int(ch * s), 8)
+        if sw >= ow or sh >= oh:
+            continue
+        patch_s = cv2.resize(src[y0s:y0s + ch, x0s:x0s + cw], (sw, sh))
+        for _attempt in range(10):
+            x0 = rng.randint(0, ow - sw)
+            y0 = rng.randint(0, oh - sh)
+            db = np.array([x0, y0, x0 + sw, y0 + sh], np.float32)
+            # distractors must not cover a labeled face
+            if all(bbox_iou_xyxy(db, p) < 0.05 for p in placed):
+                _paste_feathered(canvas, patch_s, x0, y0,
+                                 border=max(3, int(6 * s)))
                 break
     gt = np.stack(boxes) if boxes else np.zeros((0, 4), np.float32)
     return canvas, gt
@@ -186,6 +224,7 @@ def make_composite_dataset(
     seed: int = 0,
     face_img: str = GOLDEN_IMG,
     neg_img: str = NEGATIVE_IMG,
+    include_real: bool = True,
 ) -> Tuple[str, str]:
     """Write a WIDER-format synthetic dataset (images + gt.txt) built from
     the golden faces. Returns (ann_file, images_root) for load_wider_index."""
@@ -213,6 +252,37 @@ def make_composite_dataset(
         for b in gt:
             lines.append(f"{int(b[0])} {int(b[1])} {int(round(b[2]))} "
                          f"{int(round(b[3]))} 0 0 0 0 0 0\n")
+    # the REAL pair, replicated: the gate's faces in their true photographic
+    # context (synthetic paste context alone leaves the net detecting paste
+    # statistics), and the 0-face image as an explicit whole-frame negative.
+    # Augmentation (mosaic/flip/HSV/brightness) re-randomizes every epoch.
+    import shutil
+    n_real = (max(n_images // 10, 4)) if include_real else 0
+    for tag, src_path, gt_rows in (
+        ("pos", face_img,
+         [f"{int(x1)} {int(y1)} {int(x2 - x1)} {int(y2 - y1)} 0 0 0 0 0 0"
+          for (x1, y1, x2, y2) in GOLDEN_BOXES_3]),
+        ("neg", neg_img, None),
+    ):
+        if n_real == 0:
+            break
+        if not os.path.isfile(src_path):
+            continue
+        base = f"0--Golden/real_{tag}.jpg"
+        shutil.copy(src_path, os.path.join(images_root, base))
+        for j in range(n_real):
+            rel = f"0--Golden/real_{tag}_{j:02d}.jpg"
+            if j:  # hardlink copies: same pixels, distinct index entries
+                dst = os.path.join(images_root, rel)
+                if not os.path.exists(dst):
+                    os.link(os.path.join(images_root, base), dst)
+            else:
+                rel = base
+            if gt_rows is None:
+                lines.append(f"{rel}\n0\n0 0 0 0 0 0 0 0 0 0\n")
+            else:
+                lines.append(f"{rel}\n{len(gt_rows)}\n"
+                             + "\n".join(gt_rows) + "\n")
     ann = os.path.join(out_dir, "gt.txt")
     with open(ann, "w") as f:
         f.write("".join(lines))
@@ -289,7 +359,7 @@ def evaluate_holdout_ap(
 
     ann, images_root = make_composite_dataset(
         os.path.join(work_dir, "holdout_ds"), n_images=n_images,
-        out_wh=(input_size, input_size), seed=seed)
+        out_wh=(input_size, input_size), seed=seed, include_real=False)
     old = engine.cfg.det_thres
     engine.cfg.det_thres = det_thres  # eval sweeps the PR curve from low conf
     try:
@@ -394,6 +464,8 @@ def train_golden(
         log(f"[golden] eval@{done}: pos={r['n_pos']} neg={r['n_neg']} "
             f"ious={['%.2f' % x for x in r['ious']]} "
             f"top_conf={r.get('top_conf', 0.0):.3f}")
+        if 0 < r["n_pos"] <= 6:
+            log(f"[golden]   pred={np.asarray(r['pred_boxes']).astype(int).tolist()}")
         if r["ok"]:
             result.update(r)
             result["steps"] = done
