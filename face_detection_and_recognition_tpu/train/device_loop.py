@@ -96,21 +96,29 @@ def make_chunk_trainer(
     chunk_steps: int,
     flip_lr: float = 0.5,
     brightness: float = 0.0,
+    ema_stats_cfg: Optional[Tuple[float, float]] = None,
 ):
     """Wrap a train step into a jitted ``chunk`` running ``chunk_steps``
     optimizer steps on device-resident data.
 
-    chunk(params, batch_stats, opt_state, ema, n, rng, data_x, data_t,
-    data_v) -> (params, batch_stats, opt_state, ema, n, rng, loss_mean,
-    metrics_mean). Model/optimizer buffers are donated (updated in place in
-    HBM); the data buffers are not."""
+    chunk(params, batch_stats, opt_state, ema, ema_stats, n, rng, data_x,
+    data_t, data_v) -> (params, batch_stats, opt_state, ema, ema_stats, n,
+    rng, loss_mean, metrics_mean). Model/optimizer buffers are donated
+    (updated in place in HBM); the data buffers are not.
 
-    def chunk(params, batch_stats, opt_state, ema, n, rng,
+    ``ema_stats_cfg=(decay, tau)`` additionally EMAs the BatchNorm running
+    stats with the same ramped decay the params EMA uses — the reference's
+    ModelEMA averages ALL floating buffers including BN running stats
+    (pytorch/utils/torch_utils.py:262-283); EMA'd params paired with the
+    LIVE net's running stats are a mismatched network and evaluate
+    near-randomly."""
+
+    def chunk(params, batch_stats, opt_state, ema, ema_stats, n, rng,
               data_x, data_t, data_v):
         k = data_x.shape[0]
 
         def body(carry, _):
-            params, bstats, opt, ema, n, rng = carry
+            params, bstats, opt, ema, ema_stats, n, rng = carry
             rng, k_idx, k_flip, k_bri = jax.random.split(rng, 4)
             idx = jax.random.randint(k_idx, (batch_size,), 0, k)
             x = jnp.take(data_x, idx, axis=0)
@@ -122,18 +130,27 @@ def make_chunk_trainer(
                 x = device_brightness(k_bri, x, brightness)
             params, bstats, opt, ema, n, loss, metrics = step_fn(
                 params, bstats, opt, ema, n, x, t, v)
-            return (params, bstats, opt, ema, n, rng), (loss, metrics)
+            if ema_stats_cfg is not None:
+                decay, tau = ema_stats_cfg
+                d = decay * (1.0 - jnp.exp(-n.astype(jnp.float32) / tau))
+                ema_stats = jax.tree_util.tree_map(
+                    lambda e, s: e * d + s.astype(e.dtype) * (1.0 - d),
+                    ema_stats, bstats)
+            else:
+                ema_stats = bstats
+            return (params, bstats, opt, ema, ema_stats, n, rng), \
+                (loss, metrics)
 
         carry, (losses, metrics) = jax.lax.scan(
-            body, (params, batch_stats, opt_state, ema, n, rng), None,
-            length=chunk_steps)
-        params, batch_stats, opt_state, ema, n, rng = carry
+            body, (params, batch_stats, opt_state, ema, ema_stats, n, rng),
+            None, length=chunk_steps)
+        params, batch_stats, opt_state, ema, ema_stats, n, rng = carry
         loss_mean = jnp.mean(losses)
         metrics_mean = jax.tree_util.tree_map(jnp.mean, metrics)
-        return (params, batch_stats, opt_state, ema, n, rng,
+        return (params, batch_stats, opt_state, ema, ema_stats, n, rng,
                 loss_mean, metrics_mean)
 
-    return jax.jit(chunk, donate_argnums=(0, 1, 2, 3))
+    return jax.jit(chunk, donate_argnums=(0, 1, 2, 3, 4))
 
 
 def run_device_training(
@@ -146,16 +163,19 @@ def run_device_training(
     seed: int = 0,
     flip_lr: float = 0.5,
     brightness: float = 0.2,
-    on_eval: Optional[Callable[[int, Dict], bool]] = None,
+    on_eval: Optional[Callable[[int, Dict, Dict], bool]] = None,
     eval_every: int = 200,
+    ema_cfg: Tuple[float, float] = (0.999, 500.0),
     log=print,
 ) -> Dict:
     """Drive chunked device training to ``max_steps``.
 
-    ``on_eval(step, variables)`` is called every ``eval_every`` steps (rounded
-    up to chunk boundaries) with the EMA weights as a host-side variables
-    dict; returning True stops training early. Returns the final state dict
-    (params/batch_stats/ema_params/opt_state updated)."""
+    ``on_eval(step, ema_variables, live_variables)`` is called every
+    ``eval_every`` steps (rounded up to chunk boundaries) with BOTH weight
+    candidates as host-side variables dicts (each a matched params +
+    batch_stats pair); returning True stops training early. Returns the
+    final state dict (params/batch_stats/ema_params/ema_batch_stats/
+    opt_state updated)."""
     x, t, v = data
     data_x = jax.device_put(np.ascontiguousarray(x))
     data_t = jax.device_put(np.ascontiguousarray(t.astype(np.float32)))
@@ -164,9 +184,12 @@ def run_device_training(
         f" {data_x.shape[0]} examples")
 
     chunk = make_chunk_trainer(make_step(state), batch_size, chunk_steps,
-                               flip_lr=flip_lr, brightness=brightness)
+                               flip_lr=flip_lr, brightness=brightness,
+                               ema_stats_cfg=ema_cfg)
     p, bs = state["params"], state["batch_stats"]
     opt, ema = state["opt_state"], state["ema_params"]
+    ema_bs = state.get("ema_batch_stats") or jax.tree_util.tree_map(
+        jnp.copy, bs)
     n = jnp.int32(state.get("n_updates", 0))
     rng = jax.random.PRNGKey(seed ^ 0x5EED)
     done = 0
@@ -177,19 +200,21 @@ def run_device_training(
             # tail chunk: fresh jit at the smaller static length
             chunk = make_chunk_trainer(
                 make_step(state), batch_size, steps,
-                flip_lr=flip_lr, brightness=brightness)
-        p, bs, opt, ema, n, rng, loss, metrics = chunk(
-            p, bs, opt, ema, n, rng, data_x, data_t, data_v)
+                flip_lr=flip_lr, brightness=brightness, ema_stats_cfg=ema_cfg)
+        p, bs, opt, ema, ema_bs, n, rng, loss, metrics = chunk(
+            p, bs, opt, ema, ema_bs, n, rng, data_x, data_t, data_v)
         done += steps
         log(f"[device-loop] step {done} loss {float(loss):.4f} "
             + " ".join(f"{k} {float(val):.3f}"
                        for k, val in sorted(metrics.items())))
         if on_eval is not None and done - eval_mark >= eval_every:
             eval_mark = done
-            variables = {"params": jax.device_get(ema),
+            ema_vars = {"params": jax.device_get(ema),
+                        "batch_stats": jax.device_get(ema_bs)}
+            live_vars = {"params": jax.device_get(p),
                          "batch_stats": jax.device_get(bs)}
-            if on_eval(done, variables):
+            if on_eval(done, ema_vars, live_vars):
                 break
     state.update(params=p, batch_stats=bs, opt_state=opt, ema_params=ema,
-                 n_updates=int(n))
+                 ema_batch_stats=ema_bs, n_updates=int(n))
     return state

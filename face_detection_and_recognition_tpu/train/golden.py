@@ -458,27 +458,37 @@ def train_golden(
         seed=seed, augment=aug, to_rgb=not is_ssd)
 
     result: Dict[str, object] = {"ok": False}
+    winner: Dict[str, dict] = {}
 
-    def on_eval(done: int, variables: dict) -> bool:
-        r = evaluate_golden(engine, variables=variables)
-        log(f"[golden] eval@{done}: pos={r['n_pos']} neg={r['n_neg']} "
-            f"ious={['%.2f' % x for x in r['ious']]} "
-            f"top_conf={r.get('top_conf', 0.0):.3f}")
-        if 0 < r["n_pos"] <= 6:
-            log(f"[golden]   pred={np.asarray(r['pred_boxes']).astype(int).tolist()}")
-        if r["ok"]:
-            result.update(r)
-            result["steps"] = done
-            return True
+    def on_eval(done: int, ema_vars: dict, live_vars: dict) -> bool:
+        # gate BOTH weight candidates: the EMA pair (params + EMA'd BN
+        # stats) and the live pair — whichever passes first is the one
+        # checkpointed (ModelEMA usually wins late, live wins early)
+        for tag, variables in (("ema", ema_vars), ("live", live_vars)):
+            r = evaluate_golden(engine, variables=variables)
+            log(f"[golden] eval@{done}/{tag}: pos={r['n_pos']} "
+                f"neg={r['n_neg']} ious={['%.2f' % x for x in r['ious']]} "
+                f"top_conf={r.get('top_conf', 0.0):.3f}")
+            if 0 < r["n_pos"] <= 6:
+                log("[golden]   pred="
+                    f"{np.asarray(r['pred_boxes']).astype(int).tolist()}")
+            if r["ok"]:
+                result.update(r)
+                result["steps"] = done
+                result["weights"] = tag
+                winner["vars"] = variables
+                return True
         return False
 
     state = run_device_training(
         state, make_step, data, batch_size, max_steps,
         chunk_steps=min(eval_every, 100), seed=seed,
         flip_lr=0.5, brightness=0.2,
-        on_eval=on_eval, eval_every=eval_every, log=log)
-    cand = {"params": jax.device_get(state["ema_params"]),
-            "batch_stats": jax.device_get(state["batch_stats"])}
+        on_eval=on_eval, eval_every=eval_every,
+        ema_cfg=(cfg.ema_decay, cfg.ema_tau), log=log)
+    cand = winner.get("vars") or {
+        "params": jax.device_get(state["ema_params"]),
+        "batch_stats": jax.device_get(state["ema_batch_stats"])}
     if not result.get("ok"):
         # keep the best-effort weights anyway for inspection
         result = evaluate_golden(engine, variables=cand)

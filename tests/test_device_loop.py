@@ -67,20 +67,27 @@ def test_chunk_trainer_optimizes_detection():
     data = (jnp.asarray(x), jnp.asarray(t), jnp.asarray(v))
     chunk = DL.make_chunk_trainer(make_det_train_step_ema(state),
                                   batch_size=3, chunk_steps=10,
-                                  flip_lr=0.5, brightness=0.1)
+                                  flip_lr=0.5, brightness=0.1,
+                                  ema_stats_cfg=(0.99, 10.0))
     p, bs = state["params"], state["batch_stats"]
     opt, ema = state["opt_state"], state["ema_params"]
+    ema_bs = jax.tree_util.tree_map(jnp.copy, bs)
     # snapshot BEFORE the chunk call: the chunk donates its weight buffers
     leaf0 = np.array(jax.tree_util.tree_leaves(ema)[0])
     n = jnp.int32(0)
     key = jax.random.PRNGKey(7)
-    p, bs, opt, ema, n, key, loss1, _ = chunk(p, bs, opt, ema, n, key, *data)
-    p, bs, opt, ema, n, key, loss2, _ = chunk(p, bs, opt, ema, n, key, *data)
+    p, bs, opt, ema, ema_bs, n, key, loss1, _ = chunk(
+        p, bs, opt, ema, ema_bs, n, key, *data)
+    p, bs, opt, ema, ema_bs, n, key, loss2, _ = chunk(
+        p, bs, opt, ema, ema_bs, n, key, *data)
     assert int(n) == 20
     assert float(loss2) < float(loss1)
-    # EMA shadow moved off its init
+    # EMA shadow moved off its init; EMA'd BN stats track the live stats
     leaf = jax.tree_util.tree_leaves(ema)[0]
     assert not np.allclose(np.asarray(leaf), leaf0)
+    sl, el = jax.tree_util.tree_leaves(bs)[0], jax.tree_util.tree_leaves(ema_bs)[0]
+    assert np.asarray(el).shape == np.asarray(sl).shape
+    assert not np.allclose(np.asarray(el), np.asarray(sl))  # lags, not equal
 
 
 def test_build_example_buffer_shapes(tmp_path):
