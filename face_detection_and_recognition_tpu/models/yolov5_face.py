@@ -308,7 +308,11 @@ def decode_heads(
     """
     outs = []
     for m, anc, stride in zip(maps, anchors, strides):
-        m = jnp.asarray(m)
+        # decode in f32 whatever the head emitted (bf16 heads keep their raw
+        # maps bf16 so the candidate gather streams half the bytes; BOTH
+        # decode paths upcast the raw rows before sigmoid so they stay
+        # bit-identical — the reference decodes in f32 too)
+        m = jnp.asarray(m).astype(jnp.float32)
         b, na, ny, nx, no = m.shape
         gy = jax.lax.broadcasted_iota(jnp.float32, (ny, nx), 0)
         gx = jax.lax.broadcasted_iota(jnp.float32, (ny, nx), 1)
@@ -480,7 +484,9 @@ def yolov5_face_detect_maps(
     # order-dependent among ties); rows are gathered in the RAW dtype (bf16
     # rows gather 2x faster than decoded f32)
     obj = jnp.concatenate([mf[..., 4] for mf in maps_flat], axis=1)
-    _, idx = jax.lax.top_k(jax.nn.sigmoid(obj).astype(jnp.float32), k)
+    # sigmoid in f32 even for bf16 heads: a bf16 sigmoid collapses distinct
+    # scores into ties and reorders the top-k vs the f32 full-grid path
+    _, idx = jax.lax.top_k(jax.nn.sigmoid(obj.astype(jnp.float32)), k)
     pack = 128 // no if 128 % no == 0 else 0
     if pack and all(mf.shape[1] % pack == 0 for mf in maps_flat) \
             and _use_pallas_nms(cfg) \
@@ -612,8 +618,10 @@ def yolov5_official_detect_maps(
     flat = jnp.concatenate([m.reshape(b, -1, no) for m in maps], axis=1)
     k = min(cfg.max_candidates, flat.shape[1])
     _, idx = jax.lax.top_k(
-        jax.nn.sigmoid(flat[..., 4]).astype(jnp.float32), k)
+        jax.nn.sigmoid(flat[..., 4].astype(jnp.float32)), k)
     cand = jnp.take_along_axis(flat, idx[..., None], axis=1)
+    # raw rows may be bf16 (bf16 heads); decode in f32 like decode_heads
+    cand = cand.astype(jnp.float32)
     grid, stride, anc = _candidate_grid_params(
         idx, anchors, strides, cfg.input_size)
     y = jax.nn.sigmoid(cand)

@@ -72,3 +72,25 @@ def test_trained_checkpoint_through_cli_detect():
                "--no-display", "-o", out])
     assert rc == 0
     assert cv2.imread(out) is not None
+
+SSD_CKPT = os.path.join(os.path.dirname(__file__), "data", "golden_ssd_ckpt")
+
+
+@pytest.mark.skipif(not os.path.isdir(SSD_CKPT),
+                    reason="SSD golden ckpt not trained yet: make accuracy-ssd")
+def test_trained_ssd_checkpoint_detects_golden_faces():
+    """Second detector family through the same executed gate: res10-class
+    SSD trained with the MultiBox loss (train/ssd.py) at its native 300px
+    (reference modules/opencv2_dnn/model.py)."""
+    from face_detection_and_recognition_tpu.core.engine import (
+        EngineConfig, FaceEngine)
+    from face_detection_and_recognition_tpu.train.golden import evaluate_golden
+
+    eng = FaceEngine(EngineConfig(
+        detector="ssd-resnet10", det_thres=0.5,
+        detector_overrides={"input_size": (300, 300)}))
+    eng.load_weights(SSD_CKPT)
+    r = evaluate_golden(eng)
+    assert r["n_pos"] == 3, f"expected 3 golden faces, got {r['n_pos']}"
+    assert r["n_neg"] == 0, f"0-face image produced {r['n_neg']} detections"
+    assert all(iou >= 0.5 for iou in r["ious"]), r["ious"]
