@@ -69,10 +69,17 @@ class BlazeFaceConfig:
 
 
 class BlazeFaceNet(nn.Module):
-    """Backbone + dual-scale heads; returns raw [B,896,16] and [B,896,1]."""
+    """Backbone + dual-scale heads; returns raw [B,896,16] and [B,896,1].
+
+    ``zero_head_init`` zero-initializes the 4 head convs for from-scratch
+    TRAINING (train/blazeface.py): the norm-free backbone emits activations
+    in the hundreds at init, and zero heads start scores/boxes at exactly 0
+    instead of +-100 logits. Parameter structure is identical either way, so
+    checkpoints interoperate with the inference builder."""
 
     back_model: bool = False
     dtype: Dtype = jnp.float32
+    zero_head_init: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -102,10 +109,16 @@ class BlazeFaceNet(nn.Module):
             c8_in, c16_in = x, h
 
         # heads: NHWC flattening matches the reference's permute+reshape order
-        c1 = nn.Conv(2, (1, 1), use_bias=True, dtype=self.dtype, name="classifier_8")(c8_in)
-        c2 = nn.Conv(6, (1, 1), use_bias=True, dtype=self.dtype, name="classifier_16")(c16_in)
-        r1 = nn.Conv(32, (1, 1), use_bias=True, dtype=self.dtype, name="regressor_8")(c8_in)
-        r2 = nn.Conv(96, (1, 1), use_bias=True, dtype=self.dtype, name="regressor_16")(c16_in)
+        hk = ({"kernel_init": nn.initializers.zeros}
+              if self.zero_head_init else {})
+        c1 = nn.Conv(2, (1, 1), use_bias=True, dtype=self.dtype,
+                     name="classifier_8", **hk)(c8_in)
+        c2 = nn.Conv(6, (1, 1), use_bias=True, dtype=self.dtype,
+                     name="classifier_16", **hk)(c16_in)
+        r1 = nn.Conv(32, (1, 1), use_bias=True, dtype=self.dtype,
+                     name="regressor_8", **hk)(c8_in)
+        r2 = nn.Conv(96, (1, 1), use_bias=True, dtype=self.dtype,
+                     name="regressor_16", **hk)(c16_in)
         scores = jnp.concatenate([c1.reshape(b, -1, 1), c2.reshape(b, -1, 1)], axis=1)
         boxes = jnp.concatenate([r1.reshape(b, -1, 16), r2.reshape(b, -1, 16)], axis=1)
         return boxes.astype(jnp.float32), scores.astype(jnp.float32)

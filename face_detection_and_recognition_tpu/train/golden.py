@@ -169,8 +169,11 @@ def compose_image(
         patch, box = f["patch"], f["box"]
         ph, pw = patch.shape[:2]
         fw = box[2] - box[0]
-        # target face width 28..55% of min(ow,oh) worth of pixels
-        target = rng.uniform(28, 0.55 * min(ow, oh))
+        # target face width 28..55% of min(ow,oh) worth of pixels; at small
+        # train resolutions (blazeface 128/256) the gate image letterboxes
+        # the golden faces down to ~8-11% of the frame, so the floor scales
+        lo = min(28.0, max(10.0, 0.08 * min(ow, oh)))
+        target = rng.uniform(lo, 0.55 * min(ow, oh))
         s = target / fw
         sw, sh = max(int(pw * s), 8), max(int(ph * s), 8)
         if sw >= ow or sh >= oh:
@@ -400,6 +403,7 @@ def train_golden(
     log(f"[golden] dataset: {len(index)} composites at {input_size}px")
 
     warmup = max(3 * len(index) // batch_size, 50)
+    is_blaze = arch.startswith("blazeface")
     if is_ssd:
         from .ssd import (SSDTrainConfig, create_ssd_train_state,
                           make_ssd_train_step_ema)
@@ -410,6 +414,20 @@ def train_golden(
             total_steps=max_steps, ema_decay=0.999, ema_tau=500.0)
         state = create_ssd_train_state(cfg, jax.random.PRNGKey(seed))
         make_step = make_ssd_train_step_ema
+    elif is_blaze:
+        from .blazeface import (BlazeTrainConfig, create_blaze_train_state,
+                                make_blaze_train_step_ema)
+
+        cfg = BlazeTrainConfig(
+            back_model=arch.endswith("back"), max_targets=8, lr=lr,
+            warmup_steps=warmup, total_steps=max_steps,
+            ema_decay=0.999, ema_tau=500.0)
+        if (input_size, input_size) != cfg.input_size:
+            raise ValueError(
+                f"{arch} trains at its fixed native size "
+                f"{cfg.input_size[0]} — pass --size {cfg.input_size[0]}")
+        state = create_blaze_train_state(cfg, jax.random.PRNGKey(seed))
+        make_step = make_blaze_train_step_ema
     else:
         from .detection import (DetTrainConfig, create_det_train_state,
                                 make_det_train_step_ema)
@@ -434,14 +452,17 @@ def train_golden(
             jnp.asarray, prev["batch_stats"])
         log(f"[golden] resumed weights from {resume_from}")
 
-    overrides = {"input_size": (input_size, input_size)}
+    # blazeface's input size is fixed by its anchor layout — the registry
+    # builder rejects an override, so only pass one for the other families
+    overrides = {} if is_blaze else {"input_size": (input_size, input_size)}
     engine = FaceEngine(EngineConfig(detector=arch, det_thres=0.5,
                                      detector_overrides=overrides))
 
     # compile the eval pipeline up front (random weights): a wedged or slow
     # first-eval compile then surfaces BEFORE hundreds of train steps
-    warm = {"params": jax.device_get(state["params"]),
-            "batch_stats": jax.device_get(state["batch_stats"])}
+    warm = {k: jax.device_get(v) for k, v in
+            (("params", state["params"]),
+             ("batch_stats", state["batch_stats"])) if v}
     r0 = evaluate_golden(engine, variables=warm)
     log(f"[golden] eval warmup ok (pos={r0['n_pos']} neg={r0['n_neg']})")
 
@@ -460,11 +481,17 @@ def train_golden(
     result: Dict[str, object] = {"ok": False}
     winner: Dict[str, dict] = {}
 
+    def _strip_empty(v: dict) -> dict:
+        # stat-less nets (blazeface) carry an empty batch_stats tree for the
+        # family step signature; the engine's apply wants it absent
+        return {k: val for k, val in v.items() if val}
+
     def on_eval(done: int, ema_vars: dict, live_vars: dict) -> bool:
         # gate BOTH weight candidates: the EMA pair (params + EMA'd BN
         # stats) and the live pair — whichever passes first is the one
         # checkpointed (ModelEMA usually wins late, live wins early)
-        for tag, variables in (("ema", ema_vars), ("live", live_vars)):
+        for tag, variables in (("ema", _strip_empty(ema_vars)),
+                               ("live", _strip_empty(live_vars))):
             r = evaluate_golden(engine, variables=variables)
             log(f"[golden] eval@{done}/{tag}: pos={r['n_pos']} "
                 f"neg={r['n_neg']} ious={['%.2f' % x for x in r['ious']]} "
@@ -486,9 +513,9 @@ def train_golden(
         flip_lr=0.5, brightness=0.2,
         on_eval=on_eval, eval_every=eval_every,
         ema_cfg=(cfg.ema_decay, cfg.ema_tau), log=log)
-    cand = winner.get("vars") or {
+    cand = winner.get("vars") or _strip_empty({
         "params": jax.device_get(state["ema_params"]),
-        "batch_stats": jax.device_get(state["ema_batch_stats"])}
+        "batch_stats": jax.device_get(state["ema_batch_stats"])})
     if not result.get("ok"):
         # keep the best-effort weights anyway for inspection
         result = evaluate_golden(engine, variables=cand)
