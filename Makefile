@@ -1,4 +1,4 @@
-.PHONY: test bench native clean accuracy accuracy-ssd accuracy-embed
+.PHONY: test bench native clean accuracy accuracy-ssd accuracy-blaze accuracy-embed
 
 test:
 	python -m pytest tests/ -q
@@ -20,6 +20,12 @@ accuracy-ssd:
 	python -m face_detection_and_recognition_tpu.cli.train_golden \
 		--out tests/data/golden_ssd_ckpt --arch ssd-resnet10 --size 300 \
 		--batch 32 --lr 0.002
+
+# third family: blazeface-front at its fixed 128px (train/blazeface.py)
+accuracy-blaze:
+	python -m face_detection_and_recognition_tpu.cli.train_golden \
+		--out tests/data/golden_blaze_ckpt --arch blazeface-front \
+		--size 128 --batch 64 --steps 10000 --eval-every 400 --lr 0.002
 
 # executed RECOGNITION accuracy: train the ArcFace embedder until the
 # similar-face filter's own math separates the golden identities on

@@ -46,9 +46,10 @@ def main(argv=None) -> int:
         from ..core.engine import EngineConfig, FaceEngine
         from ..train.golden import evaluate_holdout_ap
 
+        ov = ({} if args.arch.startswith("blazeface")
+              else {"input_size": (args.size, args.size)})
         eng = FaceEngine(EngineConfig(
-            detector=args.arch, det_thres=0.5,
-            detector_overrides={"input_size": (args.size, args.size)}))
+            detector=args.arch, det_thres=0.5, detector_overrides=ov))
         eng.load_weights(args.out)
         ap = evaluate_holdout_ap(eng, work, input_size=args.size,
                                  seed=args.seed + 7777)

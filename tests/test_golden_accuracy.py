@@ -94,3 +94,24 @@ def test_trained_ssd_checkpoint_detects_golden_faces():
     assert r["n_pos"] == 3, f"expected 3 golden faces, got {r['n_pos']}"
     assert r["n_neg"] == 0, f"0-face image produced {r['n_neg']} detections"
     assert all(iou >= 0.5 for iou in r["ious"]), r["ious"]
+
+BLAZE_CKPT = os.path.join(os.path.dirname(__file__), "data",
+                          "golden_blaze_ckpt")
+
+
+@pytest.mark.skipif(not os.path.isdir(BLAZE_CKPT),
+                    reason="blaze golden ckpt not trained: make accuracy-blaze")
+def test_trained_blazeface_checkpoint_detects_golden_faces():
+    """Third detector family through the executed gate: BlazeFace-front
+    trained at its fixed 128px with the center-match MultiBox-style loss
+    (train/blazeface.py; reference modules/blazeface/blazeface.py)."""
+    from face_detection_and_recognition_tpu.core.engine import (
+        EngineConfig, FaceEngine)
+    from face_detection_and_recognition_tpu.train.golden import evaluate_golden
+
+    eng = FaceEngine(EngineConfig(detector="blazeface-front", det_thres=0.5))
+    eng.load_weights(BLAZE_CKPT)
+    r = evaluate_golden(eng)
+    assert r["n_pos"] == 3, f"expected 3 golden faces, got {r['n_pos']}"
+    assert r["n_neg"] == 0, f"0-face image produced {r['n_neg']} detections"
+    assert all(iou >= 0.5 for iou in r["ious"]), r["ious"]
