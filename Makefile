@@ -1,4 +1,4 @@
-.PHONY: test bench native clean accuracy accuracy-ssd accuracy-blaze accuracy-embed
+.PHONY: test bench native clean accuracy accuracy-ssd accuracy-blaze accuracy-ag accuracy-embed
 
 test:
 	python -m pytest tests/ -q
@@ -46,3 +46,10 @@ dryrun:
 clean:
 	$(MAKE) -C native clean
 	find . -name __pycache__ -type d -exec rm -rf {} +
+
+# fourth executed slot: the age/gender cascade trained to the reference's
+# pinned golden labels (train/golden_ag.py; needs `make accuracy` first)
+accuracy-ag:
+	python -m face_detection_and_recognition_tpu.cli.train_golden_ag \
+		--out tests/data/golden_ag_ckpt \
+		--detector-ckpt tests/data/golden_yolov5n_ckpt

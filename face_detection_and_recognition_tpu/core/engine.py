@@ -317,6 +317,33 @@ class FaceEngine:
             variables = load_variables(path)
         self.embed_vars = variables
 
+    def load_age_gender_weights(self, path: str = None,
+                                age_caffemodel: str = None,
+                                gender_caffemodel: str = None) -> None:
+        """Load the age/gender cascade heads.
+
+        ``path``: an orbax checkpoint dir holding {"age": vars, "gender":
+        vars} (the in-environment trained golden_ag checkpoint). Or pass the
+        reference's two ``.caffemodel`` files (age_net.caffemodel /
+        gender_net.caffemodel, ``modules/opencv2_dnn/model.py:49-83``)."""
+        if self._classify_ag is None:
+            raise ValueError("engine built without age/gender heads "
+                             "(with_age_gender=True)")
+        if path is not None:
+            from ..utils.checkpoint import load_variables
+
+            tree = load_variables(path)
+            self.ag_vars = (tree["age"], tree["gender"])
+            return
+        from ..utils import model_formats as MF
+        from ..utils import weights as W
+
+        age = W.convert_caffenet_head(MF.read_caffemodel(age_caffemodel),
+                                      num_classes=8)
+        gen = W.convert_caffenet_head(MF.read_caffemodel(gender_caffemodel),
+                                      num_classes=2)
+        self.ag_vars = (age, gen)
+
     def _execution_order(self):
         """Leaf-module call order of the detector net (for structural weight
         streams); None for native cascades / unavailable nets."""

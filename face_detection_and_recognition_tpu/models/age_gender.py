@@ -77,8 +77,11 @@ def _lrn(x: jnp.ndarray, n: int = 5, alpha: float = 1e-4, beta: float = 0.75,
     stack-of-shifted-copies formulation materialized n full tensors."""
     sq = x * x
     half = n // 2
+    # init MUST be the python scalar 0.0: an array init stops JAX from
+    # recognizing the add-monoid, making the op non-differentiable (the
+    # age/gender heads train through this in train/golden_ag.py)
     ssum = jax.lax.reduce_window(
-        sq, jnp.zeros((), sq.dtype), jax.lax.add,
+        sq, 0.0, jax.lax.add,
         (1, 1, 1, n), (1, 1, 1, 1),
         padding=((0, 0), (0, 0), (0, 0), (half, half)),
     )

@@ -115,3 +115,27 @@ def test_trained_blazeface_checkpoint_detects_golden_faces():
     assert r["n_pos"] == 3, f"expected 3 golden faces, got {r['n_pos']}"
     assert r["n_neg"] == 0, f"0-face image produced {r['n_neg']} detections"
     assert all(iou >= 0.5 for iou in r["ious"]), r["ious"]
+
+AG_CKPT = os.path.join(os.path.dirname(__file__), "data", "golden_ag_ckpt")
+
+
+@pytest.mark.skipif(not (os.path.isdir(AG_CKPT) and os.path.isdir(CKPT)),
+                    reason="age/gender golden ckpt not trained: make accuracy-ag")
+def test_trained_cascade_emits_golden_age_gender_labels():
+    """The FULL two-stage cascade executed: trained detector -> ±5px crop ->
+    trained CaffeNet heads -> label strings matching the reference's pinned
+    golden labels (tests/image_tests/test_opencv_age_gender.py:47-48:
+    genders all Male, ages 38-43/25-32/38-43)."""
+    from face_detection_and_recognition_tpu.core.engine import (
+        EngineConfig, FaceEngine)
+    from face_detection_and_recognition_tpu.train.golden_ag import (
+        evaluate_golden_ag)
+
+    eng = FaceEngine(EngineConfig(detector="yolov5n", det_thres=0.5,
+                                  with_age_gender=True))
+    eng.load_weights(CKPT)
+    eng.load_age_gender_weights(AG_CKPT)
+    r = evaluate_golden_ag(eng)
+    assert r["matched"] == 3, r
+    assert all(r["labels_ok"]), r
+    assert r["n_neg"] == 0, r
