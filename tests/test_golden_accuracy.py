@@ -139,3 +139,39 @@ def test_trained_cascade_emits_golden_age_gender_labels():
     assert r["matched"] == 3, r
     assert all(r["labels_ok"]), r
     assert r["n_neg"] == 0, r
+
+
+def _gate_ssd_variant(ckpt, arch, size):
+    from face_detection_and_recognition_tpu.core.engine import (
+        EngineConfig, FaceEngine)
+    from face_detection_and_recognition_tpu.train.golden import evaluate_golden
+
+    eng = FaceEngine(EngineConfig(
+        detector=arch, det_thres=0.5,
+        detector_overrides={"input_size": (size, size)}))
+    eng.load_weights(ckpt)
+    r = evaluate_golden(eng)
+    assert r["n_pos"] == 3, r
+    assert r["n_neg"] == 0, r
+    assert all(iou >= 0.5 for iou in r["ious"]), r["ious"]
+
+
+MNV2_CKPT = os.path.join(os.path.dirname(__file__), "data",
+                         "golden_ssd_mnv2_ckpt")
+SQ_CKPT = os.path.join(os.path.dirname(__file__), "data",
+                       "golden_ssd_sq_ckpt")
+
+
+@pytest.mark.skipif(not os.path.isdir(MNV2_CKPT),
+                    reason="mnv2 golden ckpt not trained")
+def test_trained_ssd_mobilenetv2_detects_golden_faces():
+    """OpenVINO-class MobileNetV2-SSD (reference modules/openvino/model.py)
+    through the executed golden gate at its 448px input."""
+    _gate_ssd_variant(MNV2_CKPT, "ssd-mobilenetv2", 448)
+
+
+@pytest.mark.skipif(not os.path.isdir(SQ_CKPT),
+                    reason="squeezenet golden ckpt not trained")
+def test_trained_ssd_squeezenet_detects_golden_faces():
+    """OpenVINO-class SqueezeNet-SSD through the executed golden gate."""
+    _gate_ssd_variant(SQ_CKPT, "ssd-squeezenet", 300)
