@@ -1,4 +1,4 @@
-.PHONY: test bench native clean accuracy accuracy-ssd accuracy-blaze accuracy-ag accuracy-embed
+.PHONY: test bench native clean accuracy accuracy-ssd accuracy-blaze accuracy-ag accuracy-mtcnn accuracy-embed
 
 test:
 	python -m pytest tests/ -q
@@ -53,3 +53,9 @@ accuracy-ag:
 	python -m face_detection_and_recognition_tpu.cli.train_golden_ag \
 		--out tests/data/golden_ag_ckpt \
 		--detector-ckpt tests/data/golden_yolov5n_ckpt
+
+# sixth family: the MTCNN 3-stage cascade (per-stage crops + bootstrapped
+# hard negatives, train/golden_mtcnn.py)
+accuracy-mtcnn:
+	python -m face_detection_and_recognition_tpu.cli.train_golden_mtcnn \
+		--out tests/data/golden_mtcnn_ckpt --crops 12288 --steps 5000

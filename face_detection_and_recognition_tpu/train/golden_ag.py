@@ -159,7 +159,9 @@ def train_golden_ag(
         cg = optax.softmax_cross_entropy_with_integer_labels(lg, yg).mean()
         return ca + cg, (ca, cg)
 
-    def chunk(params, opt, key, steps):
+    # buffers are jit ARGUMENTS (closure-captured arrays ship as constants
+    # in the remote-compile request and can exceed its size limit)
+    def chunk(params, opt, key, dx, da, dg, steps):
         def body(carry, _):
             params, opt, key = carry
             key, k_idx, k_drop = jax.random.split(key, 3)
@@ -184,7 +186,7 @@ def train_golden_ag(
     done = 0
     while done < max_steps:
         steps = min(eval_every, max_steps - done)
-        params, opt, key, loss = jchunk(params, opt, key, steps)
+        params, opt, key, loss = jchunk(params, opt, key, dx, da, dg, steps)
         done += steps
         engine.ag_vars = ({"params": jax.device_get(params[0])},
                           {"params": jax.device_get(params[1])})

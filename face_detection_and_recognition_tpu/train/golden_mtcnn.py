@@ -217,21 +217,10 @@ def train_golden_mtcnn(
 
     engine = FaceEngine(EngineConfig(detector="mtcnn", det_thres=0.5))
 
-    for name, net in nets.items():
+    def make_trainer(name, net):
         s = sizes[name]
-        data = build_stage_buffer(index, s, n_crops, seed=seed + s)
-        dx = jax.device_put(data["x"])
-        dc = jax.device_put(data["cls"])
-        dcm = jax.device_put(data["cls_mask"])
-        dr = jax.device_put(data["reg"])
-        drm = jax.device_put(data["reg_mask"])
-        dl = jax.device_put(data["lmk"])
-        dlm = jax.device_put(data["lmk_mask"])
-        v0 = jax.jit(net.init)(keys[name], jnp.zeros((1, s, s, 3)))
-        params = v0["params"]
-        opt = tx.init(params)
 
-        def loss_fn(params, x, c, cm, r, rm, l, lm, net=net, name=name):
+        def loss_fn(params, x, c, cm, r, rm, l, lm):
             out = net.apply({"params": params}, x)
             prob, reg = out[0], out[1]
             p = jnp.clip(prob, 1e-7, 1.0)
@@ -249,13 +238,16 @@ def train_golden_mtcnn(
                     / jnp.maximum(jnp.sum(lm), 1.0)
             return l_cls + 0.5 * l_reg + 0.5 * l_lmk, (l_cls, l_reg)
 
-        def chunk(params, opt, key, steps):
+        # data buffers are ARGUMENTS, not closure captures: captured arrays
+        # ship as constants inside the compile request, and the onet buffer
+        # alone can exceed the remote-compile size limit (HTTP 413)
+        def chunk(params, opt, key, data, steps):
             def body(carry, _):
                 params, opt, key = carry
                 key, k_idx = jax.random.split(key)
-                idx = jax.random.randint(k_idx, (batch_size,), 0, dx.shape[0])
-                args = [jnp.take(d, idx, axis=0)
-                        for d in (dx, dc, dcm, dr, drm, dl, dlm)]
+                idx = jax.random.randint(k_idx, (batch_size,), 0,
+                                         data[0].shape[0])
+                args = [jnp.take(d, idx, axis=0) for d in data]
                 (loss, aux), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(params, *args)
                 updates, opt = tx.update(grads, opt, params)
@@ -268,15 +260,110 @@ def train_golden_mtcnn(
 
         jchunk = jax.jit(chunk, static_argnames=("steps",),
                          donate_argnums=(0, 1))
-        key = jax.random.fold_in(rng0, sizes[name])
-        done = 0
-        while done < max_steps:
-            steps = min(eval_every, max_steps - done)
-            params, opt, key, loss = jchunk(params, opt, key, steps)
-            done += steps
-            log(f"[golden-mtcnn] {name} step {done} loss {float(loss):.4f}")
-        variables[name] = {"params": jax.device_get(params)}
 
+        def train(params, data, steps_total, tag=""):
+            data_args = tuple(jax.device_put(data[k]) for k in
+                              ("x", "cls", "cls_mask", "reg", "reg_mask",
+                               "lmk", "lmk_mask"))
+            opt = tx.init(params)
+            key = jax.random.fold_in(rng0, s + len(tag))
+            done = 0
+            while done < steps_total:
+                steps = min(eval_every, steps_total - done)
+                params, opt, key, loss = jchunk(params, opt, key,
+                                                data_args, steps)
+                done += steps
+                log(f"[golden-mtcnn] {name}{tag} step {done} "
+                    f"loss {float(loss):.4f}")
+            return params
+
+        return train
+
+    trainers = {}
+    stage_data = {}
+    for name, net in nets.items():
+        s = sizes[name]
+        stage_data[name] = build_stage_buffer(index, s, n_crops,
+                                              seed=seed + s)
+        v0 = jax.jit(net.init)(keys[name], jnp.zeros((1, s, s, 3)))
+        trainers[name] = make_trainer(name, net)
+        variables[name] = {"params": trainers[name](
+            v0["params"], stage_data[name], max_steps)}
+
+    def mine_false_positives(variables, max_fp: int = 1024):
+        """Run the TRAINED cascade over training images and collect boxes
+        that survive all three stages with IoU < 0.3 vs every GT — the
+        classic bootstrapped hard negatives (pos=stage-(n) FPs train
+        stage n+1 in Zhang et al.; here they re-train R/O)."""
+        engine.variables = variables
+        fps: List[Tuple[str, np.ndarray]] = []
+        for p, boxes_xywh in index:
+            if len(fps) >= max_fp:
+                break
+            img = cv2.imread(p)
+            if img is None or img.shape[:2] != (640, 640):
+                continue
+            post = engine.detect_image(img)
+            pred = np.asarray(post.boxes, np.float32).reshape(-1, 4)
+            gts = np.asarray(boxes_xywh, np.float32).reshape(-1, 4).copy()
+            if len(gts):
+                gts[:, 2:] += gts[:, :2]
+            for b in pred:
+                if not len(gts) or max(bbox_iou_xyxy(b, g)
+                                       for g in gts) < 0.3:
+                    fps.append((p, b))
+        return fps
+
+    def extend_with_fps(data: Dict[str, np.ndarray], fps, size: int):
+        imgs: Dict[str, np.ndarray] = {}
+        xs = []
+        for p, b in fps:
+            if p not in imgs:
+                imgs[p] = cv2.imread(p)
+            # square the FP box like the cascade's rerec before cropping
+            w, h = b[2] - b[0], b[3] - b[1]
+            l = max(w, h)
+            cx, cy = b[0] + w / 2, b[1] + h / 2
+            sq = np.array([cx - l / 2, cy - l / 2, cx + l / 2, cy + l / 2],
+                          np.float32)
+            xs.append(_crop_norm(imgs[p], sq, size))
+        n = len(xs)
+        if n == 0:
+            return data
+        return {
+            "x": np.concatenate([data["x"], np.stack(xs)]),
+            "cls": np.concatenate([data["cls"], np.zeros((n,), np.int32)]),
+            "cls_mask": np.concatenate([data["cls_mask"],
+                                        np.ones((n,), np.float32)]),
+            "reg": np.concatenate([data["reg"], np.zeros((n, 4), np.float32)]),
+            "reg_mask": np.concatenate([data["reg_mask"],
+                                        np.zeros((n,), np.float32)]),
+            "lmk": np.concatenate([data["lmk"],
+                                   np.zeros((n, 10), np.float32)]),
+            "lmk_mask": np.concatenate([data["lmk_mask"],
+                                        np.zeros((n,), np.float32)]),
+        }
+
+    # bootstrap rounds: mine the cascade's own surviving false positives
+    # and re-train R/O-Net with them as negatives until the gate is clean
+    for round_i in range(3):
+        engine.variables = variables
+        result = evaluate_golden(engine)
+        log(f"[golden-mtcnn] gate r{round_i}: pos={result['n_pos']} "
+            f"neg={result['n_neg']} "
+            f"ious={['%.2f' % x for x in result['ious']]}")
+        if result["ok"]:
+            break
+        fps = mine_false_positives(variables)
+        log(f"[golden-mtcnn] bootstrap r{round_i}: {len(fps)} hard FPs")
+        if not fps:
+            break
+        for name in ("rnet", "onet"):
+            stage_data[name] = extend_with_fps(stage_data[name], fps,
+                                               sizes[name])
+            variables[name] = {"params": trainers[name](
+                variables[name]["params"], stage_data[name],
+                max_steps // 2, tag=f"+fp{round_i}")}
     engine.variables = variables
     result = evaluate_golden(engine)
     log(f"[golden-mtcnn] gate: pos={result['n_pos']} neg={result['n_neg']} "

@@ -175,3 +175,25 @@ def test_trained_ssd_mobilenetv2_detects_golden_faces():
 def test_trained_ssd_squeezenet_detects_golden_faces():
     """OpenVINO-class SqueezeNet-SSD through the executed golden gate."""
     _gate_ssd_variant(SQ_CKPT, "ssd-squeezenet", 300)
+
+
+MTCNN_CKPT = os.path.join(os.path.dirname(__file__), "data",
+                          "golden_mtcnn_ckpt")
+
+
+@pytest.mark.skipif(not os.path.isdir(MTCNN_CKPT),
+                    reason="mtcnn golden ckpt not trained: make accuracy-mtcnn")
+def test_trained_mtcnn_cascade_detects_golden_faces():
+    """The full P/R/O-Net pyramid cascade through the executed golden gate —
+    trained per-stage with bootstrapped hard negatives
+    (train/golden_mtcnn.py; reference modules/mtcnn/model.py)."""
+    from face_detection_and_recognition_tpu.core.engine import (
+        EngineConfig, FaceEngine)
+    from face_detection_and_recognition_tpu.train.golden import evaluate_golden
+
+    eng = FaceEngine(EngineConfig(detector="mtcnn", det_thres=0.5))
+    eng.load_weights(MTCNN_CKPT)
+    r = evaluate_golden(eng)
+    assert r["n_pos"] == 3, r
+    assert r["n_neg"] == 0, r
+    assert all(iou >= 0.5 for iou in r["ious"]), r["ious"]
