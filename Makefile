@@ -59,3 +59,9 @@ accuracy-ag:
 accuracy-mtcnn:
 	python -m face_detection_and_recognition_tpu.cli.train_golden_mtcnn \
 		--out tests/data/golden_mtcnn_ckpt --crops 12288 --steps 5000
+
+# the facenet (InceptionResNetV1 128-d) slot through the same filter gate
+accuracy-facenet:
+	python -m face_detection_and_recognition_tpu.cli.train_golden_embed \
+		--out tests/data/golden_facenet_ckpt --embedder facenet \
+		--steps 3000 --lr 0.003 --batch 32 --train-per-id 192

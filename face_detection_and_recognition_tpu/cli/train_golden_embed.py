@@ -26,6 +26,9 @@ def main(argv=None) -> int:
     ap.add_argument("--train-per-id", type=int, default=96)
     ap.add_argument("--lr", type=float, default=0.01)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--embedder", default="mobile_facenet",
+                    choices=("mobile_facenet", "facenet"),
+                    help="facenet = the InceptionResNetV1 128-d slot")
     args = ap.parse_args(argv)
 
     from ..train.golden_embed import train_golden_embedder
@@ -33,7 +36,7 @@ def main(argv=None) -> int:
     r = train_golden_embedder(
         args.out, batch_size=args.batch, max_steps=args.steps,
         eval_every=args.eval_every, n_train_per_id=args.train_per_id,
-        lr=args.lr, seed=args.seed)
+        lr=args.lr, seed=args.seed, embedder=args.embedder)
     print(f"golden-embed gate: ok={r['ok']} reload_ok={r.get('reload_ok')} "
           f"same={r['same_acc']:.2f} cross={r['cross_acc']:.2f} "
           f"margin={r['margin']:.3f} steps={r.get('steps')}")

@@ -32,13 +32,30 @@ class ArcFaceTrainConfig:
     momentum: float = 0.9
     weight_decay: float = 5e-4
     dtype: Any = jnp.float32
+    # embedder architecture: "mobile_facenet" (512-d, 112px) or "facenet"
+    # (InceptionResNetV1 128-d, 160px — the keras SavedModel slot)
+    embedder: str = "mobile_facenet"
+    # center-loss weight: pulls embeddings toward their batch class mean.
+    # ArcFace CE saturates to 0 on few-identity data, leaving zero pressure
+    # on intra-class compactness — which is exactly the statistic the
+    # similar-face filter thresholds (max distance from the class mean)
+    center_gain: float = 0.0
 
 
 def create_train_state(
-    cfg: ArcFaceTrainConfig, rng: jax.Array, image_hw: Tuple[int, int] = (112, 112)
+    cfg: ArcFaceTrainConfig, rng: jax.Array, image_hw: Tuple[int, int] = None
 ) -> Dict[str, Any]:
     """Initialize embedder variables + class kernel + optimizer state."""
-    net = MobileFaceNet(embedding_size=cfg.embedding_size, dtype=cfg.dtype)
+    if cfg.embedder == "facenet":
+        from ..models.facenet import InceptionResNetV1
+
+        net = InceptionResNetV1(embedding_size=cfg.embedding_size,
+                                dtype=cfg.dtype)
+        image_hw = image_hw or (160, 160)
+    else:
+        net = MobileFaceNet(embedding_size=cfg.embedding_size,
+                            dtype=cfg.dtype)
+        image_hw = image_hw or (112, 112)
     r1, r2 = jax.random.split(rng)
     variables = jax.jit(net.init, static_argnames=('train',))(
         r1, jnp.zeros((1, *image_hw, 3), jnp.float32), train=True
@@ -79,6 +96,14 @@ def make_train_step(state: Dict[str, Any]):
         loss = optax.softmax_cross_entropy_with_integer_labels(
             logits, labels
         ).mean()
+        if cfg.center_gain > 0.0:
+            # batch class means via one segment mean (stop-grad centers)
+            onehot = jax.nn.one_hot(labels, cfg.num_classes)      # [B, C]
+            counts = jnp.maximum(onehot.sum(0), 1.0)              # [C]
+            centers = (onehot.T @ emb) / counts[:, None]          # [C, D]
+            centers = jax.lax.stop_gradient(centers)
+            d2 = jnp.sum((emb - centers[labels]) ** 2, axis=-1)
+            loss = loss + cfg.center_gain * d2.mean()
         return loss, updates["batch_stats"]
 
     def train_step(params, batch_stats, opt_state, images, labels):

@@ -37,15 +37,19 @@ def make_identity_crops(
     n_per_id: int,
     size: int = 112,
     img_path: str = GOLDEN_IMG,
+    aug_scale: float = 1.0,
 ) -> List[List[np.ndarray]]:
     """Sample augmented BGR uint8 crops per golden identity.
 
     Each sample jitters the crop window around the identity's face box
     (scale/shift), resizes to ``size``, then applies HSV jitter, horizontal
     flip, and sensor noise — distinct seeds give disjoint ref/probe/train
-    sets of the same identities."""
+    sets of the same identities. ``aug_scale > 1`` widens every jitter
+    range: training on a WIDER variation than the ref/probe sets forces
+    clusters compact enough for the filter's max-ref-distance threshold."""
     rng = random.Random(seed)
     faces = extract_golden_faces(img_path)
+    a = aug_scale
     out: List[List[np.ndarray]] = []
     for f in faces:
         patch, box = f["patch"], f["box"]
@@ -54,19 +58,20 @@ def make_identity_crops(
         side0 = max(box[2] - box[0], box[3] - box[1])
         crops = []
         for _ in range(n_per_id):
-            s = side0 * rng.uniform(1.0, 1.45)
-            jx = cx + rng.uniform(-0.08, 0.08) * s
-            jy = cy + rng.uniform(-0.08, 0.08) * s
+            s = side0 * rng.uniform(1.0, 1.0 + 0.45 * a)
+            jx = cx + rng.uniform(-0.08 * a, 0.08 * a) * s
+            jy = cy + rng.uniform(-0.08 * a, 0.08 * a) * s
             half = s / 2
             x1 = int(np.clip(jx - half, 0, pw - 2))
             y1 = int(np.clip(jy - half, 0, ph - 2))
             x2 = int(np.clip(jx + half, x1 + 2, pw))
             y2 = int(np.clip(jy + half, y1 + 2, ph))
             crop = cv2.resize(patch[y1:y2, x1:x2], (size, size))
-            crop = augment_hsv(crop, rng, 0.015, 0.5, 0.3)
+            crop = augment_hsv(crop, rng, 0.015 * a, min(0.5 * a, 0.9),
+                               min(0.3 * a, 0.9))
             if rng.random() < 0.5:
                 crop = np.ascontiguousarray(np.fliplr(crop))
-            sigma = rng.uniform(0.0, 6.0)
+            sigma = rng.uniform(0.0, 6.0 * a)
             if sigma > 0.5:
                 noise = np.random.RandomState(
                     rng.randrange(1 << 31)).normal(0, sigma, crop.shape)
@@ -89,6 +94,7 @@ def evaluate_identity_filter(
     probe_seed: int = 202,
     n_ref: int = 64,
     n_probe: int = 16,
+    size: int = 112,
 ) -> Dict[str, object]:
     """Score an embedder (u8 BGR crops -> [N, D]) with the similar-face
     filter's exact math: per-identity mean + max-ref-distance threshold from
@@ -104,8 +110,8 @@ def evaluate_identity_filter(
     every identity, with a positive margin (min cross dist - max same dist)."""
     from ..pipelines.similarity import ref_mean_and_threshold
 
-    refs = make_identity_crops(ref_seed, n_ref)
-    probes = make_identity_crops(probe_seed, n_probe)
+    refs = make_identity_crops(ref_seed, n_ref, size=size)
+    probes = make_identity_crops(probe_seed, n_probe, size=size)
     means, thres = [], []
     for crops in refs:
         m, t = ref_mean_and_threshold(embed_u8_fn(np.stack(crops)))
@@ -139,24 +145,46 @@ def train_golden_embedder(
     n_train_per_id: int = 96,
     lr: float = 0.01,
     seed: int = 0,
+    embedder: str = "mobile_facenet",
     log=print,
 ) -> Dict[str, object]:
     """Full loop: identity crops -> ArcFace training -> filter gate ->
-    orbax checkpoint -> fresh engine.load_embed_weights -> regate."""
+    orbax checkpoint -> fresh engine.load_embed_weights -> regate.
+
+    ``embedder="facenet"`` runs the same loop on the InceptionResNetV1
+    128-d slot (the keras SavedModel the reference's similar-face filter
+    loads, filter_faces_using_reference.py:131) at 160px with its
+    prewhiten normalization."""
     import jax
     import jax.numpy as jnp
 
+    from ..models.embedders import get_embedder, preprocess_crops
     from .arcface import (ArcFaceTrainConfig, create_train_state,
                           make_train_step)
 
-    train_sets = make_identity_crops(seed + 1, n_train_per_id)
-    xs = np.concatenate([_normalize_half_bgr(np.stack(c))
-                         for c in train_sets])
+    spec = get_embedder(embedder)
+    size = spec.input_size[0]
+
+    def normalize(crops_u8: np.ndarray) -> np.ndarray:
+        return np.asarray(preprocess_crops(
+            spec, np.asarray(crops_u8, np.float32)))
+
+    # wider-than-eval augmentation (see make_identity_crops aug_scale)
+    train_sets = make_identity_crops(seed + 1, n_train_per_id, size=size,
+                                     aug_scale=1.6)
+    xs = np.concatenate([normalize(np.stack(c)) for c in train_sets])
     ys = np.concatenate([np.full(n_train_per_id, cid, np.int32)
                          for cid in range(N_IDENTITIES)])
-    log(f"[golden-embed] train crops: {len(xs)} over {N_IDENTITIES} ids")
+    log(f"[golden-embed] train crops: {len(xs)} over {N_IDENTITIES} ids "
+        f"({embedder}, {size}px, {spec.dim}-d)")
 
-    cfg = ArcFaceTrainConfig(num_classes=N_IDENTITIES, lr=lr)
+    # s=16 keeps the ArcFace CE un-saturated on few-identity data so it
+    # retains inter-class pressure while the (small) center term compacts
+    # clusters — with s=64 the CE hits exactly 0 and a center loss alone
+    # slowly collapses the classes into each other
+    cfg = ArcFaceTrainConfig(num_classes=N_IDENTITIES, lr=lr,
+                             embedder=embedder, embedding_size=spec.dim,
+                             s=16.0, center_gain=0.02)
     state = create_train_state(cfg, jax.random.PRNGKey(seed))
     step = jax.jit(make_train_step(state))
     net = state["net"]
@@ -168,7 +196,7 @@ def train_golden_embedder(
 
     def embed_u8(crops_u8):
         return np.asarray(embed_eval(
-            p["net"], bs, jnp.asarray(_normalize_half_bgr(crops_u8))))
+            p["net"], bs, jnp.asarray(normalize(crops_u8))))
 
     rng = np.random.RandomState(seed)
     result: Dict[str, object] = {"ok": False}
@@ -179,7 +207,7 @@ def train_golden_embedder(
         if (i + 1) % 25 == 0:
             log(f"[golden-embed] step {i+1} loss {float(loss):.4f}")
         if (i + 1) % eval_every == 0 or i + 1 == max_steps:
-            r = evaluate_identity_filter(embed_u8)
+            r = evaluate_identity_filter(embed_u8, size=size)
             log(f"[golden-embed] eval@{i+1}: same={r['same_acc']:.2f} "
                 f"cross={r['cross_acc']:.2f} margin={r['margin']:.3f}")
             if r["ok"]:
@@ -187,13 +215,16 @@ def train_golden_embedder(
                 result["steps"] = i + 1
                 break
     if not result.get("ok"):
-        result = evaluate_identity_filter(embed_u8)
+        result = evaluate_identity_filter(embed_u8, size=size)
         result["steps"] = max_steps
 
     from ..utils.checkpoint import save_variables
 
-    save_variables(ckpt_out, {"params": jax.device_get(p["net"]),
-                              "batch_stats": jax.device_get(bs)})
+    # bf16 storage halves the checkpoint (InceptionResNetV1 is ~24M params);
+    # the reload gate below re-verifies the rounded weights pass the filter
+    save_variables(ckpt_out, jax.tree_util.tree_map(
+        lambda a: jax.device_get(a).astype(jnp.bfloat16),
+        {"params": p["net"], "batch_stats": bs}))
     log(f"[golden-embed] checkpoint saved to {ckpt_out}")
 
     # the real gate: a fresh ENGINE loads the checkpoint and its serving
@@ -201,9 +232,9 @@ def train_golden_embedder(
     from ..core.engine import EngineConfig, FaceEngine
 
     eng = FaceEngine(EngineConfig(detector="blazeface-front",
-                                  embedder="mobile_facenet"))
+                                  embedder=embedder))
     eng.load_embed_weights(ckpt_out)
-    reload_result = evaluate_identity_filter(eng.embed_crops)
+    reload_result = evaluate_identity_filter(eng.embed_crops, size=size)
     result["reload_ok"] = reload_result["ok"]
     result["reload_margin"] = reload_result["margin"]
     log(f"[golden-embed] reload gate: {reload_result['ok']} "

@@ -107,3 +107,28 @@ def test_trained_embedder_through_filter_pipeline():
             assert (d <= thres).all(), f"same-id rejected: {d} vs {thres}"
         else:
             assert (d > thres).all(), f"cross-id accepted: {d} vs {thres}"
+
+
+FACENET_CKPT = os.path.join(os.path.dirname(__file__), "data",
+                            "golden_facenet_ckpt")
+
+
+@pytest.mark.skipif(not os.path.isdir(FACENET_CKPT),
+                    reason="facenet golden ckpt not trained")
+def test_trained_facenet_slot_separates_golden_identities():
+    """The InceptionResNetV1 128-d slot — the keras SavedModel the
+    reference's similar-face filter loads
+    (filter_faces_using_reference.py:131) — trained in-environment to pass
+    the filter's own math (mean + max-ref-distance threshold) on held-out
+    probes, served through engine.embed_crops."""
+    from face_detection_and_recognition_tpu.core.engine import (
+        EngineConfig, FaceEngine)
+    from face_detection_and_recognition_tpu.train.golden_embed import (
+        evaluate_identity_filter)
+
+    eng = FaceEngine(EngineConfig(detector="blazeface-front",
+                                  embedder="facenet"))
+    eng.load_embed_weights(FACENET_CKPT)
+    r = evaluate_identity_filter(eng.embed_crops, size=160)
+    assert r["ok"], r
+    assert r["margin"] > 0.1, r
