@@ -34,8 +34,7 @@ class BlazeTrainConfig:
     neg_ratio: int = 3             # hard negatives per positive
     box_gain: float = 1.0
     lr: float = 0.002
-    momentum: float = 0.9
-    weight_decay: float = 5e-4
+    weight_decay: float = 1e-5
     lrf: float = 0.1
     warmup_steps: int = 0
     total_steps: int = 0
@@ -141,7 +140,7 @@ def create_blaze_train_state(cfg: BlazeTrainConfig, rng: jax.Array) -> Dict[str,
     variables = jax.jit(net.init)(rng, jnp.zeros((1, h, w, 3), jnp.float32))
     tx = optax.chain(
         optax.clip_by_global_norm(10.0),
-        optax.adamw(lr_schedule(cfg), weight_decay=1e-5),
+        optax.adamw(lr_schedule(cfg), weight_decay=cfg.weight_decay),
     )
     return {
         "net": net, "cfg": cfg, "tx": tx,

@@ -12,7 +12,6 @@ checkpoints and regates through ``engine.load_age_gender_weights``.
 """
 from __future__ import annotations
 
-import os
 import random
 from typing import Dict, List, Tuple
 

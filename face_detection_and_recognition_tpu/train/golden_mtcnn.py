@@ -25,8 +25,7 @@ from typing import Dict, List, Tuple
 import cv2
 import numpy as np
 
-from .golden import (GOLDEN_BOXES_3, bbox_iou_xyxy, evaluate_golden,
-                     extract_golden_faces, make_composite_dataset)
+from .golden import (bbox_iou_xyxy, evaluate_golden, make_composite_dataset)
 
 # canonical landmark positions relative to a face box (x_frac, y_frac):
 # left eye, right eye, nose, left mouth corner, right mouth corner
