@@ -97,6 +97,7 @@ def make_chunk_trainer(
     flip_lr: float = 0.5,
     brightness: float = 0.0,
     ema_stats_cfg: Optional[Tuple[float, float]] = None,
+    mesh=None,
 ):
     """Wrap a train step into a jitted ``chunk`` running ``chunk_steps``
     optimizer steps on device-resident data.
@@ -111,7 +112,21 @@ def make_chunk_trainer(
     ModelEMA averages ALL floating buffers including BN running stats
     (pytorch/utils/torch_utils.py:262-283); EMA'd params paired with the
     LIVE net's running stats are a mismatched network and evaluate
-    near-randomly."""
+    near-randomly.
+
+    ``mesh``: a jax.sharding.Mesh with a 'data' axis — each step's sampled
+    batch is sharding-constrained over it, so XLA runs the model
+    data-parallel and inserts the gradient psum (weights stay replicated;
+    place them with replicate_to_mesh first). ``batch_size`` must divide
+    the data axis."""
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as PS
+
+        batch_sharding = (
+            NamedSharding(mesh, PS("data", None, None, None)),
+            NamedSharding(mesh, PS("data", None, None)),
+            NamedSharding(mesh, PS("data", None)),
+        )
 
     def chunk(params, batch_stats, opt_state, ema, ema_stats, n, rng,
               data_x, data_t, data_v):
@@ -128,6 +143,10 @@ def make_chunk_trainer(
                 x, t = device_flip_lr(k_flip, x, t, flip_lr)
             if brightness > 0.0:
                 x = device_brightness(k_bri, x, brightness)
+            if mesh is not None:
+                x = jax.lax.with_sharding_constraint(x, batch_sharding[0])
+                t = jax.lax.with_sharding_constraint(t, batch_sharding[1])
+                v = jax.lax.with_sharding_constraint(v, batch_sharding[2])
             params, bstats, opt, ema, n, loss, metrics = step_fn(
                 params, bstats, opt, ema, n, x, t, v)
             if ema_stats_cfg is not None:
@@ -166,6 +185,7 @@ def run_device_training(
     on_eval: Optional[Callable[[int, Dict, Dict], bool]] = None,
     eval_every: int = 200,
     ema_cfg: Tuple[float, float] = (0.999, 500.0),
+    mesh=None,
     log=print,
 ) -> Dict:
     """Drive chunked device training to ``max_steps``.
@@ -185,11 +205,18 @@ def run_device_training(
 
     chunk = make_chunk_trainer(make_step(state), batch_size, chunk_steps,
                                flip_lr=flip_lr, brightness=brightness,
-                               ema_stats_cfg=ema_cfg)
+                               ema_stats_cfg=ema_cfg, mesh=mesh)
     p, bs = state["params"], state["batch_stats"]
     opt, ema = state["opt_state"], state["ema_params"]
     ema_bs = state.get("ema_batch_stats") or jax.tree_util.tree_map(
         jnp.copy, bs)
+    if mesh is not None:
+        # weights/optimizer replicated over the mesh; XLA shards each step's
+        # batch (constraint in the chunk) and psums the gradients
+        from ..parallel.sharding import replicate_to_mesh
+
+        p, bs, opt, ema, ema_bs = replicate_to_mesh(
+            (p, bs, opt, ema, ema_bs), mesh)
     n = jnp.int32(state.get("n_updates", 0))
     rng = jax.random.PRNGKey(seed ^ 0x5EED)
     done = 0

@@ -103,3 +103,56 @@ def test_build_example_buffer_shapes(tmp_path):
                                       augment=AugmentConfig(mosaic=0.5))
     assert x.shape == (8, 96, 96, 3) and x.dtype == np.uint8
     assert t.shape == (8, 4, 14) and v.shape == (8, 4)
+
+
+def test_chunk_trainer_mesh_matches_single_device():
+    """The mesh-sharded chunk (batch constrained over the 'data' axis,
+    replicated weights, XLA-inserted gradient psum) computes the same
+    training trajectory as single-device — same PRNG, same batches."""
+    from face_detection_and_recognition_tpu.parallel.mesh import make_mesh
+    from face_detection_and_recognition_tpu.train.detection import (
+        DetTrainConfig, create_det_train_state, make_det_train_step_ema)
+
+    if len(jax.devices()) < 2:
+        import pytest
+        pytest.skip("needs the virtual multi-device CPU mesh")
+
+    size = 64
+    rng = np.random.RandomState(1)
+    k = 6
+    x = rng.randint(0, 255, (k, size, size, 3)).astype(np.uint8)
+    t = np.full((k, 2, 14), -1.0, np.float32)
+    v = np.zeros((k, 2), bool)
+    t[:, 0, :4] = [30, 28, 20, 24]
+    v[:, 0] = True
+    data = (jnp.asarray(x), jnp.asarray(t), jnp.asarray(v))
+
+    def run(mesh):
+        cfg = DetTrainConfig(arch="yolov5n", nc=1, input_size=(size, size),
+                             max_targets=2, lr=0.01, total_steps=0,
+                             ema_decay=0.99, ema_tau=10.0)
+        state = create_det_train_state(cfg, jax.random.PRNGKey(0))
+        chunk = DL.make_chunk_trainer(
+            make_det_train_step_ema(state), batch_size=8, chunk_steps=6,
+            flip_lr=0.5, brightness=0.1, ema_stats_cfg=(0.99, 10.0),
+            mesh=mesh)
+        p, bs = state["params"], state["batch_stats"]
+        opt, ema = state["opt_state"], state["ema_params"]
+        ema_bs = jax.tree_util.tree_map(jnp.copy, bs)
+        if mesh is not None:
+            from face_detection_and_recognition_tpu.parallel.sharding import (
+                replicate_to_mesh)
+            p, bs, opt, ema, ema_bs = replicate_to_mesh(
+                (p, bs, opt, ema, ema_bs), mesh)
+        out = chunk(p, bs, opt, ema, ema_bs, jnp.int32(0),
+                    jax.random.PRNGKey(3), *data)
+        return float(out[7]), jax.device_get(out[0])
+
+    loss_1, p_1 = run(None)
+    mesh = make_mesh(("data",), (len(jax.devices()),))
+    loss_m, p_m = run(mesh)
+    assert abs(loss_1 - loss_m) < 1e-3 * max(1.0, abs(loss_1))
+    l1 = jax.tree_util.tree_leaves(p_1)[0]
+    lm = jax.tree_util.tree_leaves(p_m)[0]
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(lm),
+                               rtol=1e-3, atol=1e-4)
