@@ -93,3 +93,81 @@ def test_extraction_pipeline_with_trained_weights(tmp_path):
     d_same = np.linalg.norm(r0 - m0, axis=-1).max()
     d_cross = np.linalg.norm(r0 - m1, axis=-1).min()
     assert d_cross > d_same, (d_same, d_cross)
+
+
+@needs_ckpts
+def test_serving_ensemble_with_trained_weights():
+    """The Triton-contract serving facade with REAL trained weights: the
+    golden image through FaceService.detect_faces yields the 3 pinned faces
+    as (-1,1) CHW crops + boxes + confs, and the 0-face frame returns the
+    sentinel (reference face_detection_trt_server/inference.py:94-98)."""
+    from face_detection_and_recognition_tpu.serving.service import (
+        FaceService, ServiceConfig)
+    from face_detection_and_recognition_tpu.train.golden import (
+        GOLDEN_BOXES_3, GOLDEN_IMG, NEGATIVE_IMG, match_golden)
+
+    svc = FaceService(ServiceConfig(detector="yolov5n", det_thres=0.5,
+                                    bbox_area_thres=0.12))
+    svc.engine.load_weights(DET_CKPT)
+    svc.engine.load_embed_weights(EMB_CKPT)
+
+    img = cv2.imread(GOLDEN_IMG)
+    faces, bboxes, confs = svc.detect_faces(img)
+    assert faces.shape[0] == 3, faces.shape
+    assert faces.shape[1:] == (3, 112, 112)
+    assert float(np.abs(faces).max()) <= 1.0 + 1e-5
+    ious = match_golden(np.asarray(bboxes, np.float32), GOLDEN_BOXES_3)
+    assert all(i >= 0.5 for i in ious), ious
+    assert (np.asarray(confs).reshape(-1) >= 0.5).all()
+
+    neg = cv2.imread(NEGATIVE_IMG)
+    nfaces, nbboxes, nconfs = svc.detect_faces(neg)
+    assert nfaces.shape[0] == 0
+    np.testing.assert_array_equal(np.asarray(nbboxes), [[0, 0, 0, 0]])
+
+
+@needs_ckpts
+def test_video_inference_with_trained_weights(tmp_path):
+    """The video driver (micro-batched, double-buffered) with the trained
+    detector: a synthetic clip of golden-face composites comes back with
+    per-frame REAL detections and a written annotated output video
+    (reference modules/utils/inference.py:96-111)."""
+    from face_detection_and_recognition_tpu.core.engine import (
+        EngineConfig, FaceEngine)
+    from face_detection_and_recognition_tpu.core.inference import (
+        inference_vid)
+    from face_detection_and_recognition_tpu.train.golden import (
+        GOLDEN_IMG, extract_golden_faces)
+
+    rng = random.Random(0)
+    faces = extract_golden_faces(GOLDEN_IMG)
+    img = cv2.imread(GOLDEN_IMG)
+    vid_path = str(tmp_path / "clip.mp4")
+    vw = cv2.VideoWriter(vid_path, cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                         (640, 360))
+    n_frames = 12
+    for i in range(n_frames):
+        bg = cv2.resize(img[:180], (640, 360))
+        f = faces[i % 3]
+        patch, box = f["patch"], f["box"]
+        s = rng.uniform(1.0, 1.4)
+        p = cv2.resize(patch, (int(patch.shape[1] * s),
+                               int(patch.shape[0] * s)))
+        ph, pw = p.shape[:2]
+        x0 = rng.randint(0, 640 - pw)
+        y0 = rng.randint(0, 360 - ph)
+        bg[y0:y0 + ph, x0:x0 + pw] = p
+        vw.write(bg)
+    vw.release()
+
+    eng = FaceEngine(EngineConfig(detector="yolov5n", det_thres=0.5))
+    eng.load_weights(DET_CKPT)
+    out_path = str(tmp_path / "out.mp4")
+    results = inference_vid(eng, vid_path, output=out_path, display=False,
+                            micro_batch=4)
+    assert len(results) == n_frames
+    frames_with_faces = sum(1 for r in results if len(r.boxes))
+    assert frames_with_faces >= n_frames * 2 // 3, frames_with_faces
+    out = cv2.VideoCapture(out_path)
+    assert int(out.get(cv2.CAP_PROP_FRAME_COUNT)) == n_frames
+    out.release()
