@@ -65,3 +65,9 @@ accuracy-facenet:
 	python -m face_detection_and_recognition_tpu.cli.train_golden_embed \
 		--out tests/data/golden_facenet_ckpt --embedder facenet \
 		--steps 3000 --lr 0.003 --batch 32 --train-per-id 192
+
+# the OpenVINO face-reid MobileNetV2 256-d slot through the filter gate
+accuracy-reid:
+	python -m face_detection_and_recognition_tpu.cli.train_golden_embed \
+		--out tests/data/golden_reid_ckpt --embedder reid-mnv2 \
+		--steps 3000 --lr 0.005 --batch 32 --train-per-id 192

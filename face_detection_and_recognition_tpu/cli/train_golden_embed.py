@@ -27,8 +27,10 @@ def main(argv=None) -> int:
     ap.add_argument("--lr", type=float, default=0.01)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--embedder", default="mobile_facenet",
-                    choices=("mobile_facenet", "facenet"),
+                    choices=("mobile_facenet", "facenet", "reid-mnv2"),
                     help="facenet = the InceptionResNetV1 128-d slot")
+    ap.add_argument("--aug-scale", type=float, default=1.6)
+    ap.add_argument("--center-gain", type=float, default=0.02)
     args = ap.parse_args(argv)
 
     from ..train.golden_embed import train_golden_embedder
@@ -36,7 +38,8 @@ def main(argv=None) -> int:
     r = train_golden_embedder(
         args.out, batch_size=args.batch, max_steps=args.steps,
         eval_every=args.eval_every, n_train_per_id=args.train_per_id,
-        lr=args.lr, seed=args.seed, embedder=args.embedder)
+        lr=args.lr, seed=args.seed, embedder=args.embedder,
+        aug_scale=args.aug_scale, center_gain=args.center_gain)
     print(f"golden-embed gate: ok={r['ok']} reload_ok={r.get('reload_ok')} "
           f"same={r['same_acc']:.2f} cross={r['cross_acc']:.2f} "
           f"margin={r['margin']:.3f} steps={r.get('steps')}")

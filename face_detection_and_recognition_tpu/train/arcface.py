@@ -52,6 +52,12 @@ def create_train_state(
         net = InceptionResNetV1(embedding_size=cfg.embedding_size,
                                 dtype=cfg.dtype)
         image_hw = image_hw or (160, 160)
+    elif cfg.embedder == "reid-mnv2":
+        from ..models.embedders import MobileNetV2Embedder
+
+        net = MobileNetV2Embedder(embedding_size=cfg.embedding_size,
+                                  dtype=cfg.dtype)
+        image_hw = image_hw or (128, 128)
     else:
         net = MobileFaceNet(embedding_size=cfg.embedding_size,
                             dtype=cfg.dtype)

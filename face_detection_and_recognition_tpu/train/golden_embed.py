@@ -146,6 +146,8 @@ def train_golden_embedder(
     lr: float = 0.01,
     seed: int = 0,
     embedder: str = "mobile_facenet",
+    aug_scale: float = 1.6,
+    center_gain: float = 0.02,
     log=print,
 ) -> Dict[str, object]:
     """Full loop: identity crops -> ArcFace training -> filter gate ->
@@ -171,7 +173,7 @@ def train_golden_embedder(
 
     # wider-than-eval augmentation (see make_identity_crops aug_scale)
     train_sets = make_identity_crops(seed + 1, n_train_per_id, size=size,
-                                     aug_scale=1.6)
+                                     aug_scale=aug_scale)
     xs = np.concatenate([normalize(np.stack(c)) for c in train_sets])
     ys = np.concatenate([np.full(n_train_per_id, cid, np.int32)
                          for cid in range(N_IDENTITIES)])
@@ -184,7 +186,7 @@ def train_golden_embedder(
     # slowly collapses the classes into each other
     cfg = ArcFaceTrainConfig(num_classes=N_IDENTITIES, lr=lr,
                              embedder=embedder, embedding_size=spec.dim,
-                             s=16.0, center_gain=0.02)
+                             s=16.0, center_gain=center_gain)
     state = create_train_state(cfg, jax.random.PRNGKey(seed))
     step = jax.jit(make_train_step(state))
     net = state["net"]

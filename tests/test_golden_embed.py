@@ -132,3 +132,26 @@ def test_trained_facenet_slot_separates_golden_identities():
     r = evaluate_identity_filter(eng.embed_crops, size=160)
     assert r["ok"], r
     assert r["margin"] > 0.1, r
+
+
+REID_CKPT = os.path.join(os.path.dirname(__file__), "data",
+                         "golden_reid_ckpt")
+
+
+@pytest.mark.skipif(not os.path.isdir(REID_CKPT),
+                    reason="reid golden ckpt not trained")
+def test_trained_reid_slot_separates_golden_identities():
+    """The OpenVINO face-reid MobileNetV2 256-d slot
+    (face_extraction/extract_faces_from_dataset.py:93-104) trained
+    in-environment to pass the filter gate through engine.embed_crops."""
+    from face_detection_and_recognition_tpu.core.engine import (
+        EngineConfig, FaceEngine)
+    from face_detection_and_recognition_tpu.train.golden_embed import (
+        evaluate_identity_filter)
+
+    eng = FaceEngine(EngineConfig(detector="blazeface-front",
+                                  embedder="reid-mnv2"))
+    eng.load_embed_weights(REID_CKPT)
+    r = evaluate_identity_filter(eng.embed_crops, size=128)
+    assert r["ok"], r
+    assert r["margin"] > 0.1, r
