@@ -71,3 +71,7 @@ accuracy-reid:
 	python -m face_detection_and_recognition_tpu.cli.train_golden_embed \
 		--out tests/data/golden_reid_ckpt --embedder reid-mnv2 \
 		--steps 3000 --lr 0.005 --batch 32 --train-per-id 192
+
+# every executed-accuracy loop in sequence (hours of TPU time)
+accuracy-all: accuracy accuracy-ssd accuracy-blaze accuracy-mtcnn \
+		accuracy-ag accuracy-embed accuracy-facenet accuracy-reid
