@@ -72,6 +72,14 @@ accuracy-reid:
 		--out tests/data/golden_reid_ckpt --embedder reid-mnv2 \
 		--steps 3000 --lr 0.005 --batch 32 --train-per-id 192
 
+# the OpenVINO facenet_20180408 512-d slot — the fifth and last feat-net
+# type of the reference's Net loader — through the filter gate
+accuracy-facenet512:
+	python -m face_detection_and_recognition_tpu.cli.train_golden_embed \
+		--out tests/data/golden_facenet512_ckpt --embedder facenet-512 \
+		--steps 3000 --lr 0.003 --batch 32 --train-per-id 192
+
 # every executed-accuracy loop in sequence (hours of TPU time)
 accuracy-all: accuracy accuracy-ssd accuracy-blaze accuracy-mtcnn \
-		accuracy-ag accuracy-embed accuracy-facenet accuracy-reid
+		accuracy-ag accuracy-embed accuracy-facenet accuracy-reid \
+		accuracy-facenet512

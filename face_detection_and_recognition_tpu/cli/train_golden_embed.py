@@ -27,8 +27,10 @@ def main(argv=None) -> int:
     ap.add_argument("--lr", type=float, default=0.01)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--embedder", default="mobile_facenet",
-                    choices=("mobile_facenet", "facenet", "reid-mnv2"),
-                    help="facenet = the InceptionResNetV1 128-d slot")
+                    choices=("mobile_facenet", "facenet", "facenet-512",
+                             "reid-mnv2"),
+                    help="facenet = the InceptionResNetV1 128-d slot; "
+                    "facenet-512 = the OV facenet_20180408 512-d slot")
     ap.add_argument("--aug-scale", type=float, default=1.6)
     ap.add_argument("--center-gain", type=float, default=0.02)
     args = ap.parse_args(argv)

@@ -46,7 +46,7 @@ def create_train_state(
     cfg: ArcFaceTrainConfig, rng: jax.Array, image_hw: Tuple[int, int] = None
 ) -> Dict[str, Any]:
     """Initialize embedder variables + class kernel + optimizer state."""
-    if cfg.embedder == "facenet":
+    if cfg.embedder in ("facenet", "facenet-512"):
         from ..models.facenet import InceptionResNetV1
 
         net = InceptionResNetV1(embedding_size=cfg.embedding_size,

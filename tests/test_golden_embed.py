@@ -155,3 +155,27 @@ def test_trained_reid_slot_separates_golden_identities():
     r = evaluate_identity_filter(eng.embed_crops, size=128)
     assert r["ok"], r
     assert r["margin"] > 0.1, r
+
+
+FACENET512_CKPT = os.path.join(os.path.dirname(__file__), "data",
+                               "golden_facenet512_ckpt")
+
+
+@pytest.mark.skipif(not os.path.isdir(FACENET512_CKPT),
+                    reason="facenet-512 golden ckpt not trained")
+def test_trained_facenet512_slot_separates_golden_identities():
+    """The OpenVINO facenet_20180408 512-d slot — the fifth and last of the
+    reference's feat-net types (extract_faces_from_dataset.py:93-104,
+    feature size 512 at 160px) — trained in-environment to pass the filter
+    gate through engine.embed_crops."""
+    from face_detection_and_recognition_tpu.core.engine import (
+        EngineConfig, FaceEngine)
+    from face_detection_and_recognition_tpu.train.golden_embed import (
+        evaluate_identity_filter)
+
+    eng = FaceEngine(EngineConfig(detector="blazeface-front",
+                                  embedder="facenet-512"))
+    eng.load_embed_weights(FACENET512_CKPT)
+    r = evaluate_identity_filter(eng.embed_crops, size=160)
+    assert r["ok"], r
+    assert r["margin"] > 0.1, r
