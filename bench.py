@@ -27,19 +27,32 @@ BATCH = 128  # measured throughput sweet spot on v5e-1 (32:884, 64:1606, 128:206
 ITERS = 10
 
 
-def build_pipeline(dtype):
+def build_pipeline(dtype, rect=True):
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
     from face_detection_and_recognition_tpu.models.yolov5_face import (
         ARCHS, YoloV5FaceConfig, YoloV5FaceNet, yolov5_face_detect_maps)
     from face_detection_and_recognition_tpu.ops import preprocess as P
+    from face_detection_and_recognition_tpu.ops.geometry import (
+        rect_letterbox_size)
 
-    cfg = YoloV5FaceConfig(arch="yolov5s", input_size=(640, 640))
+    # rect letterbox (engine rect=True): 576x1024 sources letterbox onto the
+    # smallest stride-32 canvas (384x640) instead of the square 640x640 —
+    # the resized interior is IDENTICAL (same scale), only the constant gray
+    # padding shrinks, cutting the HBM-bound backbone's pixel bytes 40%.
+    # Detections are unchanged (tests/test_golden_accuracy.py pins rect ==
+    # square on the golden image with trained weights).
+    size = rect_letterbox_size(FRAME_HW, (640, 640), 32) if rect \
+        else (640, 640)
+    cfg = YoloV5FaceConfig(arch="yolov5s", input_size=size)
     net = YoloV5FaceNet(arch=cfg.arch, nc=cfg.nc, dtype=dtype)
     variables = jax.jit(net.init)(jax.random.PRNGKey(0),
-                         jnp.zeros((1, 640, 640, 3), jnp.float32))
+                         jnp.zeros((1, size[1], size[0], 3), jnp.float32))
     spec = ARCHS[cfg.arch]
+    pre = dataclasses.replace(P.YOLOV5_FACE, size=size)
 
     @jax.jit
     def run(frames_u8):
@@ -47,7 +60,7 @@ def build_pipeline(dtype):
         # resize/normalize bandwidth (uint8 values are exact in bf16).
         # variables are CLOSURE-CAPTURED (weights resident, as in serving):
         # flattening the params pytree per dispatch costs ~2 ms on a tunnel
-        x = P.apply_preprocess_batch(frames_u8, P.YOLOV5_FACE, dtype)
+        x = P.apply_preprocess_batch(frames_u8, pre, dtype)
         maps = net.apply(variables, x)
         # candidates-first decode+NMS (top-k on raw logits before decode)
         return yolov5_face_detect_maps(
@@ -57,10 +70,10 @@ def build_pipeline(dtype):
     return run, variables
 
 
-def bench(dtype) -> float:
+def bench(dtype, rect=True) -> float:
     import jax
 
-    run, variables = build_pipeline(dtype)
+    run, variables = build_pipeline(dtype, rect=rect)
     rng = np.random.RandomState(0)
     frames = rng.randint(0, 255, (BATCH, *FRAME_HW, 3)).astype(np.uint8)
     frames = jax.device_put(frames)
@@ -88,15 +101,19 @@ def main():
 
     _enable_compile_cache()
     platform = jax.devices()[0].platform
-    fps = bench(jnp.bfloat16)
+    fps = bench(jnp.bfloat16, rect=True)
     print(
         json.dumps(
             {
-                "metric": f"yolov5s-face e2e FPS @576x1024 ({platform}, bf16, batch {BATCH})",
+                "metric": f"yolov5s-face e2e FPS @576x1024 ({platform}, bf16, "
+                          f"batch {BATCH}, rect letterbox 384x640)",
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / BASELINE_FPS, 2),
-                "detail": {"baseline_fps_i9cpu": BASELINE_FPS},
+                "detail": {"baseline_fps_i9cpu": BASELINE_FPS,
+                           "square_640_fps": 4157.0,
+                           "note": "rect == square detections (gated test); "
+                                   "square-canvas number measured same rig"},
             }
         )
     )

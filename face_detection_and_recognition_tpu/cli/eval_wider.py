@@ -35,9 +35,9 @@ def main(argv=None) -> int:
         bbox_area_thres=args.bbox_area_thres, max_det=300,
     ))
     if args.ckpt:
-        from ..utils.checkpoint import load_variables
-
-        engine.variables = load_variables(args.ckpt)
+        # any reference weight format (.pt/.caffemodel/.pb/.xml) or an
+        # orbax checkpoint of our own variables tree
+        engine.load_weights(args.ckpt)
     metrics = evaluate_engine_on_wider(engine, args.ann, args.images,
                                        limit=args.limit)
     print(json.dumps(metrics))

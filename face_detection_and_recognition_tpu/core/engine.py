@@ -57,6 +57,12 @@ class EngineConfig:
     max_det: int = 64
     embedder: Optional[str] = None          # "mobile_facenet" | None
     with_age_gender: bool = False
+    # rect letterbox inference (fully-convolutional detectors only): each
+    # source resolution compiles at the smallest stride-multiple canvas its
+    # letterbox fits in, instead of the square input_size — identical
+    # resized interior, less constant padding through the HBM-bound
+    # backbone (576x1024 -> 384x640 = 40% fewer pixel bytes)
+    rect: bool = False
     dtype: Any = jnp.float32
     seed: int = 0
     detector_overrides: Dict[str, Any] = dataclasses.field(default_factory=dict)
@@ -397,6 +403,12 @@ class FaceEngine:
         native = self.spec.input_size == (-1, -1)
         in_size = (w, h) if native else self.spec.input_size
         spec_pre = self.spec.preprocess
+        if self.cfg.rect and self.spec.rect_stride and not native:
+            from ..ops.geometry import rect_letterbox_size
+
+            in_size = rect_letterbox_size((h, w), self.spec.input_size,
+                                          self.spec.rect_stride)
+            spec_pre = dataclasses.replace(spec_pre, size=in_size)
         pre_dtype = self.cfg.dtype  # bf16 preprocess for bf16 backbones
         max_det = self.cfg.max_det
 
@@ -518,6 +530,12 @@ class FaceEngine:
         h, w = shape[:2]
         in_size = self.spec.input_size
         spec_pre = self.spec.preprocess
+        if self.cfg.rect and self.spec.rect_stride:
+            from ..ops.geometry import rect_letterbox_size
+
+            in_size = rect_letterbox_size((h, w), self.spec.input_size,
+                                          self.spec.rect_stride)
+            spec_pre = dataclasses.replace(spec_pre, size=in_size)
         pre_dtype = self.cfg.dtype
         max_det = self.cfg.max_det
         embed_spec = self.embed_spec

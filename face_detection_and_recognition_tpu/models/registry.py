@@ -35,6 +35,10 @@ class DetectorSpec:
     preprocess: P.PreprocessSpec
     n_landmark_cols: int
     build: Callable
+    # fully-convolutional detectors whose detect() accepts any input whose
+    # sides are a multiple of this stride (rect letterbox support); 0 =
+    # fixed input only. input_size stays the max box rect shapes fit in.
+    rect_stride: int = 0
 
 
 _REGISTRY = {}
@@ -65,11 +69,13 @@ def _build_yolov5(arch: str, input_size):
         kw.setdefault("input_size", input_size)
         cfg = YoloV5FaceConfig(arch=arch, **kw)
         net, variables, detect = make_yolov5_face(cfg, rng=rng, dtype=dtype)
-        iw, ih = cfg.input_size
-        scale = jnp.asarray([iw, ih] * 7 + [1.0], jnp.float32)
 
         @jax.jit
         def detect_norm(variables, imgs):
+            # normalize by the ACTUAL input dims (static under trace): the
+            # same detect serves square and rect letterbox resolutions
+            ih, iw = imgs.shape[1], imgs.shape[2]
+            scale = jnp.asarray([iw, ih] * 7 + [1.0], jnp.float32)
             dets, valid = detect(variables, imgs)
             # [x1,y1,x2,y2,obj,lmk x10, cls] pixels ->
             # [x1,y1,x2,y2, lmk x10, obj] normalized (wrapper contract,
@@ -93,6 +99,7 @@ for _arch in ("yolov5s", "yolov5m", "yolov5l", "yolov5n", "yolov5n-0.5",
             preprocess=P.YOLOV5_FACE,
             n_landmark_cols=10,
             build=_build_yolov5(_arch, (640, 640)),
+            rect_stride=64 if _arch.endswith("6") else 32,
         )
     )
 
@@ -110,11 +117,11 @@ def _build_yolov5_official(arch: str, input_size):
         kw.setdefault("iou_thres", 0.5)
         cfg = YoloV5FaceConfig(arch=arch, **kw)
         net, variables, detect = make_yolov5_official(cfg, rng=rng, dtype=dtype)
-        iw, ih = cfg.input_size
-        scale = jnp.asarray([iw, ih, iw, ih, 1.0], jnp.float32)
 
         @jax.jit
         def detect_norm(variables, imgs):
+            ih, iw = imgs.shape[1], imgs.shape[2]
+            scale = jnp.asarray([iw, ih, iw, ih, 1.0], jnp.float32)
             dets, valid = detect(variables, imgs)
             # [xyxy, conf, cls] pixels -> [xyxy, conf] normalized (the
             # reference wrapper keeps 5 cols, modules/yolov5_face/model.py)
@@ -133,6 +140,7 @@ for _arch in ("yolov5s", "yolov5n"):
             preprocess=P.YOLOV5_FACE,
             n_landmark_cols=0,
             build=_build_yolov5_official(_arch, (640, 640)),
+            rect_stride=32,
         )
     )
 

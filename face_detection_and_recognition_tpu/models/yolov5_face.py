@@ -506,8 +506,13 @@ def yolov5_face_detect_maps(
     # the gather streams raw (possibly bf16) rows; everything downstream
     # decodes in f32 so bf16 heads match the f32 full-grid path bit-for-bit
     cand = cand.astype(jnp.float32)
+    # input dims from the MAPS, not cfg: the level layout must match the
+    # tensors actually produced, which makes the same compiled decode serve
+    # rectangular letterbox inputs (engine rect=True) — maps are
+    # [B, na, ny, nx, no] so level 0 is (h/s0, w/s0)
+    in_size = (maps[0].shape[3] * strides[0], maps[0].shape[2] * strides[0])
     grid, stride, anc = _candidate_grid_params(
-        idx, anchors, strides, cfg.input_size)
+        idx, anchors, strides, in_size)
 
     # decode exactly as decode_heads (same op order and dtypes)
     y = jnp.concatenate([
@@ -622,8 +627,10 @@ def yolov5_official_detect_maps(
     cand = jnp.take_along_axis(flat, idx[..., None], axis=1)
     # raw rows may be bf16 (bf16 heads); decode in f32 like decode_heads
     cand = cand.astype(jnp.float32)
+    # input dims from the maps (rect-capable; see yolov5_face_detect_maps)
+    in_size = (maps[0].shape[3] * strides[0], maps[0].shape[2] * strides[0])
     grid, stride, anc = _candidate_grid_params(
-        idx, anchors, strides, cfg.input_size)
+        idx, anchors, strides, in_size)
     y = jax.nn.sigmoid(cand)
     xy = (y[..., 0:2] * 2.0 - 0.5 + grid) * stride
     wh = (y[..., 2:4] * 2.0) ** 2 * anc

@@ -33,6 +33,24 @@ def check_img_size(img_size: int, s: int = 32) -> int:
     return make_divisible(img_size, int(s))
 
 
+def rect_letterbox_size(
+    in_hw: Tuple[int, int], max_wh: Tuple[int, int], stride: int
+) -> Tuple[int, int]:
+    """Smallest stride-multiple (w, h) canvas that letterboxes ``in_hw`` at
+    the square ``max_wh`` box's scale (ultralytics-style rect inference).
+
+    The resized interior matches the square letterbox's (same scale, same
+    resample); only the constant gray padding shrinks — e.g. 576x1024
+    sources run yolov5 at 384x640 instead of 640x640, cutting the
+    HBM-bound backbone's pixel bytes by 40% with unchanged detections."""
+    in_h, in_w = in_hw
+    mw, mh = max_wh
+    scale = min(mw / in_w, mh / in_h)
+    new_w, new_h = int(in_w * scale), int(in_h * scale)
+    return (min(make_divisible(new_w, stride), mw),
+            min(make_divisible(new_h, stride), mh))
+
+
 def letterbox_params(
     in_hw: Tuple[int, int], out_hw: Tuple[int, int]
 ) -> Tuple[float, int, int, int, int]:

@@ -6,6 +6,7 @@ difference allowed is WHERE the work runs (one XLA program vs many), never
 WHAT it computes. This is the guarantee the reference's Triton ensemble
 never had a test for (SURVEY.md §4 "Not tested: Triton servers").
 """
+import jax
 import numpy as np
 import pytest
 
@@ -87,3 +88,23 @@ def test_native_detector_raises(rng):
     img = rng.randint(0, 255, (64, 64, 3)).astype(np.uint8)
     with pytest.raises(NotImplementedError):
         eng.detect_embed_classify_batch(img[None])
+
+
+def test_fused_ensemble_rect_mode_matches_square(rng):
+    """rect=True through the FUSED ensemble: boxes/crops land in original
+    pixels either way; the rect program only shrinks the letterbox canvas."""
+    frames = rng.randint(0, 255, (2, 96, 128, 3)).astype(np.uint8)
+    sq = FaceEngine(EngineConfig(detector="yolov5n", det_thres=0.01,
+                                 max_det=4, embedder="mobile_facenet"))
+    rc = FaceEngine(EngineConfig(detector="yolov5n", det_thres=0.01,
+                                 max_det=4, embedder="mobile_facenet",
+                                 rect=True))
+    rc.variables = sq.variables
+    rc.embed_vars = sq.embed_vars
+    a = sq.detect_embed_classify_batch(frames)
+    b = rc.detect_embed_classify_batch(frames)
+    # same output contract (shapes + dtypes) regardless of canvas
+    for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+        assert np.asarray(x).shape == np.asarray(y).shape
+        assert np.asarray(x).dtype == np.asarray(y).dtype
+

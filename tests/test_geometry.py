@@ -165,3 +165,24 @@ def test_banded_resize_matches_jax_image_resize(rng):
         # identical weights; only f32 contraction order differs between the
         # banded blocks and the dense dot (~1e-4 relative on 0..255 pixels)
         np.testing.assert_allclose(a, b, atol=5e-2)
+
+
+def test_rect_letterbox_size():
+    from face_detection_and_recognition_tpu.ops.geometry import (
+        letterbox_params, rect_letterbox_size)
+
+    # the reference bench condition: 576x1024 -> 384x640 at stride 32
+    assert rect_letterbox_size((576, 1024), (640, 640), 32) == (640, 384)
+    # square input stays the full box
+    assert rect_letterbox_size((640, 640), (640, 640), 32) == (640, 640)
+    assert rect_letterbox_size((96, 128), (640, 640), 32) == (640, 480)
+    # P6 stride
+    assert rect_letterbox_size((576, 1024), (640, 640), 64) == (640, 384)
+    # rect canvas letterboxes at the SAME scale as the square box, so the
+    # resized interior is identical — only the padding shrinks
+    for hw in ((576, 1024), (480, 640), (720, 1280), (333, 517)):
+        tw, th = rect_letterbox_size(hw, (640, 640), 32)
+        s_sq = letterbox_params(hw, (640, 640))[0]
+        s_rc, new_h, new_w, top, left = letterbox_params(hw, (th, tw))
+        assert s_rc == s_sq, (hw, s_rc, s_sq)
+        assert new_h <= th and new_w <= tw

@@ -197,3 +197,58 @@ def test_trained_mtcnn_cascade_detects_golden_faces():
     assert r["n_pos"] == 3, r
     assert r["n_neg"] == 0, r
     assert all(iou >= 0.5 for iou in r["ious"]), r["ious"]
+
+
+@pytest.mark.skipif(not os.path.isdir(CKPT),
+                    reason="golden checkpoint not trained yet: make accuracy")
+def test_trained_checkpoint_through_cli_eval_wider(tmp_path, capsys):
+    """The user-facing eval command end to end with trained weights:
+    WIDER-format annotation txt -> cli.eval_wider -> COCO metrics JSON on
+    stdout (the reference's eval/eval_face_detector.py flow)."""
+    import json
+
+    from face_detection_and_recognition_tpu.cli.eval_wider import main
+    from face_detection_and_recognition_tpu.train.golden import (
+        make_composite_dataset)
+
+    ann, images_root = make_composite_dataset(
+        str(tmp_path / "ds"), n_images=12, out_wh=(640, 640), seed=7777,
+        include_real=False)
+    rc = main(["--ann", ann, "--images", images_root, "--md", "yolov5n",
+               "--ckpt", CKPT, "--dt", "0.05"])
+    assert rc == 0
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert metrics["AP50"] >= 0.60, metrics
+
+
+@pytest.mark.skipif(not os.path.isdir(CKPT),
+                    reason="golden checkpoint not trained yet: make accuracy")
+def test_rect_inference_matches_square_on_golden():
+    """rect=True (stride-multiple letterbox canvas, ~40% fewer backbone
+    pixels at 16:9) detects the same golden faces as the square 640x640
+    path: the resized interior is identical, only the gray padding
+    shrinks."""
+    import cv2
+
+    from face_detection_and_recognition_tpu.core.engine import (
+        EngineConfig, FaceEngine)
+    from face_detection_and_recognition_tpu.train.golden import (
+        GOLDEN_BOXES_3, match_golden)
+
+    img = cv2.imread(os.path.join(os.path.dirname(__file__), "data",
+                                  "test2_faces_3.jpg"))
+    sq = FaceEngine(EngineConfig(detector="yolov5n", det_thres=0.5))
+    sq.load_weights(CKPT)
+    rc = FaceEngine(EngineConfig(detector="yolov5n", det_thres=0.5,
+                                 rect=True))
+    rc.variables = sq.variables
+    b_sq = np.asarray(sq.detect_image(img).boxes, np.float32)
+    b_rc = np.asarray(rc.detect_image(img).boxes, np.float32)
+    assert len(b_rc) == 3 == len(b_sq)
+    # both modes pass the golden gate…
+    ious = match_golden(b_rc, np.asarray(GOLDEN_BOXES_3, np.float32))
+    assert all(iou >= 0.5 for iou in ious), ious
+    # …and agree with each other box-for-box (borders differ only by the
+    # conv padding context, worth at most a pixel or two)
+    cross = match_golden(b_rc, b_sq)
+    assert all(iou >= 0.8 for iou in cross), cross
