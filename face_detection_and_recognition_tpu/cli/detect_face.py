@@ -47,6 +47,7 @@ def build_engine(args) -> FaceEngine:
         bbox_area_thres=args.bbox_area_thres,
         with_age_gender=getattr(args, "age_gender", False),
         embedder=getattr(args, "embedder", None),
+        rect=getattr(args, "rect", False),
         detector_overrides=overrides,
     )
     engine = FaceEngine(cfg)
@@ -72,6 +73,11 @@ def main(argv=None) -> int:
                         help="Also embed each detected face (registry name, "
                              "e.g. mobile_facenet) and report the vector "
                              "norm/dim.")
+    parser.add_argument("--rect", action="store_true",
+                        help="Rect letterbox inference (yolov5 families): "
+                             "smallest stride-multiple canvas per source "
+                             "resolution — same detections, ~1.5x faster on "
+                             "16:9 video.")
     args = parser.parse_args(argv)
 
     if args.model not in registry.available():

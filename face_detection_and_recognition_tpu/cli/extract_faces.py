@@ -37,6 +37,8 @@ def main(argv=None) -> int:
                     help="frames per fused device block")
     ap.add_argument("--mesh", action="store_true",
                     help="shard blocks over all devices (data parallel)")
+    ap.add_argument("--rect", action="store_true",
+                    help="rect letterbox inference (yolov5 families)")
     args = ap.parse_args(argv)
 
     logger = setup_job_logger("face_extraction")
@@ -44,6 +46,7 @@ def main(argv=None) -> int:
     engine = FaceEngine(EngineConfig(
         detector=args.model, det_thres=args.det_thres,
         bbox_area_thres=args.bbox_area_thres, embedder=embedder,
+        rect=args.rect,
     ))
     mesh = None
     if args.mesh:

@@ -40,6 +40,9 @@ class ServiceConfig:
     # jax.sharding.Mesh with a "data" axis — batched ensemble dispatches
     # shard the frame batch over it (multi-chip serving, SURVEY §2.7)
     mesh: object = None
+    # rect letterbox inference (yolov5 families): same detections, ~1.5x
+    # detector throughput on 16:9 frames (BENCHMARKS.md)
+    rect: bool = False
 
 
 class FaceService:
@@ -56,6 +59,7 @@ class FaceService:
                 max_det=cfg.max_det,
                 embedder="mobile_facenet" if cfg.with_embedder else None,
                 with_age_gender=cfg.with_age_gender,
+                rect=cfg.rect,
             )
         )
 
