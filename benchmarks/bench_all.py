@@ -19,16 +19,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 FRAME_HW = (576, 1024)
 
-# (registry name, reference row, baseline fps, batch)
+# (registry name, reference row, baseline fps, batch, rect)
 DETECTORS = [
-    ("yolov5s", "YOLOv5s-face", 13.0, 128),
-    ("yolov5n", "YOLOv5n-face", 13.0, 128),
-    ("blazeface-front", "BlazeFace front pytorch", 21.0, 256),
-    ("blazeface-back", "BlazeFace back onnx", 30.0, 256),
-    ("ssd-resnet10", "OpenCV SSD caffemodel", 18.0, 256),
-    ("ssd-mobilenetv2", "OpenVINO MobileNetV2-SSD", 25.0, 128),
-    ("ssd-squeezenet", "OpenVINO SqueezeNet-SSD", 28.0, 256),
-    ("mtcnn", "MTCNN", 2.0, 64),
+    ("yolov5s", "YOLOv5s-face rect 384x640", 13.0, 128, True),
+    ("yolov5s", "YOLOv5s-face square 640", 13.0, 128, False),
+    ("yolov5n", "YOLOv5n-face rect 384x640", 13.0, 128, True),
+    ("yolov5n", "YOLOv5n-face square 640", 13.0, 128, False),
+    ("blazeface-front", "BlazeFace front pytorch", 21.0, 256, False),
+    ("blazeface-back", "BlazeFace back onnx", 30.0, 256, False),
+    ("ssd-resnet10", "OpenCV SSD caffemodel", 18.0, 256, False),
+    ("ssd-mobilenetv2", "OpenVINO MobileNetV2-SSD", 25.0, 128, False),
+    ("ssd-squeezenet", "OpenVINO SqueezeNet-SSD", 28.0, 256, False),
+    ("mtcnn", "MTCNN", 2.0, 64, False),
 ]
 
 
@@ -43,7 +45,7 @@ def fetch(tree):
     float(jnp.sum(jnp.ravel(leaves[0])[0]))
 
 
-def bench_detector(name: str, batch: int, iters: int = 10):
+def bench_detector(name: str, batch: int, iters: int = 10, rect: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -51,7 +53,8 @@ def bench_detector(name: str, batch: int, iters: int = 10):
                                                                 FaceEngine)
 
     engine = FaceEngine(EngineConfig(detector=name, det_thres=0.5,
-                                     max_det=32, dtype=jnp.bfloat16))
+                                     max_det=32, dtype=jnp.bfloat16,
+                                     rect=rect))
     rng = np.random.RandomState(0)
     frames = jax.device_put(
         rng.randint(0, 255, (batch, *FRAME_HW, 3)).astype(np.uint8)
@@ -86,7 +89,7 @@ def bench_embedder(name: str, batch: int = 256, iters: int = 10):
     return batch * iters / (time.perf_counter() - t0)
 
 
-def bench_ensemble(batch: int = 32, iters: int = 10):
+def bench_ensemble(batch: int = 32, iters: int = 10, rect: bool = False):
     """Full fused detect->crop->embed->age/gender program (the Triton
     ensemble's TPU collapse): frames/s at 576x1024 with 32 face slots per
     frame cropped, embedded (512-d) and classified in the same program."""
@@ -98,7 +101,7 @@ def bench_ensemble(batch: int = 32, iters: int = 10):
 
     engine = FaceEngine(EngineConfig(
         detector="yolov5s", det_thres=0.5, max_det=32, dtype=jnp.bfloat16,
-        embedder="mobile_facenet", with_age_gender=True,
+        embedder="mobile_facenet", with_age_gender=True, rect=rect,
     ))
     rng = np.random.RandomState(0)
     frames = jax.device_put(
@@ -125,27 +128,29 @@ def main():
 
     platform = jax.devices()[0].platform
     rows = []
-    for name, ref_row, base, batch in DETECTORS:
+    for name, ref_row, base, batch, rect in DETECTORS:
         if args.quick and name == "mtcnn":
             continue
         try:
             t0 = time.time()
-            fps = bench_detector(name, batch)
+            fps = bench_detector(name, batch, rect=rect)
             rows.append((ref_row, name, base, batch, fps))
             print(f"{name}: {fps:.0f} fps ({fps/base:.0f}x baseline, "
                   f"{time.time()-t0:.0f}s incl compile)", flush=True)
         except Exception as e:
             print(f"{name}: FAILED {type(e).__name__}: {e}", flush=True)
 
-    ens_fps = ens_batch = None
+    ens_fps = ens_batch = ens_rect_fps = None
     try:
         ens_fps, ens_batch = bench_ensemble()
         print(f"fused ensemble: {ens_fps:.0f} fps (b{ens_batch})", flush=True)
+        ens_rect_fps, _ = bench_ensemble(rect=True)
+        print(f"fused ensemble rect: {ens_rect_fps:.0f} fps", flush=True)
     except Exception as e:
         print(f"ensemble: FAILED {e}", flush=True)
 
     emb_rows = []
-    for name in ("mobile_facenet", "facenet", "reid-mnv2"):
+    for name in ("mobile_facenet", "facenet", "facenet-512", "reid-mnv2"):
         try:
             fps = bench_embedder(name)
             emb_rows.append((name, fps))
@@ -175,7 +180,9 @@ def main():
                 "reference needed three Triton containers and two gRPC "
                 f"hops): **{ens_fps:.0f} frames/s** = "
                 f"{ens_fps*32:.0f} face-slots/s at batch {ens_batch}, "
-                "576x1024 input.\n"
+                "576x1024 input"
+                + (f" ({ens_rect_fps:.0f} frames/s with rect=True)"
+                   if ens_rect_fps else "") + ".\n"
                 "\nThe reference's closest condition is the OpenCV "
                 "age+gender pipeline at 12 FPS on i9 CPU (detect + per-face "
                 f"crops + 2 classifiers): **{ens_fps/12:.0f}x**, while also "
@@ -189,6 +196,68 @@ def main():
 # Methodology + serving notes appended verbatim on every regeneration so a
 # re-run never loses the hand-maintained context.
 NOTES_FOOTER = """
+## Rect letterbox inference (round 3)
+
+`EngineConfig(rect=True)` letterboxes each source resolution onto the
+smallest stride-multiple canvas instead of the square 640x640: 576x1024
+frames run the backbone at 384x640 — the resized interior is IDENTICAL
+(same scale, same resample; `ops/geometry.rect_letterbox_size`), only the
+constant gray padding shrinks. Since the backbone is HBM-bound (the
+roofline below), 40% fewer pixel bytes is 40% less backbone time:
+**yolov5s e2e 4157 -> 6500 fps (1.56x)** at batch 128. Detections are
+unchanged — `tests/test_golden_accuracy.py::
+test_rect_inference_matches_square_on_golden` pins rect == square on the
+golden image with the trained checkpoint (boxes differ only by conv border
+context). Decode derives the level layout from the map shapes, so one code
+path serves both; supported by every fully-convolutional detector
+(`DetectorSpec.rect_stride`: the yolov5 families), opt-in because the
+reference's own convention is the square canvas.
+
+## Training throughput (round 3)
+
+The golden accuracy loops train with the device-resident loop
+(`train/device_loop.py`): the augmented dataset uploads to HBM once and
+100-step `lax.scan` chunks sample/flip/jitter batches on device. On this
+rig's tunneled chip (~5-35 MB/s host->device) this is the difference between
+training being possible and not: streaming yolov5n b16@640 batches ran at
+~0.25 steps/s (the 20 MB batch upload IS the step time); device-resident
+b32@640 runs ~4 steps/s wall (~10 ms device compute + chunk dispatch), a
+~16x speedup that turns the golden detection run from >4 h (never converged
+before the driver's wall) into ~12 min to gate-pass. On a PCIe host the
+same loop is pure device compute (~100 steps/s at this size).
+
+## Per-stage roofline — yolov5s b128 @576x1024 (round 3)
+
+`python benchmarks/roofline_report.py` (jax.profiler trace grouped by source
+file, v5e-1 ceilings: ~197 bf16 TFLOP/s, 819 GB/s spec HBM):
+
+| stage | ms/step | GB/step | GB/s | %HBM |
+|---|---|---|---|---|
+| models/layers.py (backbone convs) | 15.26 | 10.12 | 663 | 81 |
+| models/yolov5_face.py (heads+decode) | 5.04 | 1.42 | 283 | 35 |
+| ops/pallas_kernels.py (gather/crop/NMS) | 3.07 | 0.55 | 178 | 22 |
+| ops/geometry.py (resize) | 2.85 | 1.64 | 576 | 70 |
+| ops/nms.py | 0.63 | 0.02 | 34 | 4 |
+| ops/preprocess.py | 0.54 | 0.35 | 657 | 80 |
+| **device total** | **28.4** | | | |
+
+Achieved 25.7 TFLOP/s = 13% of bf16 peak. **Ceiling statement**: the
+backbone — 54% of the step — runs at 663 GB/s, the practical v5e HBM
+roofline (spec 819 GB/s; ~660 is what dense convs sustain), so its time is
+set by activation BYTES, not FLOPs: small-channel convs at 640px have
+arithmetic intensity ~25 FLOP/byte vs the ~240 needed to turn compute-bound.
+The round-3 arithmetic-intensity lever — keeping the detect heads' raw maps
+bf16 end-to-end through the candidate gather (decode upcasts per 256-row
+candidate block instead of per 25k-row grid) — halved the head/decode bytes;
+decode+NMS now totals 9.3 ms vs the backbone's 15.3. The second round-3
+lever attacks the bytes themselves: rect letterbox inference (above) stops
+paying the HBM roofline for constant padding — 4157 -> 6500 fps without
+touching the interior pixels. Remaining levers beyond that trade exactness
+(int8 activations: measured slower at these channel widths even statically
+calibrated — `utils/quantize.py`'s docstring has the data). At the square condition MFU 13% IS the
+roofline for this model family at this resolution; the same pipeline
+reaches 81% of HBM peak, which is the binding resource.
+
 ## Serving latency (batch 1, 576x1024, yolov5s)
 
 `FaceService.detect_faces`: min 55 / p50 64 / p90 71 ms; full
