@@ -128,3 +128,32 @@ def test_extract_imdb_wiki_cli(tmp_path, rng):
     assert meta["removed"] == {"low_det_score": 1}
     recs = np.load(os.path.join(out, "data.npy"), allow_pickle=True)
     assert meta["records_written"] == len(recs)
+
+
+def test_interactive_labeler_key_machine(monkeypatch, rng):
+    """The cv2-waitKey labeler replicates the reference's manual flow
+    (extract_and_label_faces_from_dataset.py:194-234): w/e pick gender,
+    1-5 pick the age bucket, ESC skips with Unknowns."""
+    import cv2 as cv2mod
+
+    from face_detection_and_recognition_tpu.pipelines.tracking import (
+        interactive_labeler)
+
+    shown = []
+    monkeypatch.setattr(cv2mod, "imshow", lambda name, img: shown.append(img))
+    monkeypatch.setattr(cv2mod, "destroyWindow", lambda name: None)
+    frame = rng.randint(0, 255, (64, 64, 3)).astype(np.uint8)
+    box = np.array([10, 10, 40, 40], np.float32)
+
+    keys = iter([ord("w"), ord("3")])  # Male, then bucket 3
+    monkeypatch.setattr(cv2mod, "waitKey", lambda *_: next(keys))
+    assert interactive_labeler()(frame, box) == ("25-39", "Male")
+    assert shown and shown[0].shape == (30, 30, 3)
+
+    keys = iter([ord("1"), ord("e")])  # age first, then Female
+    monkeypatch.setattr(cv2mod, "waitKey", lambda *_: next(keys))
+    assert interactive_labeler()(frame, box) == ("0-13", "Female")
+
+    keys = iter([27])  # ESC -> Unknowns
+    monkeypatch.setattr(cv2mod, "waitKey", lambda *_: next(keys))
+    assert interactive_labeler()(frame, box) == ("Unknown", "Unknown")
