@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--arch", default="yolov5s")
     ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--rect", action="store_true",
+                    help="rect letterbox canvas (384x640 for 576x1024)")
     args = ap.parse_args()
 
     import jax
@@ -44,7 +46,8 @@ def main():
         EngineConfig, FaceEngine)
     from face_detection_and_recognition_tpu.utils import trace_analysis as TA
 
-    engine = FaceEngine(EngineConfig(detector=args.arch, dtype=jnp.bfloat16))
+    engine = FaceEngine(EngineConfig(detector=args.arch, dtype=jnp.bfloat16,
+                                     rect=args.rect))
     frames = np.random.RandomState(0).randint(
         0, 255, (args.batch, 576, 1024, 3)).astype(np.uint8)
     # warmup/compile
@@ -66,7 +69,16 @@ def main():
     ops = TA.load_device_ops(path)
     rows = TA.summarize_by(ops, TA.source_file_key, steps=args.steps)
     total_ms = sum(ms for _, ms, _ in rows)
-    frame_tflops = YOLOV5S_GFLOP_PER_FRAME * args.batch / 1e3
+    gflop = YOLOV5S_GFLOP_PER_FRAME
+    if args.rect:
+        from face_detection_and_recognition_tpu.ops.geometry import (
+            rect_letterbox_size)
+
+        tw, th = rect_letterbox_size((576, 1024), engine.spec.input_size,
+                                     engine.spec.rect_stride or 32)
+        iw, ih = engine.spec.input_size
+        gflop *= (tw * th) / (iw * ih)  # conv FLOPs scale with canvas pixels
+    frame_tflops = gflop * args.batch / 1e3
     print(f"\ndevice total {total_ms:.1f} ms/step | "
           f"achieved {frame_tflops / (total_ms / 1e3):.1f} TFLOP/s "
           f"({100 * frame_tflops / (total_ms / 1e3) / V5E_BF16_TFLOPS:.0f}% "

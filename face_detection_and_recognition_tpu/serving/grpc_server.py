@@ -144,7 +144,10 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--port", type=int, default=8081)
     ap.add_argument("--detector", default="yolov5s")
+    ap.add_argument("--rect", action="store_true",
+                    help="rect letterbox inference (yolov5 families)")
     ap.add_argument("--dynamic-batch", type=int, default=0)
     args = ap.parse_args()
-    serve_grpc(ServiceConfig(detector=args.detector), port=args.port,
+    serve_grpc(ServiceConfig(detector=args.detector, rect=args.rect),
+               port=args.port,
                dynamic_batching=args.dynamic_batch)

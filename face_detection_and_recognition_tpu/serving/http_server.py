@@ -117,8 +117,11 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--port", type=int, default=8081)
     ap.add_argument("--detector", default="yolov5s")
+    ap.add_argument("--rect", action="store_true",
+                    help="rect letterbox inference (yolov5 families)")
     ap.add_argument("--dynamic-batch", type=int, default=0,
                     help="coalesce concurrent requests into batches of N")
     args = ap.parse_args()
-    serve(ServiceConfig(detector=args.detector), port=args.port,
+    serve(ServiceConfig(detector=args.detector, rect=args.rect),
+          port=args.port,
           dynamic_batching=args.dynamic_batch)
