@@ -258,6 +258,12 @@ calibrated — `utils/quantize.py`'s docstring has the data). At the square cond
 roofline for this model family at this resolution; the same pipeline
 reaches 81% of HBM peak, which is the binding resource.
 
+Rect canvas (384x640, `--rect`): device total **17.3 ms/step** (28.4
+square) — backbone 8.51 ms at 722 GB/s (**88% of spec HBM**), heads+decode
+2.05 ms, Pallas postprocess 1.90 ms; resize is unchanged (same interior).
+The backbone is now even closer to the bandwidth roofline: rect removed
+only the padding bytes, confirming bytes — not FLOPs — set the clock.
+
 ## Serving latency (batch 1, 576x1024, yolov5s)
 
 `FaceService.detect_faces`: min 55 / p50 64 / p90 71 ms; full
