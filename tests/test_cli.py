@@ -82,3 +82,46 @@ def test_video_quit_emits_inflight_block(tmp_path, rng, monkeypatch):
     # block 1 emitted (quit pressed on its first frame), block 2 was
     # in flight and must still be emitted; block 3 was never dispatched
     assert len(results) == 8
+
+
+def test_webcam_loop_with_stubbed_camera(monkeypatch, rng):
+    """inference_webcam drives the video loop at micro_batch=1 against a
+    camera index (reference inference_webcam, inference.py:114-119). The
+    camera is stubbed: 6 frames then stream end."""
+    import cv2 as cv2mod
+
+    from face_detection_and_recognition_tpu.core.engine import (
+        EngineConfig, FaceEngine)
+    from face_detection_and_recognition_tpu.core.inference import (
+        inference_webcam)
+
+    frames = [rng.randint(0, 255, (64, 64, 3)).astype(np.uint8)
+              for _ in range(6)]
+
+    class FakeCam:
+        def __init__(self, index):
+            assert index == 0  # the CLI passes int(args.input_src)
+            self.i = 0
+
+        def get(self, prop):
+            return 30.0
+
+        def read(self):
+            if self.i >= len(frames):
+                return False, None
+            self.i += 1
+            return True, frames[self.i - 1].copy()
+
+        def release(self):
+            pass
+
+    shown = []
+    monkeypatch.setattr(cv2mod, "VideoCapture", FakeCam)
+    monkeypatch.setattr(cv2mod, "imshow", lambda name, f: shown.append(f))
+    monkeypatch.setattr(cv2mod, "waitKey", lambda *_: -1)
+    monkeypatch.setattr(cv2mod, "destroyAllWindows", lambda: None)
+
+    engine = FaceEngine(EngineConfig(detector="blazeface-front",
+                                     det_thres=0.3, max_det=4))
+    inference_webcam(engine, 0)
+    assert len(shown) == 6  # every camera frame displayed exactly once
