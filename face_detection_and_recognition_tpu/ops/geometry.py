@@ -104,7 +104,10 @@ def _banded_blocks(w, block: int):
     for lo in range(0, n_out, block):
         rows = w[lo:lo + block]
         nz = np.nonzero(rows.sum(axis=0) != 0.0)[0]
-        spans.append((lo, int(nz[0]), int(nz[-1]) + 1))
+        if nz.size:  # all-zero blocks (letterbox pad bands): any window
+            spans.append((lo, int(nz[0]), int(nz[-1]) + 1))
+        else:
+            spans.append((lo, 0, 1))
     window = min(max(hi - lo_c for _, lo_c, hi in spans) + 8, n_in)
     out = []
     for lo, lo_c, _ in spans:
@@ -113,7 +116,8 @@ def _banded_blocks(w, block: int):
     return window, out
 
 
-def _resample_axis(x: jnp.ndarray, n_out: int, axis: int) -> jnp.ndarray:
+def _resample_axis(x: jnp.ndarray, n_out: int, axis: int, dtype=None,
+                   pad: Tuple[int, int] = (0, 0)) -> jnp.ndarray:
     """Linear-resample one axis of x with banded row-block GEMMs.
 
     The dense resample operator contracts over the FULL input axis although
@@ -121,11 +125,27 @@ def _resample_axis(x: jnp.ndarray, n_out: int, axis: int) -> jnp.ndarray:
     letterbox scales (jax.image.resize materializes exactly that dense
     dot). Blocking output rows and slicing each block's static input window
     keeps the batched-GEMM form XLA loves while contracting only ~2*scale
-    taps. Weight-identical to jax.image.resize (see _resample_matrix)."""
+    taps. Weight-identical to jax.image.resize (see _resample_matrix).
+
+    ``dtype``: compute/output dtype; the input is cast PER SLICED OPERAND so
+    a uint8 source fuses its convert into the GEMM (no materialized cast
+    pass — the cast alone was ~0.9 ms/step at batch 128, and u8 operand
+    reads are half the bytes of bf16). ``pad``: (before, after) zero rows
+    appended on the output axis THROUGH the resample matrix, so letterbox
+    padding costs no separate canvas pass (zero taps contribute exactly
+    0.0 — interior values are bitwise unchanged); callers overwrite the
+    zero bands with the fill constant via a fused ``where``."""
+    import numpy as np
+
+    dtype = x.dtype if dtype is None else dtype
     n_in = x.shape[axis]
-    if n_out == n_in:
-        return x
+    p0, p1 = pad
+    if n_out == n_in and not (p0 or p1):
+        return x.astype(dtype)
     w = _resample_matrix(n_in, n_out)
+    if p0 or p1:
+        w = np.pad(w, ((p0, p1), (0, 0)))
+        n_out = n_out + p0 + p1
     # contract in place (no transposes): H axis is a clean [K, W*C] GEMM;
     # the W axis keeps C minor, same shape XLA builds for jax.image.resize
     if axis == x.ndim - 3:
@@ -136,13 +156,14 @@ def _resample_axis(x: jnp.ndarray, n_out: int, axis: int) -> jnp.ndarray:
         raise ValueError("resample axis must be H or W of [..., H, W, C]")
     hp = jax.lax.Precision.HIGHEST  # what jax.image.resize uses
     if n_in <= 128 or n_out >= n_in:  # tiny axis / upscale: one dense GEMM
-        return jnp.einsum(eq, jnp.asarray(w, x.dtype), x, precision=hp)
+        return jnp.einsum(eq, jnp.asarray(w, dtype), x.astype(dtype),
+                          precision=hp)
     block = 64 if n_out >= 64 else max(8, n_out)
     _, blocks = _banded_blocks(w, block)
     parts = []
     for _, start, wb in blocks:
         xs = jax.lax.slice_in_dim(x, start, start + wb.shape[1], axis=axis)
-        parts.append(jnp.einsum(eq, jnp.asarray(wb, x.dtype), xs,
+        parts.append(jnp.einsum(eq, jnp.asarray(wb, dtype), xs.astype(dtype),
                                 precision=hp))
     return jnp.concatenate(parts, axis=axis)
 
@@ -153,11 +174,11 @@ def resize_bilinear(img: jnp.ndarray, out_hw: Tuple[int, int],
 
     img: [..., H, W, C] float or uint8; returns ``dtype`` (bf16 halves the
     resize bandwidth on TPU when feeding a bf16 backbone). Separable banded
-    GEMMs (see _resample_axis) rather than jax.image.resize's dense dots.
+    GEMMs (see _resample_axis) rather than jax.image.resize's dense dots;
+    uint8 inputs are cast inside the GEMM operands, never as their own pass.
     """
-    x = img.astype(dtype)
-    x = _resample_axis(x, out_hw[0], x.ndim - 3)
-    return _resample_axis(x, out_hw[1], x.ndim - 2)
+    x = _resample_axis(img, out_hw[0], img.ndim - 3, dtype)
+    return _resample_axis(x, out_hw[1], x.ndim - 2, dtype)
 
 
 @partial(jax.jit, static_argnames=("new_size", "color", "dtype"))

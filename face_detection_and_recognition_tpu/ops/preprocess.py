@@ -16,8 +16,8 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .geometry import (GRAY_FILL, letterbox_params, pad_resize_image,
-                       resize_bilinear, standardize_image)
+from .geometry import (GRAY_FILL, _resample_axis, letterbox_params,
+                       pad_resize_image, resize_bilinear, standardize_image)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -70,13 +70,18 @@ def apply_preprocess(img: jnp.ndarray, spec: PreprocessSpec,
     tensor in ``dtype`` (pass bf16 when feeding a bf16 backbone: halves the
     resize/normalize bandwidth, which is ~25% of the detect step).
 
-    For letterbox specs the channel swap / normalize run on the RESIZED
-    interior BEFORE padding (the pad region gets the identically-transformed
-    fill constant): normalization then fuses into the resize output instead
-    of costing two extra full-canvas passes (~2 ms/step at batch 128 on
-    v5e). Bitwise-identical in f32; in bf16 the fused normalize skips one
-    intermediate bf16 rounding at the canvas store, so interior pixels can
-    differ by sub-ulp amounts (the fused result is the more precise one).
+    Letterbox strategy (chosen by measured in-pipeline A/B on v5e, yolov5s
+    b128): when the pad bands are a small fraction of the canvas (rect
+    letterbox: 6% of rows) they ride THROUGH the resample matrices as zero
+    rows/columns (``_resample_axis(pad=...)``) and the fill constant is one
+    fused ``where`` — no separate canvas pass (-0.5 ms/step). When the pad
+    fraction is large (square 640 canvas on wide video: 44% of rows) the
+    zero bands would inflate the H-pass intermediate and the W-GEMM by the
+    same fraction, costing more than the canvas pass saves — so the resize
+    stays interior-sized and pads via dynamic_update_slice. Interior pixels
+    are bitwise identical either way (zero taps contribute exact 0.0); the
+    uint8 cast always fuses into the first GEMM's operands (never its own
+    pass).
     """
 
     def _normalize(x):
@@ -89,25 +94,37 @@ def apply_preprocess(img: jnp.ndarray, spec: PreprocessSpec,
             x = x / jnp.asarray(spec.std, dtype)
         return x
 
-    x = img.astype(dtype)
     if spec.size is not None and spec.resize == "letterbox":
         w, h = spec.size
         if spec.standardize:
             # per-image stats must cover the whole padded canvas: keep the
             # pad-then-normalize order (no current spec hits this path)
-            x = pad_resize_image(x, (w, h), color=spec.fill, dtype=dtype)
+            x = pad_resize_image(img.astype(dtype), (w, h), color=spec.fill,
+                                 dtype=dtype)
             return _normalize(x)
-        in_h, in_w = x.shape[:2]
+        in_h, in_w = img.shape[:2]
         _, sc_h, sc_w, top, left = letterbox_params((in_h, in_w), (h, w))
-        x = _normalize(resize_bilinear(x, (sc_h, sc_w), dtype=dtype))
         fill = jnp.asarray(spec.fill, dtype)
         fill_t = _normalize(fill[None, None, :])[0, 0]
+        if h * w <= 1.25 * sc_h * sc_w:
+            x = _resample_axis(img, sc_h, img.ndim - 3, dtype,
+                               pad=(top, h - top - sc_h))
+            x = _resample_axis(x, sc_w, x.ndim - 2, dtype,
+                               pad=(left, w - left - sc_w))
+            x = _normalize(x)
+            row = jnp.arange(h)[:, None, None]
+            col = jnp.arange(w)[None, :, None]
+            band = (row < top) | (row >= top + sc_h) | \
+                   (col < left) | (col >= left + sc_w)
+            return jnp.where(band, fill_t.astype(x.dtype), x)
+        x = _normalize(resize_bilinear(img, (sc_h, sc_w), dtype=dtype))
         canvas = jnp.broadcast_to(fill_t.astype(x.dtype), (h, w, 3))
         return jax.lax.dynamic_update_slice(canvas, x, (top, left, 0))
-    if spec.size is not None and spec.resize == "stretch":
-        w, h = spec.size
-        if x.shape[:2] != (h, w):
-            x = resize_bilinear(x, (h, w), dtype=dtype)
+    if spec.size is not None and spec.resize == "stretch" \
+            and img.shape[:2] != (spec.size[1], spec.size[0]):
+        x = resize_bilinear(img, (spec.size[1], spec.size[0]), dtype=dtype)
+    else:
+        x = img.astype(dtype)
     return _normalize(x)
 
 

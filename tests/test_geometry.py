@@ -145,6 +145,52 @@ def test_preprocess_blazeface_range(rng):
     assert -1.0 - 1e-5 <= out.min() and out.max() <= 1.0 + 1e-5
 
 
+def test_letterbox_strategies_match_staged_reference(rng):
+    """apply_preprocess picks pad-through-matrix (+ fused where fill) or
+    staged resize+canvas by pad fraction; BOTH must match the plain
+    resize -> normalize -> dynamic_update_slice composition exactly
+    (zero resample taps contribute exact 0.0, so the interior is bitwise
+    identical and the fill constant is shared)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    def staged(img, spec, dt):
+        w, h = spec.size
+        ih, iw = img.shape[:2]
+        _, sh, sw, top, left = G.letterbox_params((ih, iw), (h, w))
+        x = G.resize_bilinear(img.astype(dt), (sh, sw), dtype=dt)
+        if spec.bgr_to_rgb:
+            x = x[..., ::-1]
+        x = (x - jnp.asarray(spec.mean, dt)) * jnp.asarray(spec.scale, dt)
+        fill = jnp.asarray(spec.fill, dt)
+        if spec.bgr_to_rgb:
+            fill = fill[::-1]
+        ft = (fill - jnp.asarray(spec.mean, dt)) * jnp.asarray(spec.scale, dt)
+        canvas = jnp.broadcast_to(ft, (h, w, 3))
+        return jax.lax.dynamic_update_slice(canvas, x, (top, left, 0))
+
+    cases = [
+        # rect canvas: 6% pad rows -> pad-through-matrix branch
+        (dataclasses.replace(P.YOLOV5_FACE, size=(640, 384)), (576, 1024)),
+        # square canvas on wide video: 44% pad rows -> staged branch
+        (P.YOLOV5_FACE, (576, 1024)),
+        # portrait source: column pads
+        (P.YOLOV5_FACE, (700, 500)),
+        (P.OPENCV_SSD, (480, 640)),
+    ]
+    for spec, in_hw in cases:
+        img = rng.randint(0, 256, (*in_hw, 3)).astype(np.uint8)
+        for dt in (jnp.float32, jnp.bfloat16):
+            a = np.asarray(staged(jnp.asarray(img), spec, dt), np.float32)
+            b = np.asarray(P.apply_preprocess(jnp.asarray(img), spec, dt),
+                           np.float32)
+            atol = 0.005 * 255 * abs(spec.scale) if dt == jnp.bfloat16 \
+                else 1e-5
+            np.testing.assert_allclose(b, a, atol=atol)
+
+
 def test_banded_resize_matches_jax_image_resize(rng):
     """resize_bilinear's banded row-block GEMMs are weight-identical to
     jax.image.resize (downscale crosses block windows; upscale and the
