@@ -397,6 +397,16 @@ class FaceEngine:
 
     _PIPELINE_CACHE_MAX = 32  # distinct (resolution, with_vars) programs
 
+    def _cache_put(self, key, run):
+        """Insert a compiled program with LRU eviction — EVERY compiled-
+        program cache entry (detect, raw, ensemble, crop programs) goes
+        through here so novel-resolution callers of any API are bounded.
+        Dict ops are GIL-atomic; the compile lock only guards compilation."""
+        while len(self._pipeline_cache) >= self._PIPELINE_CACHE_MAX:
+            self._pipeline_cache.pop(next(iter(self._pipeline_cache)))
+        self._pipeline_cache[key] = run
+        return run
+
     def _compile_pipeline(self, key):
         shape, with_vars = key
         h, w = shape[:2]
@@ -432,10 +442,7 @@ class FaceEngine:
             captured = self.variables
             run = jax.jit(partial(body, captured))
 
-        while len(self._pipeline_cache) >= self._PIPELINE_CACHE_MAX:
-            self._pipeline_cache.pop(next(iter(self._pipeline_cache)))
-        self._pipeline_cache[key] = run
-        return run
+        return self._cache_put(key, run)
 
     def detect_batch(
         self, imgs: np.ndarray, det_thres: float = None,
@@ -501,7 +508,7 @@ class FaceEngine:
 
             if native:  # cascade detectors drive their own python staging
                 run = self._detect
-            self._pipeline_cache[key] = run
+            self._cache_put(key, run)
         dets, valid = run(self.variables, img[None])
         d, v = np.asarray(dets[0]), np.asarray(valid[0])
         return d[v]
@@ -606,8 +613,7 @@ class FaceEngine:
             run = jax.jit(partial(body, self.variables, self.embed_vars,
                                   self.ag_vars))
 
-        self._pipeline_cache[key] = run
-        return run
+        return self._cache_put(key, run)
 
     def detect_embed_classify_batch(
         self,
@@ -687,7 +693,7 @@ class FaceEngine:
                     x = jax.vmap(lambda im: resize_bilinear(im, (eh, ew)))(x)
                 return self._embed(variables, preprocess_crops(spec, x))
 
-            self._pipeline_cache[key] = run
+            self._cache_put(key, run)
         return np.asarray(run(self.embed_vars, jnp.asarray(faces)))
 
     def classify_crops_age_gender(self, faces: np.ndarray):
@@ -709,7 +715,7 @@ class FaceEngine:
                 )(crops)
                 return self._classify_ag(ag_vars[0], ag_vars[1], x)
 
-            self._pipeline_cache[key] = run
+            self._cache_put(key, run)
         a, g = run(self.ag_vars, jnp.asarray(faces))
         return np.asarray(a), np.asarray(g)
 

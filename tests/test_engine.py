@@ -128,3 +128,10 @@ def test_pipeline_cache_bounded_and_locked(rng):
     for t in threads:
         t.join()
     assert not errs and len(outs) == 6
+
+    # the raw-contract cache entries share the same bound (every compiled
+    # program goes through _cache_put, not just detect_batch pipelines)
+    for i in range(7):
+        img = rng.randint(0, 255, (40 + 8 * i, 48, 3)).astype(np.uint8)
+        eng.detect_raw(img)
+    assert len(eng._pipeline_cache) <= 4
