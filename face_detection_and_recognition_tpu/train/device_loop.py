@@ -224,10 +224,12 @@ def run_device_training(
     while done < max_steps:
         steps = min(chunk_steps, max_steps - done)
         if steps != chunk_steps:
-            # tail chunk: fresh jit at the smaller static length
+            # tail chunk: fresh jit at the smaller static length (same mesh —
+            # dropping it here would silently de-shard the final DP steps)
             chunk = make_chunk_trainer(
                 make_step(state), batch_size, steps,
-                flip_lr=flip_lr, brightness=brightness, ema_stats_cfg=ema_cfg)
+                flip_lr=flip_lr, brightness=brightness, ema_stats_cfg=ema_cfg,
+                mesh=mesh)
         p, bs, opt, ema, ema_bs, n, rng, loss, metrics = chunk(
             p, bs, opt, ema, ema_bs, n, rng, data_x, data_t, data_v)
         done += steps

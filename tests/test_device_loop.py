@@ -156,3 +156,38 @@ def test_chunk_trainer_mesh_matches_single_device():
     lm = jax.tree_util.tree_leaves(p_m)[0]
     np.testing.assert_allclose(np.asarray(l1), np.asarray(lm),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_run_device_training_mesh_tail_chunk(tmp_path):
+    """max_steps NOT a chunk multiple on a mesh: the tail re-jit must carry
+    the mesh (a dropped mesh de-shards the final DP steps — regression)."""
+    from face_detection_and_recognition_tpu.parallel.mesh import make_mesh
+    from face_detection_and_recognition_tpu.train.detection import (
+        DetTrainConfig, create_det_train_state, make_det_train_step_ema)
+
+    if len(jax.devices()) < 2:
+        import pytest
+        pytest.skip("needs the virtual multi-device CPU mesh")
+
+    size = 64
+    rng = np.random.RandomState(2)
+    k = 6
+    x = rng.randint(0, 255, (k, size, size, 3)).astype(np.uint8)
+    t = np.full((k, 2, 14), -1.0, np.float32)
+    v = np.zeros((k, 2), bool)
+    t[:, 0, :4] = [30, 28, 20, 24]
+    v[:, 0] = True
+
+    cfg = DetTrainConfig(arch="yolov5n", nc=1, input_size=(size, size),
+                         max_targets=2, lr=0.01, total_steps=0,
+                         ema_decay=0.99, ema_tau=10.0)
+    state = create_det_train_state(cfg, jax.random.PRNGKey(0))
+    mesh = make_mesh(("data",), (len(jax.devices()),))
+    out = DL.run_device_training(
+        state, make_det_train_step_ema, (x, t, v), batch_size=8,
+        max_steps=7, chunk_steps=5, flip_lr=0.5, brightness=0.1,
+        mesh=mesh, log=lambda *_: None)
+    assert out["n_updates"] == 7
+    leaf = np.asarray(jax.device_get(
+        jax.tree_util.tree_leaves(out["params"])[0]))
+    assert np.isfinite(leaf).all()
