@@ -434,6 +434,10 @@ class OVGraphNet:
                               else a) for a in s.attrs["axes"])
                 env[s.output] = jnp.mean(x, axis=axes,
                                          keepdims=s.attrs["keep"])
+                if env[s.output].ndim == 4 and s.inputs[0] in hwc_logical:
+                    # keepdims result stays channels-last: downstream
+                    # reshape/squeeze must keep applying the NCHW mapping
+                    hwc_logical.add(s.output)
             elif s.op == "concat":
                 parts = [env[k] for k in s.inputs]
                 ax = s.attrs["axis"]

@@ -281,6 +281,47 @@ def test_embedder_ir_matmul_reduce(rng):
     np.testing.assert_allclose(out, np.asarray(ref), atol=1e-5)
 
 
+def test_reduce_mean_keepdims_then_squeeze(rng):
+    """ReduceMean(keep_dims=true) stays channels-last internally; a
+    downstream Squeeze over the IR's NCHW axes [2,3] must still remove the
+    spatial dims (layout-tracking regression)."""
+    import jax
+    import jax.numpy as jnp
+
+    w = rng.randn(16, 3, 3, 3).astype(np.float32) * 0.2
+    layers = [
+        IRLayer(id=0, name="image", type="Parameter",
+                attrs={"shape": "1,3,8,8"}, output_ports=[0],
+                port_dims={0: [1, 3, 8, 8]}),
+        _const(1, "w", w),
+        IRLayer(id=2, name="conv", type="Convolution",
+                attrs={"strides": "1,1", "pads_begin": "1,1",
+                       "pads_end": "1,1", "dilations": "1,1"},
+                input_ports=[0, 1], output_ports=[2],
+                port_dims={2: [1, 16, 8, 8]}),
+        _const(3, "axes", np.asarray([2, 3], np.int64)),
+        IRLayer(id=4, name="gap", type="ReduceMean",
+                attrs={"keep_dims": "true"}, input_ports=[0, 1],
+                output_ports=[2], port_dims={2: [1, 16, 1, 1]}),
+        _const(5, "sq_axes", np.asarray([2, 3], np.int64)),
+        IRLayer(id=6, name="sq", type="Squeeze", input_ports=[0, 1],
+                output_ports=[2], port_dims={2: [1, 16]}),
+        IRLayer(id=7, name="out", type="Result", input_ports=[0]),
+    ]
+    edges = {(2, 0): (0, 0), (2, 1): (1, 0), (4, 0): (2, 2), (4, 1): (3, 0),
+             (6, 0): (4, 2), (6, 1): (5, 0), (7, 0): (6, 2)}
+    net = OVGraphNet(parse_ir_graph(*write_ir_graph(layers, edges)))
+    x = rng.randn(1, 8, 8, 3).astype(np.float32)
+    out = np.asarray(net.apply(net.init_variables(),
+                               jnp.asarray(x))[net.outputs[0]])
+    f = jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.transpose(jnp.asarray(w), (2, 3, 1, 0)), (1, 1),
+        [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    ref = jnp.mean(f, axis=(1, 2))
+    assert out.shape == (1, 16)
+    np.testing.assert_allclose(out, np.asarray(ref), atol=1e-5)
+
+
 def test_engine_openvino_ir_entry_path(tmp_path, rng):
     """EngineConfig(detector='openvino-ir', detector_overrides={'xml': ...})
     executes a real model.xml end to end: input size read from the IR's
