@@ -127,6 +127,17 @@ def main():
     import jax
 
     platform = jax.devices()[0].platform
+
+    def reset():
+        # drop the previous bench's compiled programs + weight buffers:
+        # a dozen resident engines' HBM state distorts later rows (the
+        # rect ensemble measured 150 fps after the full sweep vs 419 fps
+        # fresh — accumulated live executables, not the program itself)
+        import gc
+
+        gc.collect()
+        jax.clear_caches()
+
     rows = []
     for name, ref_row, base, batch, rect in DETECTORS:
         if args.quick and name == "mtcnn":
@@ -139,15 +150,18 @@ def main():
                   f"{time.time()-t0:.0f}s incl compile)", flush=True)
         except Exception as e:
             print(f"{name}: FAILED {type(e).__name__}: {e}", flush=True)
+        reset()
 
     ens_fps = ens_batch = ens_rect_fps = None
     try:
         ens_fps, ens_batch = bench_ensemble()
         print(f"fused ensemble: {ens_fps:.0f} fps (b{ens_batch})", flush=True)
+        reset()
         ens_rect_fps, _ = bench_ensemble(rect=True)
         print(f"fused ensemble rect: {ens_rect_fps:.0f} fps", flush=True)
     except Exception as e:
         print(f"ensemble: FAILED {e}", flush=True)
+    reset()
 
     emb_rows = []
     for name in ("mobile_facenet", "facenet", "facenet-512", "reid-mnv2"):
@@ -157,6 +171,7 @@ def main():
             print(f"embedder {name}: {fps:.0f} crops/s", flush=True)
         except Exception as e:
             print(f"embedder {name}: FAILED {e}", flush=True)
+        reset()
 
     with open("BENCHMARKS.md", "w") as f:
         f.write("# Benchmarks — TPU v5e-1 vs the reference's i9-CPU table\n\n")
@@ -196,6 +211,34 @@ def main():
 # Methodology + serving notes appended verbatim on every regeneration so a
 # re-run never loses the hand-maintained context.
 NOTES_FOOTER = """
+## Preprocess fusion (round 3b)
+
+The resize stage got the bytes treatment too (interleaved in-pipeline A/B,
+4x10 iters each, yolov5s b128):
+
+- **Pad-through-matrix letterbox**: when the pad bands are a small canvas
+  fraction, the zero rows ride the H resample matrix and the gray fill is
+  one fused `where` — the separate canvas pass disappears. Rect step
+  19.83 -> 19.34 ms (**-0.5 ms**). For the square 640 canvas (44% pad
+  rows) the inflated intermediate costs MORE than the canvas pass, so
+  `apply_preprocess` picks the strategy by pad fraction (<=1.25x) and
+  keeps the staged form there — measured 31.0 vs 33.7 ms the wrong way
+  around. W-resample-first variants lost in-pipeline in both modes
+  (+0.9 ms) despite winning standalone: fusion context decides, so every
+  variant was measured inside the full jitted detect program.
+- **uint8 casts never run as their own pass**: `_resample_axis` slices the
+  source FIRST and casts per GEMM operand.
+- **Negative result — fused Pallas letterbox kernel**: a single-VMEM-pass
+  kernel (uint8 in, banded H GEMM, kron-expanded W GEMM folding
+  de-interleave + BGR swap + normalize, canvas written in-kernel) is
+  numerically exact and moves 4x fewer HBM bytes, but XLA lays out every
+  conv input BATCH-MINOR (`{0,3,2,1}` — lanes = batch) and a Pallas result
+  is row-major B-major, so entering the backbone costs a ~2 ms relayout
+  that cancels the win (measured 7.33 vs 7.52 ms with a consumer conv;
+  pipeline-neutral end to end). A batch-minor kernel would need the frame
+  batch transposed at the source plus halo DMAs; parked — the XLA
+  restructure above captures half the win for none of the risk.
+
 ## Rect letterbox inference (round 3)
 
 `EngineConfig(rect=True)` letterboxes each source resolution onto the
@@ -204,7 +247,7 @@ frames run the backbone at 384x640 — the resized interior is IDENTICAL
 (same scale, same resample; `ops/geometry.rect_letterbox_size`), only the
 constant gray padding shrinks. Since the backbone is HBM-bound (the
 roofline below), 40% fewer pixel bytes is 40% less backbone time:
-**yolov5s e2e 4157 -> 6500 fps (1.56x)** at batch 128. Detections are
+**yolov5s e2e 4157 -> 6584 fps (1.58x)** at batch 128. Detections are
 unchanged — `tests/test_golden_accuracy.py::
 test_rect_inference_matches_square_on_golden` pins rect == square on the
 golden image with the trained checkpoint (boxes differ only by conv border
