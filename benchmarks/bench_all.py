@@ -301,11 +301,14 @@ calibrated — `utils/quantize.py`'s docstring has the data). At the square cond
 roofline for this model family at this resolution; the same pipeline
 reaches 81% of HBM peak, which is the binding resource.
 
-Rect canvas (384x640, `--rect`): device total **17.3 ms/step** (28.4
-square) — backbone 8.51 ms at 722 GB/s (**88% of spec HBM**), heads+decode
-2.05 ms, Pallas postprocess 1.90 ms; resize is unchanged (same interior).
-The backbone is now even closer to the bandwidth roofline: rect removed
-only the padding bytes, confirming bytes — not FLOPs — set the clock.
+Rect canvas (384x640, `--rect`): device total **16.8 ms/step** after the
+round-3b preprocess fusion (was 17.3; 28.4 square) — backbone 8.53 ms at
+721 GB/s (**88% of spec HBM**), heads+decode 2.04 ms, Pallas postprocess
+1.90 ms, resize+normalize 3.6 ms across geometry/preprocess (the fusion
+moved work between those two attributions while cutting their sum's
+device time — the -0.5 ms shows in the total). The backbone sits at the
+bandwidth roofline: rect removed only the padding bytes, confirming
+bytes — not FLOPs — set the clock.
 
 ## Serving latency (batch 1, 576x1024, yolov5s)
 
