@@ -574,29 +574,31 @@ def candidate_rows_gather_pallas(
     no = maps_flat[0].shape[-1]
     pack = 128 // no
     dtype = maps_flat[0].dtype
-    off = 0
-    nb = None
-    for m in maps_flat:
-        n_l = m.shape[1]
-        n_packed = n_l // pack
-        packed = m.reshape(b, n_packed, no * pack)
-        grid_b = ((n_packed + blk - 1) // blk)
-        kernel = functools.partial(
-            _rows_gather_kernel, off=off, n_l=n_l, blk=blk, k=k, pack=pack)
-        part = pl.pallas_call(
-            kernel,
-            grid=(b, grid_b),
-            in_specs=[
-                pl.BlockSpec((1, 1, k), lambda bi, j: (bi, 0, 0)),
-                pl.BlockSpec((1, blk, no * pack), lambda bi, j: (bi, j, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, k, no * pack),
-                                   lambda bi, j: (bi, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((b, k, no * pack), dtype),
-            interpret=interpret,
-        )(idx.astype(jnp.int32).reshape(b, 1, k), packed)
-        nb = part if nb is None else nb + part
-        off += n_l
+    # every level's row count is pack-aligned (caller-checked), so level
+    # offsets in the concat are too: global packed row = idx // pack and
+    # phase = idx % pack hold ACROSS levels. One packed concat + ONE
+    # pallas_call replaces the per-level calls and their [B, K, 128]
+    # partial-sum merges (2 full-size adds at 3 levels — ~0.3 ms at b128).
+    packed = jnp.concatenate(
+        [m.reshape(b, m.shape[1] // pack, no * pack) for m in maps_flat],
+        axis=1)
+    n_total = sum(m.shape[1] for m in maps_flat)
+    n_packed = packed.shape[1]
+    grid_b = (n_packed + blk - 1) // blk
+    kernel = functools.partial(
+        _rows_gather_kernel, off=0, n_l=n_total, blk=blk, k=k, pack=pack)
+    nb = pl.pallas_call(
+        kernel,
+        grid=(b, grid_b),
+        in_specs=[
+            pl.BlockSpec((1, 1, k), lambda bi, j: (bi, 0, 0)),
+            pl.BlockSpec((1, blk, no * pack), lambda bi, j: (bi, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, k, no * pack),
+                               lambda bi, j: (bi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, k, no * pack), dtype),
+        interpret=interpret,
+    )(idx.astype(jnp.int32).reshape(b, 1, k), packed)
     # lane-select the no-wide window of each packed neighborhood
     phase = (idx % pack)[..., None]
     out = jnp.zeros((b, k, no), dtype)
