@@ -539,8 +539,8 @@ def _rows_gather_kernel(idx_ref, flat_ref, out_ref, *, off: int, n_l: int,
 def candidate_rows_gather_pallas(
     maps_flat: Tuple[jnp.ndarray, ...],
     idx: jnp.ndarray,
-    blk: int = 512,
-    interpret: bool = None,
+    blk: int = 2048,  # measured: 2048 beats 512 by ~7% (fewer accumulate
+    interpret: bool = None,  # rounds; rect fits one block per image)
 ) -> jnp.ndarray:
     """Gather candidate rows ``concat(maps_flat, 1)[b, idx[b]]`` as
     streaming one-hot GEMMs instead of an XLA row gather.
