@@ -98,14 +98,22 @@ class DynamicBatcher:
                     if got is None:
                         continue
                     pending.append(got)
-                # wait up to max_delay for same-group co-travellers
-                deadline = self.max_delay
+                # wait for same-group co-travellers until max_delay after
+                # the window OPENED (an absolute deadline — a per-get
+                # timeout would let trickling arrivals hold the first
+                # caller up to max_delay * (max_batch - 1))
+                import time as _time
+
+                deadline = _time.monotonic() + self.max_delay
                 group_key = pending[0].key
                 group = [r for r in pending if r.key == group_key]
                 rest = [r for r in pending if r.key != group_key]
                 while len(group) < self.max_batch:
+                    remaining = deadline - _time.monotonic()
+                    if remaining <= 0:
+                        break
                     try:
-                        got = self._q.get(timeout=deadline)
+                        got = self._q.get(timeout=remaining)
                     except queue.Empty:
                         break
                     if got is None:
