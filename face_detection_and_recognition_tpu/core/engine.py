@@ -515,6 +515,59 @@ class FaceEngine:
 
     # ---------------- fused ensemble ----------------
 
+    @staticmethod
+    def _masked_chunked_net(fn, xs, valid, chunk: int = 128):
+        """Apply ``fn`` ([C, ...] -> pytree of [C, ...] rows) over
+        validity-sorted chunks of ``xs`` [N, ...], SKIPPING all-invalid
+        chunks at runtime.
+
+        The fused ensemble's per-frame face slots are padded to max_det
+        (the Triton contract), so a 32-frame x 32-slot dispatch runs 1024
+        crops through the embed + age/gender nets although typical frames
+        hold 0-3 faces — >10x dead compute in the two heaviest stages.
+        Sorting slots by validity makes "chunk has work" == "its first
+        slot is valid"; a lax.cond inside a lax.scan then executes the
+        net only for chunks with work (the net is traced ONCE — per-chunk
+        cond call sites would duplicate its HLO). Invalid rows return
+        zeros (the ensemble's documented contract for embeddings, now
+        shared by age/gender). Valid rows always run the real net, so
+        results are exact."""
+        n = xs.shape[0]
+        nc = -(-n // chunk)
+        pad = nc * chunk - n
+        order = jnp.argsort(~valid)          # stable: valid slots first
+        inv = jnp.argsort(order)
+        xs_s = jnp.take(xs, order, axis=0)
+        vs = jnp.take(valid, order)
+        if pad:
+            xs_s = jnp.concatenate(
+                [xs_s, jnp.zeros((pad,) + xs.shape[1:], xs.dtype)])
+            vs = jnp.concatenate([vs, jnp.zeros((pad,), bool)])
+        xs_c = xs_s.reshape(nc, chunk, *xs.shape[1:])
+        head_valid = vs.reshape(nc, chunk)[:, 0]
+        out_sd = jax.eval_shape(fn, jax.ShapeDtypeStruct(
+            xs_c.shape[1:], xs.dtype))
+
+        def step(carry, xc_hv):
+            xc, hv = xc_hv
+            out = jax.lax.cond(
+                hv, fn,
+                lambda _x: jax.tree_util.tree_map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), out_sd),
+                xc)
+            return carry, out
+
+        _, outs = jax.lax.scan(step, 0, (xs_c, head_valid))
+        mask = valid
+
+        def unsort(o):
+            flat = o.reshape(nc * chunk, *o.shape[2:])[:n]
+            flat = jnp.take(flat, inv, axis=0)
+            shape = mask.shape + (1,) * (flat.ndim - 1)
+            return jnp.where(mask.reshape(shape), flat, 0)
+
+        return jax.tree_util.tree_map(unsort, outs)
+
     def _ensemble_for(self, shape: Tuple[int, int, int], crop_hw: Tuple[int, int],
                       embed_offsets: Optional[Tuple[float, ...]] = None,
                       want_embed: bool = True, want_ag: bool = True,
@@ -585,22 +638,47 @@ class FaceEngine:
             crops = crop_batch(crop_boxes, crop_hw)
 
             emb = age = gender = None
+            valid_flat = post.valid.reshape(bsz * k)
+            # the padded face slots (Triton contract: max_det per frame) are
+            # mostly invalid on real video — run the embed/age-gender nets
+            # only on validity-sorted chunks that contain work (invalid
+            # slots: zeros). Sharded programs keep the dense form (a global
+            # validity sort would shuffle rows across devices).
+            chunked = not sharded
             if do_embed:
                 ew, eh = embed_spec.input_size
                 ecrops = (crops if (eh, ew) == crop_hw
                           else crop_batch(crop_boxes, (eh, ew)))
-                flat = preprocess_crops(
-                    embed_spec, ecrops.reshape(bsz * k, eh, ew, 3)
-                )
-                emb = self._embed(embed_vars, flat).reshape(bsz, k, -1)
-                emb = jnp.where(post.valid[..., None], emb, 0.0)
+                eflat = ecrops.reshape(bsz * k, eh, ew, 3)
+
+                def fn_embed(xc):
+                    return self._embed(embed_vars,
+                                       preprocess_crops(embed_spec, xc))
+
+                if chunked:
+                    emb = self._masked_chunked_net(fn_embed, eflat,
+                                                   valid_flat)
+                else:
+                    emb = jnp.where(valid_flat[:, None],
+                                    fn_embed(eflat), 0.0)
+                emb = emb.reshape(bsz, k, -1)
             if do_ag:
                 # the cascade's +-5px crop padding
                 # (modules/opencv2_dnn/model.py:148-152)
                 padded = pad_boxes(post.boxes, (-5, -5, 5, 5), img_wh=(w, h))
                 agc = crop_batch(padded, (227, 227)).reshape(
-                    bsz * k, 227, 227, 3) - ag_mean
-                a, g = self._classify_ag(ag_vars[0], ag_vars[1], agc)
+                    bsz * k, 227, 227, 3)
+
+                def fn_ag(xc):
+                    return self._classify_ag(ag_vars[0], ag_vars[1],
+                                             xc - ag_mean)
+
+                if chunked:
+                    a, g = self._masked_chunked_net(fn_ag, agc, valid_flat)
+                else:
+                    a, g = fn_ag(agc)
+                    a = jnp.where(valid_flat[:, None], a, 0.0)
+                    g = jnp.where(valid_flat[:, None], g, 0.0)
                 age = a.reshape(bsz, k, -1)
                 gender = g.reshape(bsz, k, -1)
             return post, crops, emb, age, gender
