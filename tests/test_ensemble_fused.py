@@ -26,6 +26,46 @@ def img(rng):
     return rng.randint(0, 255, (96, 128, 3)).astype(np.uint8)
 
 
+def test_masked_chunked_net_matches_dense():
+    """The validity-sorted chunk-skip wrapper == dense-fn + zero-mask for
+    every validity pattern (none / sparse / clustered / all), any chunk
+    remainder, and tuple-valued fns."""
+    import jax
+    import jax.numpy as jnp
+
+    from face_detection_and_recognition_tpu.core.engine import FaceEngine
+
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(12, 5).astype(np.float32))
+
+    def fn(x):  # [C, 12] -> ([C, 5], [C, 2])
+        h = jnp.tanh(x @ w)
+        return h, h[:, :2] * 2.0
+
+    for n, pattern in [(7, "none"), (40, "sparse"), (40, "clustered"),
+                       (96, "all"), (129, "sparse")]:
+        xs = jnp.asarray(rng.randn(n, 12).astype(np.float32))
+        if pattern == "none":
+            valid = np.zeros(n, bool)
+        elif pattern == "all":
+            valid = np.ones(n, bool)
+        elif pattern == "clustered":
+            valid = np.zeros(n, bool)
+            valid[5:9] = True
+        else:
+            valid = rng.rand(n) < 0.2
+        valid_j = jnp.asarray(valid)
+        got = jax.jit(lambda x, v: FaceEngine._masked_chunked_net(
+            fn, x, v, chunk=16))(xs, valid_j)
+        a, b = fn(xs)
+        ref = (jnp.where(valid_j[:, None], a, 0.0),
+               jnp.where(valid_j[:, None], b, 0.0))
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                                   atol=1e-6)
+
+
 def test_fused_matches_staged_detection(engine, img):
     res = engine.detect_embed_classify_batch(img[None])
     post_fused = res.det.to_numpy()[0]
