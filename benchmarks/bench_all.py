@@ -115,28 +115,60 @@ def bench_ensemble(batch: int = 32, iters: int = 10, rect: bool = False):
     return batch * iters / (time.perf_counter() - t0), batch
 
 
-def main():
+def _jax_config():
     import jax as _jax
 
     _jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _run_one(spec: str) -> None:
+    """Child-process entry: run ONE benchmark row, print one JSON line."""
+    import json
+
+    _jax_config()
+    kind, *rest = spec.split(":")
+    if kind == "det":
+        name, batch, rect = rest[0], int(rest[1]), rest[2] == "1"
+        fps = bench_detector(name, batch, rect=rect)
+    elif kind == "ens":
+        fps, _ = bench_ensemble(rect=rest[0] == "1")
+    else:
+        fps = bench_embedder(rest[0])
+    print(json.dumps({"fps": fps}), flush=True)
+
+
+def _in_subprocess(spec: str, timeout: float = 1200.0) -> float:
+    """Run one row in a FRESH process. In-process sweeps skew later rows
+    even with gc + clear_caches between them (square yolov5s measured 3414
+    fps mid-sweep vs 4223 fresh; the rect ensemble 150 vs 422) — resident
+    HBM/compile state from earlier rows is not fully reclaimable. The
+    persistent compile cache keeps per-process startup cheap."""
+    import json
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--one", spec],
+        capture_output=True, text=True, timeout=timeout)
+    if proc.returncode != 0:
+        tail = (proc.stderr or "").strip().splitlines()[-3:]
+        raise RuntimeError(f"row {spec} failed: {' | '.join(tail)}")
+    return float(json.loads(proc.stdout.strip().splitlines()[-1])["fps"])
+
+
+def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="skip the slow-compile detectors (mtcnn)")
+    ap.add_argument("--one", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
+    if args.one:
+        _run_one(args.one)
+        return
+    _jax_config()
     import jax
 
     platform = jax.devices()[0].platform
-
-    def reset():
-        # drop the previous bench's compiled programs + weight buffers:
-        # a dozen resident engines' HBM state distorts later rows (the
-        # rect ensemble measured 150 fps after the full sweep vs 419 fps
-        # fresh — accumulated live executables, not the program itself)
-        import gc
-
-        gc.collect()
-        jax.clear_caches()
 
     rows = []
     for name, ref_row, base, batch, rect in DETECTORS:
@@ -144,34 +176,30 @@ def main():
             continue
         try:
             t0 = time.time()
-            fps = bench_detector(name, batch, rect=rect)
+            fps = _in_subprocess(f"det:{name}:{batch}:{int(rect)}")
             rows.append((ref_row, name, base, batch, fps))
             print(f"{name}: {fps:.0f} fps ({fps/base:.0f}x baseline, "
                   f"{time.time()-t0:.0f}s incl compile)", flush=True)
         except Exception as e:
             print(f"{name}: FAILED {type(e).__name__}: {e}", flush=True)
-        reset()
 
     ens_fps = ens_batch = ens_rect_fps = None
     try:
-        ens_fps, ens_batch = bench_ensemble()
+        ens_fps, ens_batch = _in_subprocess("ens:0"), 32
         print(f"fused ensemble: {ens_fps:.0f} fps (b{ens_batch})", flush=True)
-        reset()
-        ens_rect_fps, _ = bench_ensemble(rect=True)
+        ens_rect_fps = _in_subprocess("ens:1")
         print(f"fused ensemble rect: {ens_rect_fps:.0f} fps", flush=True)
     except Exception as e:
         print(f"ensemble: FAILED {e}", flush=True)
-    reset()
 
     emb_rows = []
     for name in ("mobile_facenet", "facenet", "facenet-512", "reid-mnv2"):
         try:
-            fps = bench_embedder(name)
+            fps = _in_subprocess(f"emb:{name}")
             emb_rows.append((name, fps))
             print(f"embedder {name}: {fps:.0f} crops/s", flush=True)
         except Exception as e:
             print(f"embedder {name}: FAILED {e}", flush=True)
-        reset()
 
     with open("BENCHMARKS.md", "w") as f:
         f.write("# Benchmarks — TPU v5e-1 vs the reference's i9-CPU table\n\n")
@@ -324,16 +352,17 @@ bytes — not FLOPs — set the clock.
 
 ## Serving latency (batch 1, 576x1024, yolov5s)
 
-`FaceService.detect_faces`: min 55 / p50 64 / p90 71 ms; full
-`detect_embed_classify`: min 69 / p50 77 / p90 82 ms
-(`benchmarks/bench_serving.py`, 50 iters). Round-2b halved p50 (was
-145/121 ms): per-call `jnp.float32(threshold)` scalars were BLOCKING
-host->device transfers through the tunnel — they're cached device arrays
-now, and the params pytree is closure-captured. The remaining floor is
-the ~50 ms frame upload through the shared axon tunnel (device compute
-is ~8 ms at batch 1); on a PCIe host expect ~10 ms p50. Concurrent
-callers amortize further via dynamic batching
-(`enable_dynamic_batching`).
+`FaceService.detect_faces`: min 52 / p50 56 / p90 60 ms; full
+`detect_embed_classify`: min 55 / p50 58 / p90 71 ms
+(`benchmarks/bench_serving.py`, 50 iters; round 3b — the ensemble
+chunk-skip and preprocess fusion cut full-pipeline p50 from 77 ms).
+Round-2b had halved p50 (was 145/121 ms): per-call
+`jnp.float32(threshold)` scalars were BLOCKING host->device transfers
+through the tunnel — they're cached device arrays now, and the params
+pytree is closure-captured. The remaining floor is the ~50 ms frame
+upload through the shared axon tunnel (device compute is a few ms at
+batch 1); on a PCIe host expect ~10 ms p50. Concurrent callers amortize
+further via dynamic batching (`enable_dynamic_batching`).
 
 ## Notes (round 2)
 
