@@ -79,7 +79,20 @@ accuracy-facenet512:
 		--out tests/data/golden_facenet512_ckpt --embedder facenet-512 \
 		--steps 3000 --lr 0.003 --batch 32 --train-per-id 192
 
+# the HEADLINE bench arch (bench.py) through the same executed gate
+accuracy-s:
+	python -m face_detection_and_recognition_tpu.cli.train_golden \
+		--out tests/data/golden_yolov5s_ckpt --arch yolov5s
+
+# executed int8 accuracy: quantize the trained yolov5n checkpoint (BN fold,
+# per-channel int8 weights, static calibrated activation scales) and re-run
+# the SAME golden gate through a quantized="static" engine
+accuracy-int8:
+	python -m face_detection_and_recognition_tpu.cli.quantize_golden \
+		--ckpt tests/data/golden_yolov5n_ckpt \
+		--out tests/data/golden_yolov5n_int8_ckpt
+
 # every executed-accuracy loop in sequence (hours of TPU time)
-accuracy-all: accuracy accuracy-ssd accuracy-blaze accuracy-mtcnn \
-		accuracy-ag accuracy-embed accuracy-facenet accuracy-reid \
-		accuracy-facenet512
+accuracy-all: accuracy accuracy-s accuracy-ssd accuracy-blaze \
+		accuracy-mtcnn accuracy-ag accuracy-embed accuracy-facenet \
+		accuracy-reid accuracy-facenet512 accuracy-int8

@@ -51,6 +51,17 @@ def build_pipeline(dtype, rect=True):
     net = YoloV5FaceNet(arch=cfg.arch, nc=cfg.nc, dtype=dtype)
     variables = jax.jit(net.init)(jax.random.PRNGKey(0),
                          jnp.zeros((1, size[1], size[0], 3), jnp.float32))
+    # measure a detector that really detects: the in-environment-trained
+    # golden checkpoint (make accuracy-s, gated by tests/test_golden_accuracy
+    # ::test_trained_yolov5s_checkpoint_detects_golden_faces). Same graph and
+    # dtypes as the random init, so timing is identical either way.
+    import os
+    ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tests", "data", "golden_yolov5s_ckpt")
+    if os.path.isdir(ckpt):
+        from face_detection_and_recognition_tpu.utils.checkpoint import (
+            load_variables)
+        variables = load_variables(ckpt)
     spec = ARCHS[cfg.arch]
     pre = dataclasses.replace(P.YOLOV5_FACE, size=size)
 
