@@ -67,8 +67,13 @@ def _build_yolov5(arch: str, input_size):
         from .yolov5_face import YoloV5FaceConfig, make_yolov5_face
 
         kw.setdefault("input_size", input_size)
+        # quantized is a build-time graph switch, not a config field:
+        # detector_overrides={"quantized": "static"} serves int8 checkpoints
+        # produced by cli/quantize_golden.py / utils/quantize.py
+        quantized = kw.pop("quantized", False)
         cfg = YoloV5FaceConfig(arch=arch, **kw)
-        net, variables, detect = make_yolov5_face(cfg, rng=rng, dtype=dtype)
+        net, variables, detect = make_yolov5_face(
+            cfg, rng=rng, dtype=dtype, quantized=quantized)
 
         @jax.jit
         def detect_norm(variables, imgs):
