@@ -42,10 +42,24 @@ def make_mesh(
 
 def init_distributed(coordinator: Optional[str] = None,
                      num_processes: Optional[int] = None,
-                     process_id: Optional[int] = None) -> None:
-    """Multi-host bring-up (DCN across slices). No-op when single-process."""
+                     process_id: Optional[int] = None,
+                     local_cpu_devices: Optional[int] = None) -> None:
+    """Multi-host bring-up (DCN across slices). No-op when single-process.
+
+    ``local_cpu_devices`` switches to CPU-simulation mode: each process owns
+    that many virtual CPU devices and cross-process collectives run through
+    the distributed runtime's gloo backend — the same program shape as a
+    multi-host TPU pod, executable on one machine (tests/test_multiprocess.py
+    runs a DP+TP ArcFace step across two such processes). Must be called
+    before any computation; the config updates (not the JAX_PLATFORMS env
+    var, which this image's axon TPU plugin overrides) are what force the
+    CPU backend."""
     if num_processes is None or num_processes <= 1:
         return
+    if local_cpu_devices:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", int(local_cpu_devices))
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
     jax.distributed.initialize(
         coordinator_address=coordinator,
         num_processes=num_processes,

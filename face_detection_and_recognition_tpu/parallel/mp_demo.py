@@ -1,0 +1,107 @@
+"""Executed multi-process training: the DCN path, runnable on one machine.
+
+The reference's only cross-process boundary is a gRPC hop to a Triton
+sidecar (SURVEY.md §2.7). Here the cross-process story is XLA collectives
+over the distributed runtime: this module runs the SAME DP+TP ArcFace train
+step the single-process mesh tests use, but with the mesh spanning several
+OS processes — gradients psum across the process boundary exactly as they
+cross DCN between hosts on a TPU pod.
+
+Run two workers by hand:
+
+    python -m face_detection_and_recognition_tpu.parallel.mp_demo \
+        --procs 2 --pid 0 &
+    python -m face_detection_and_recognition_tpu.parallel.mp_demo \
+        --procs 2 --pid 1
+
+Each prints the (identical, globally psum'd) loss after one step.
+``tests/test_multiprocess.py`` spawns both workers and asserts the
+cross-process loss matches the single-process 8-device run bit-for-bit-ish
+(gloo reduction order differs, so atol applies).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import Optional
+
+
+def run_worker(num_processes: int, process_id: int,
+               coordinator: str = "localhost:29500",
+               local_devices: int = 4,
+               steps: int = 2,
+               out_path: Optional[str] = None) -> dict:
+    """One worker of a multi-process DP(+TP) ArcFace training job.
+
+    Every process executes this same function (SPMD): deterministic inputs,
+    a global mesh over all processes' devices, ``sharded_train_step``
+    unchanged from the single-process path. Returns {"loss": ..., "kernel_sum":
+    ...} — identical across processes because both are fully replicated
+    after the psum.
+    """
+    from .mesh import init_distributed, make_mesh
+
+    init_distributed(coordinator, num_processes, process_id,
+                     local_cpu_devices=local_devices)
+
+    import jax
+    import numpy as np
+
+    from ..train.arcface import (ArcFaceTrainConfig, create_train_state,
+                                 sharded_train_step)
+    from .sharding import batch_sharding
+
+    n = num_processes * local_devices
+    assert len(jax.devices()) == n, (len(jax.devices()), n)
+    model_axis = 2 if n % 2 == 0 else 1
+    mesh = make_mesh(("data", "model"), (n // model_axis, model_axis))
+
+    cfg = ArcFaceTrainConfig(num_classes=64, embedding_size=128)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step, (params, batch_stats, opt_state) = sharded_train_step(state, mesh)
+
+    batch = (n // model_axis) * 2
+    images = jax.device_put(
+        np.random.RandomState(0).uniform(
+            -1, 1, (batch, 112, 112, 3)).astype(np.float32),
+        batch_sharding(mesh, 4))
+    labels = jax.device_put(
+        np.random.RandomState(1).randint(0, cfg.num_classes, (batch,)),
+        batch_sharding(mesh, 1))
+
+    loss = None
+    for _ in range(steps):
+        params, batch_stats, opt_state, loss = step(
+            params, batch_stats, opt_state, images, labels)
+    result = {
+        "loss": float(loss),
+        # fully-replicated leaf: every process (and every device) agrees
+        "kernel_sum": float(abs(np.asarray(
+            jax.device_get(params["arcface_kernel"]))).sum()),
+        "n_devices": n,
+        "process_id": process_id,
+    }
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(result, f)
+    return result
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--procs", type=int, required=True)
+    ap.add_argument("--pid", type=int, required=True)
+    ap.add_argument("--coordinator", default="localhost:29500")
+    ap.add_argument("--local-devices", type=int, default=4)
+    ap.add_argument("--steps", type=int, default=2)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args(argv)
+    r = run_worker(args.procs, args.pid, args.coordinator,
+                   args.local_devices, args.steps, args.out)
+    print(json.dumps(r))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
