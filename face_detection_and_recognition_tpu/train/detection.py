@@ -88,6 +88,21 @@ class DetTrainConfig:
     total_steps: int = 0           # cosine horizon; 0 disables the schedule
     ema_decay: float = 0.9999      # ModelEMA decay ceiling (0 disables EMA)
     ema_tau: float = 2000.0        # ramp: d = decay*(1-exp(-updates/tau))
+    # False = official (multiclass) yolov5 head: no = nc+5, class logits
+    # directly after the objectness column (reference onnx_utils.py:193-288)
+    with_landmarks: bool = True
+
+
+def anchors_for(cfg: "DetTrainConfig"):
+    """The anchor set the ENGINE will decode this head with: yolov5-face's
+    re-tuned anchors for the landmark head, the official yolov5s.yaml set
+    for the landmark-less head (make_yolov5_official decodes with
+    OFFICIAL_ANCHORS — training against any other set mis-scales wh)."""
+    if cfg.with_landmarks:
+        return ARCHS[cfg.arch]["anchors"]
+    from ..models.yolov5_face import OFFICIAL_ANCHORS
+
+    return OFFICIAL_ANCHORS
 
 
 def build_targets(
@@ -221,16 +236,20 @@ def detection_loss(
             + cfg.gr * jnp.clip(jax.lax.stop_gradient(iou), 0.0, None)
         )
         lobj += weighted_bce_logits(pobj, tconf, cfg.obj_pw).mean() * bal
-        # landmarks: wing loss on anchor-scaled offsets
-        planc = m[..., 5:15] * jnp.tile(
-            t["anchors"][None, :, None, None, :], (1, 1, 1, 1, 5)
-        )
-        llmk += wing_loss(planc, t["tlmk"], t["lmk_mask"])
-        # class loss at positive cells, multi-class only (faces are class 0;
-        # targets carry no class column — extend build_targets for real
-        # multi-class data)
-        if cfg.nc > 1:
-            pcls = m[..., 15:]
+        # landmarks: wing loss on anchor-scaled offsets (face head only —
+        # the official head has no landmark columns)
+        if cfg.with_landmarks:
+            planc = m[..., 5:15] * jnp.tile(
+                t["anchors"][None, :, None, None, :], (1, 1, 1, 1, 5)
+            )
+            llmk += wing_loss(planc, t["tlmk"], t["lmk_mask"])
+        # class loss at positive cells (faces are class 0; targets carry no
+        # class column — extend build_targets for real multi-class data).
+        # The face head skips it at nc==1 (loss.py:162), but the official
+        # head multiplies conf = obj * cls at decode, so its class column
+        # must be trained even single-class
+        if cfg.nc > 1 or not cfg.with_landmarks:
+            pcls = m[..., 15:] if cfg.with_landmarks else m[..., 5:]
             onehot = jax.nn.one_hot(jnp.zeros_like(pos, jnp.int32), cfg.nc)
             lcls += jnp.sum(
                 weighted_bce_logits(pcls, onehot, cfg.cls_pw)
@@ -268,7 +287,8 @@ def ema_update(ema_params, params, updates: jnp.ndarray, cfg: DetTrainConfig):
 
 
 def create_det_train_state(cfg: DetTrainConfig, rng: jax.Array) -> Dict[str, Any]:
-    net = YoloV5FaceNet(arch=cfg.arch, nc=cfg.nc)
+    net = YoloV5FaceNet(arch=cfg.arch, nc=cfg.nc,
+                        with_landmarks=cfg.with_landmarks)
     w, h = cfg.input_size
     variables = jax.jit(net.init)(rng, jnp.zeros((1, h, w, 3), jnp.float32))
     tx = optax.chain(
@@ -304,7 +324,7 @@ def make_det_train_step(state: Dict[str, Any]):
             {"params": params, "batch_stats": batch_stats},
             images, train=True, mutable=["batch_stats"],
         )
-        tpl = build_targets(targets, target_valid, spec["anchors"],
+        tpl = build_targets(targets, target_valid, anchors_for(cfg),
                             spec["strides"], grid_hw, cfg.anchor_t)
         total, metrics = detection_loss(maps, tpl, cfg)
         return total, (updates["batch_stats"], metrics)

@@ -432,8 +432,15 @@ def train_golden(
         from .detection import (DetTrainConfig, create_det_train_state,
                                 make_det_train_step_ema)
 
+        # "-official" = the multiclass landmark-less head (registry
+        # yolov5{s,n}-official, reference onnx_utils.py:193-288): train the
+        # same backbone with nc=80 and faces as class 0 so the trained tree
+        # pours straight into the engine's official-path net
+        official = arch.endswith("-official")
         cfg = DetTrainConfig(
-            arch=arch, nc=1, input_size=(input_size, input_size),
+            arch=arch[: -len("-official")] if official else arch,
+            nc=80 if official else 1, with_landmarks=not official,
+            input_size=(input_size, input_size),
             max_targets=8, lr=lr, warmup_steps=warmup,
             total_steps=max_steps, ema_decay=0.999, ema_tau=500.0)
         state = create_det_train_state(cfg, jax.random.PRNGKey(seed))
@@ -455,6 +462,10 @@ def train_golden(
     # blazeface's input size is fixed by its anchor layout — the registry
     # builder rejects an override, so only pass one for the other families
     overrides = {} if is_blaze else {"input_size": (input_size, input_size)}
+    if arch.endswith("-official"):
+        # keep the engine net's class count in lockstep with the trainer's
+        # (head channels are na*(nc+5) — a drift would fail the pour)
+        overrides["nc"] = cfg.nc
     engine = FaceEngine(EngineConfig(detector=arch, det_thres=0.5,
                                      detector_overrides=overrides))
 

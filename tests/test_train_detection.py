@@ -288,3 +288,67 @@ def test_ema_step_tracks_params():
     # after many virtual updates the decay saturates toward ema_decay
     d_late = 0.9999 * (1.0 - np.exp(-10000 / 2000.0))
     assert d_late > 0.99
+
+
+def test_official_head_train_step_runs_and_pours_into_engine():
+    """with_landmarks=False trains the official (multiclass, landmark-less)
+    head: no = nc+5, class logits at [..., 5:], no wing-loss term — and the
+    trained tree pours directly into the engine's yolov5*-official net
+    (reference onnx_utils.py:193-288)."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = D.DetTrainConfig(arch="yolov5n", nc=80, with_landmarks=False,
+                           input_size=(64, 64), max_targets=2, lr=0.01)
+    st = D.create_det_train_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(D.make_det_train_step(st))
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 255, (2, 64, 64, 3)).astype(np.uint8)
+    tg = np.full((2, 2, 14), -1.0, np.float32)
+    tg[:, 0, :4] = [32, 30, 20, 22]
+    tv = np.zeros((2, 2), bool)
+    tv[:, 0] = True
+    params, stats, opt, loss, metrics = step(
+        st["params"], st["batch_stats"], st["opt_state"],
+        jnp.asarray(imgs), jnp.asarray(tg), jnp.asarray(tv))
+    assert np.isfinite(float(loss))
+    assert float(metrics["lmk"]) == 0.0  # no landmark term on this head
+    assert float(metrics["cls"]) > 0.0   # 80-class BCE is live
+
+    # the trainer must target the anchor set the ENGINE decodes with:
+    # make_yolov5_official uses OFFICIAL_ANCHORS, not the face set
+    from face_detection_and_recognition_tpu.models.yolov5_face import (
+        ARCHS, OFFICIAL_ANCHORS)
+
+    assert D.anchors_for(cfg) == OFFICIAL_ANCHORS
+    assert D.anchors_for(cfg) != ARCHS["yolov5n"]["anchors"]
+
+    # single-class official head still trains its class column (the
+    # official decode multiplies conf = obj * cls, so an untrained column
+    # would halve every confidence)
+    import jax.numpy as jnp2
+
+    cfg1 = D.DetTrainConfig(arch="yolov5n", nc=1, with_landmarks=False,
+                            input_size=(64, 64), max_targets=2)
+    maps1 = [np.zeros((1, 3, 64 // s, 64 // s, 6), np.float32)
+             for s in (8, 16, 32)]
+    tpl1 = D.build_targets(jnp2.asarray(tg), jnp2.asarray(tv),
+                           D.anchors_for(cfg1), (8, 16, 32),
+                           [(8, 8), (4, 4), (2, 2)], 4.0)
+    _, m1 = D.detection_loss([jnp2.asarray(m) for m in maps1], tpl1, cfg1)
+    assert float(m1["cls"]) > 0.0
+
+    from face_detection_and_recognition_tpu.core.engine import (
+        EngineConfig, FaceEngine)
+
+    eng = FaceEngine(EngineConfig(
+        detector="yolov5n-official", det_thres=0.5,
+        detector_overrides={"input_size": (64, 64)}))
+    # structure must match exactly for the pour to be meaningful
+    a = jax.tree_util.tree_structure(eng.variables["params"])
+    b = jax.tree_util.tree_structure(params)
+    assert a == b
+    eng.variables = {"params": jax.device_get(params),
+                     "batch_stats": jax.device_get(stats)}
+    post = eng.detect_image(rng.randint(0, 255, (64, 64, 3)).astype(np.uint8))
+    assert np.asarray(post.boxes).shape[1] == 4
