@@ -1,4 +1,4 @@
-.PHONY: test bench native clean accuracy accuracy-ssd accuracy-blaze accuracy-ag accuracy-mtcnn accuracy-embed
+.PHONY: test bench native clean accuracy accuracy-ssd accuracy-blaze accuracy-ag accuracy-mtcnn accuracy-embed accuracy-s accuracy-official accuracy-int8 accuracy-facenet accuracy-reid accuracy-facenet512 accuracy-all
 
 test:
 	python -m pytest tests/ -q
@@ -84,6 +84,14 @@ accuracy-s:
 	python -m face_detection_and_recognition_tpu.cli.train_golden \
 		--out tests/data/golden_yolov5s_ckpt --arch yolov5s
 
+# the official (multiclass, landmark-less) yolov5 path through the executed
+# gate: nc=80 head trained with faces as class 0, decoded via
+# yolov5_official_postprocess (reference onnx_utils.py:193-288)
+accuracy-official:
+	python -m face_detection_and_recognition_tpu.cli.train_golden \
+		--out tests/data/golden_yolov5n_official_ckpt \
+		--arch yolov5n-official
+
 # executed int8 accuracy: quantize the trained yolov5n checkpoint (BN fold,
 # per-channel int8 weights, static calibrated activation scales) and re-run
 # the SAME golden gate through a quantized="static" engine
@@ -93,6 +101,6 @@ accuracy-int8:
 		--out tests/data/golden_yolov5n_int8_ckpt
 
 # every executed-accuracy loop in sequence (hours of TPU time)
-accuracy-all: accuracy accuracy-s accuracy-ssd accuracy-blaze \
-		accuracy-mtcnn accuracy-ag accuracy-embed accuracy-facenet \
-		accuracy-reid accuracy-facenet512 accuracy-int8
+accuracy-all: accuracy accuracy-s accuracy-official accuracy-ssd \
+		accuracy-blaze accuracy-mtcnn accuracy-ag accuracy-embed \
+		accuracy-facenet accuracy-reid accuracy-facenet512 accuracy-int8

@@ -303,13 +303,37 @@ def evaluate_golden(
     neg_img: str = NEGATIVE_IMG,
     det_thres: float = 0.5,
     iou_thres: float = 0.5,
+    margin: float = 0.05,
 ) -> Dict[str, object]:
     """Run the engine on the golden pair and score against the pinned boxes.
 
     With ``variables`` given, evaluates those weights through the engine's
     with-vars pipeline (no cache invalidation / recompile per eval step);
-    otherwise uses the engine's own weights via the public API."""
+    otherwise uses the engine's own weights via the public API.
+
+    ``ok`` requires the gate to hold at ``det_thres ± margin`` as well: the
+    three golden confidences must clear ``det_thres + margin`` and any
+    fourth candidate must sit below ``det_thres - margin``, so small
+    numeric drift (TPU bf16-pass matmuls vs the CPU test suite's
+    ``highest`` precision) cannot flip a checkpoint trained on one platform
+    when gated on another. Reported ``n_pos/n_neg/ious`` stay those of the
+    center threshold."""
+    thresholds = [det_thres]
+    if margin:
+        thresholds += [det_thres - margin, det_thres + margin]
+
+    def _boxes_at(img, t):
+        if variables is not None:
+            run = engine._pipeline_for(tuple(img.shape), with_vars=True)
+            post = run(variables, img[None], engine._scalar(t),
+                       engine._scalar(engine.cfg.bbox_area_thres)
+                       ).to_numpy()[0]
+        else:
+            post = engine.detect_image(img, det_thres=t)
+        return np.asarray(post.boxes, np.float32).reshape(-1, 4)
+
     results = {}
+    ok_all = True
     pos_shape = None
     for tag, path in (("pos", pos_img), ("neg", neg_img)):
         img = cv2.imread(path)
@@ -320,28 +344,30 @@ def evaluate_golden(
             # contract holds at any scale, and a second source resolution
             # costs a second multi-minute axon compile per training run
             img = cv2.resize(img, (pos_shape[1], pos_shape[0]))
-        if variables is not None:
-            run = engine._pipeline_for(tuple(img.shape), with_vars=True)
-            post = run(variables, img[None], engine._scalar(det_thres),
-                       engine._scalar(engine.cfg.bbox_area_thres)
-                       ).to_numpy()[0]
+        for t in thresholds:
+            pred_t = _boxes_at(img, t)
+            if t == det_thres:
+                results[tag] = pred_t
             if tag == "pos":
-                # diagnostic: strongest raw score regardless of threshold —
-                # shows how close the objectness head is to the 0.5 gate
-                # (same compiled pipeline, near-zero threshold)
-                low = run(variables, img[None], engine._scalar(0.01),
-                          engine._scalar(engine.cfg.bbox_area_thres)
-                          ).to_numpy()[0]
-                confs = np.asarray(low.bbox_confs, np.float32).reshape(-1)
-                results["top_conf"] = float(confs.max()) if len(confs) else 0.0
-        else:
-            post = engine.detect_image(img, det_thres=det_thres)
-        results[tag] = np.asarray(post.boxes, np.float32).reshape(-1, 4)
+                ious_t = (match_golden(pred_t, GOLDEN_BOXES_3)
+                          if len(pred_t) else [0.0] * 3)
+                ok_all &= (len(pred_t) == 3
+                           and all(i >= iou_thres for i in ious_t))
+            else:
+                ok_all &= len(pred_t) == 0
+        if tag == "pos" and variables is not None:
+            # diagnostic: strongest raw score regardless of threshold —
+            # shows how close the objectness head is to the 0.5 gate
+            # (same compiled pipeline, near-zero threshold)
+            run = engine._pipeline_for(tuple(img.shape), with_vars=True)
+            low = run(variables, img[None], engine._scalar(0.01),
+                      engine._scalar(engine.cfg.bbox_area_thres)
+                      ).to_numpy()[0]
+            confs = np.asarray(low.bbox_confs, np.float32).reshape(-1)
+            results["top_conf"] = float(confs.max()) if len(confs) else 0.0
     pred = results["pos"]
     ious = match_golden(pred, GOLDEN_BOXES_3) if len(pred) else [0.0] * 3
-    ok = (len(pred) == 3 and len(results["neg"]) == 0
-          and all(i >= iou_thres for i in ious))
-    return {"ok": bool(ok), "n_pos": int(len(pred)),
+    return {"ok": bool(ok_all), "n_pos": int(len(pred)),
             "n_neg": int(len(results["neg"])), "ious": ious,
             "pred_boxes": pred, "top_conf": results.get("top_conf", 0.0)}
 

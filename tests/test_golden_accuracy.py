@@ -227,6 +227,32 @@ def test_trained_yolov5s_rect_matches_square_on_golden():
     assert all(iou >= 0.8 for iou in cross), cross
 
 
+OFFICIAL_CKPT = os.path.join(os.path.dirname(__file__), "data",
+                             "golden_yolov5n_official_ckpt")
+
+
+@pytest.mark.skipif(not os.path.isdir(OFFICIAL_CKPT),
+                    reason="official golden ckpt not trained: "
+                           "make accuracy-official")
+def test_trained_official_head_detects_golden_faces():
+    """The official (multiclass, landmark-less) yolov5 path through the
+    executed golden gate: an nc=80 head trained with faces as class 0,
+    decoded via yolov5_official_postprocess (conf = obj * cls, class-offset
+    NMS — reference onnx_utils.py:193-288). Pins that the official decode's
+    live class column really carries signal, not just the obj channel."""
+    from face_detection_and_recognition_tpu.core.engine import (
+        EngineConfig, FaceEngine)
+    from face_detection_and_recognition_tpu.train.golden import evaluate_golden
+
+    eng = FaceEngine(EngineConfig(detector="yolov5n-official", det_thres=0.5,
+                                  detector_overrides={"nc": 80}))
+    eng.load_weights(OFFICIAL_CKPT)
+    r = evaluate_golden(eng)
+    assert r["n_pos"] == 3, f"expected 3 golden faces, got {r['n_pos']}"
+    assert r["n_neg"] == 0, f"0-face image produced {r['n_neg']} detections"
+    assert all(iou >= 0.5 for iou in r["ious"]), r["ious"]
+
+
 INT8_CKPT = os.path.join(os.path.dirname(__file__), "data",
                          "golden_yolov5n_int8_ckpt")
 
