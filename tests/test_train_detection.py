@@ -352,3 +352,55 @@ def test_official_head_train_step_runs_and_pours_into_engine():
                      "batch_stats": jax.device_get(stats)}
     post = eng.detect_image(rng.randint(0, 255, (64, 64, 3)).astype(np.uint8))
     assert np.asarray(post.boxes).shape[1] == 4
+
+
+def test_evaluate_golden_margin_gate(tmp_path):
+    """The golden gate must hold at det_thres±margin, not just the center:
+    a 4th duplicate box at conf 0.48 passes the center threshold 0.5 but
+    must fail ok with the default margin (it crosses at 0.45), and a weak
+    3rd face at 0.52 must fail the upper bar at 0.55. Pins the
+    cross-platform hardening that caught the first official-head
+    checkpoint (4th box at 0.535 only under highest matmul precision)."""
+    import cv2
+
+    from face_detection_and_recognition_tpu.train.golden import (
+        GOLDEN_BOXES_3, evaluate_golden)
+
+    pos = str(tmp_path / "pos.jpg")
+    neg = str(tmp_path / "neg.jpg")
+    cv2.imwrite(pos, np.full((540, 720, 3), 255, np.uint8))
+    cv2.imwrite(neg, np.zeros((540, 720, 3), np.uint8))
+
+    class StubEngine:
+        """detect_image returns the golden boxes whose conf clears the
+        threshold — plus a near-duplicate 4th at configurable conf."""
+
+        def __init__(self, confs):
+            dup = GOLDEN_BOXES_3[0] + np.float32([4, 4, 4, 4])
+            self.boxes = np.concatenate([GOLDEN_BOXES_3, dup[None]], 0)
+            self.confs = np.asarray(confs, np.float32)
+
+        def detect_image(self, img, det_thres):
+            keep = (self.confs >= det_thres) if img.max() > 0 else \
+                np.zeros_like(self.confs, bool)
+
+            class _Post:
+                boxes = self.boxes[keep]
+
+            return _Post()
+
+    # 4th box at 0.48: center 0.5 sees 3 boxes, lower bar 0.45 sees 4
+    weak_dup = StubEngine([0.7, 0.6, 0.58, 0.48])
+    r = evaluate_golden(weak_dup, pos_img=pos, neg_img=neg)
+    assert r["n_pos"] == 3 and not r["ok"]
+    assert evaluate_golden(weak_dup, pos_img=pos, neg_img=neg,
+                           margin=0.0)["ok"]
+
+    # 3rd face at 0.52: clears the center but not the 0.55 upper bar
+    weak_face = StubEngine([0.7, 0.6, 0.52, 0.1])
+    r = evaluate_golden(weak_face, pos_img=pos, neg_img=neg)
+    assert r["n_pos"] == 3 and not r["ok"]
+
+    # comfortable margins on all three and a cold 4th: ok
+    strong = StubEngine([0.8, 0.7, 0.65, 0.2])
+    assert evaluate_golden(strong, pos_img=pos, neg_img=neg)["ok"]
