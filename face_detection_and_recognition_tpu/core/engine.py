@@ -109,6 +109,10 @@ class FaceEngine:
             )
         rng = jax.random.PRNGKey(cfg.seed)
         self._pipeline_cache: Dict[Any, Any] = {}  # LRU, insertion-ordered
+        # key -> frozenset of weight groups ("det"/"embed"/"ag") the entry
+        # closes over; entries that take variables as call arguments carry
+        # an empty set and survive rebinds
+        self._baked_groups: Dict[Any, frozenset] = {}
         self._scalar_cache: Dict[float, Any] = {}
         import threading
 
@@ -161,7 +165,7 @@ class FaceEngine:
     @variables.setter
     def variables(self, v):
         self._variables = v
-        self._pipeline_cache.clear()
+        self._invalidate_baked("det")
 
     @property
     def embed_vars(self):
@@ -170,7 +174,7 @@ class FaceEngine:
     @embed_vars.setter
     def embed_vars(self, v):
         self._embed_vars = v
-        self._pipeline_cache.clear()
+        self._invalidate_baked("embed")
 
     @property
     def ag_vars(self):
@@ -179,7 +183,17 @@ class FaceEngine:
     @ag_vars.setter
     def ag_vars(self, v):
         self._ag_vars = v
-        self._pipeline_cache.clear()
+        self._invalidate_baked("ag")
+
+    def _invalidate_baked(self, group: str) -> None:
+        """Drop only the compiled programs that close over the rebound
+        weight group — with-vars pipelines, detect_raw, and sharded
+        ensembles take variables as call arguments and survive (e.g. the
+        golden-ag train loop rebinds ag_vars per eval; its detect pipeline
+        must not re-pay a multi-minute axon compile each time)."""
+        for key in [k for k, g in self._baked_groups.items() if group in g]:
+            self._pipeline_cache.pop(key, None)
+            self._baked_groups.pop(key, None)
 
     # ---------------- weights ----------------
 
@@ -267,8 +281,7 @@ class FaceEngine:
             from ..utils.checkpoint import load_variables
 
             variables = load_variables(path)
-        self.variables = variables
-        self._pipeline_cache.clear()
+        self.variables = variables  # setter invalidates det-baked programs
 
     def save_weights(self, path: str) -> None:
         """Save the detector variables as an orbax checkpoint (reloadable
@@ -397,14 +410,20 @@ class FaceEngine:
 
     _PIPELINE_CACHE_MAX = 32  # distinct (resolution, with_vars) programs
 
-    def _cache_put(self, key, run):
+    def _cache_put(self, key, run, baked=()):
         """Insert a compiled program with LRU eviction — EVERY compiled-
         program cache entry (detect, raw, ensemble, crop programs) goes
         through here so novel-resolution callers of any API are bounded.
-        Dict ops are GIL-atomic; the compile lock only guards compilation."""
+        ``baked`` names the weight groups the program closes over (see
+        _invalidate_baked). Dict ops are GIL-atomic; the compile lock only
+        guards compilation."""
         while len(self._pipeline_cache) >= self._PIPELINE_CACHE_MAX:
-            self._pipeline_cache.pop(next(iter(self._pipeline_cache)))
+            evicted = next(iter(self._pipeline_cache))
+            self._pipeline_cache.pop(evicted)
+            self._baked_groups.pop(evicted, None)
         self._pipeline_cache[key] = run
+        if baked:
+            self._baked_groups[key] = frozenset(baked)
         return run
 
     def _compile_pipeline(self, key):
@@ -442,7 +461,8 @@ class FaceEngine:
             captured = self.variables
             run = jax.jit(partial(body, captured))
 
-        return self._cache_put(key, run)
+        return self._cache_put(key, run,
+                               baked=() if with_vars else ("det",))
 
     def detect_batch(
         self, imgs: np.ndarray, det_thres: float = None,
@@ -691,7 +711,8 @@ class FaceEngine:
             run = jax.jit(partial(body, self.variables, self.embed_vars,
                                   self.ag_vars))
 
-        return self._cache_put(key, run)
+        return self._cache_put(
+            key, run, baked=() if sharded else ("det", "embed", "ag"))
 
     def detect_embed_classify_batch(
         self,

@@ -20,6 +20,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as PS
 
 from ..models.mobile_facenet import MobileFaceNet, arcface_logits
+from .detection import decay_mask
 
 
 @dataclasses.dataclass
@@ -71,7 +72,7 @@ def create_train_state(
     )
     params = {"net": variables["params"], "arcface_kernel": kernel}
     tx = optax.chain(
-        optax.add_decayed_weights(cfg.weight_decay),
+        optax.add_decayed_weights(cfg.weight_decay, mask=decay_mask),
         optax.sgd(cfg.lr, momentum=cfg.momentum),
     )
     return {
@@ -134,15 +135,20 @@ def shard_train_state(state: Dict[str, Any], mesh: Mesh):
     params["arcface_kernel"] = jax.device_put(params["arcface_kernel"], kernel_sh)
     batch_stats = jax.device_put(state["batch_stats"], repl)
 
-    # momentum buffers mirror the param placement (kernel-shaped leaves are
-    # class-sharded, everything else replicated)
-    kshape = params["arcface_kernel"].shape
+    # momentum buffers mirror the param placement. Matched by TREE PATH, not
+    # shape: optimizer state mirrors the param tree, so the kernel's own
+    # leaves carry 'arcface_kernel' in their path — a square embedder kernel
+    # that merely coincides with the ArcFace kernel's shape must stay
+    # replicated like its parameter (shape matching would silently
+    # class-shard its momentum against a replicated param)
+    def opt_sharding(path, leaf):
+        in_path = any(
+            getattr(p, "key", getattr(p, "name", None)) == "arcface_kernel"
+            for p in path)
+        return jax.device_put(leaf, kernel_sh if in_path else repl)
 
-    def opt_sharding(leaf):
-        return kernel_sh if getattr(leaf, "shape", None) == kshape else repl
-
-    opt_state = jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, opt_sharding(x)), state["opt_state"]
+    opt_state = jax.tree_util.tree_map_with_path(
+        opt_sharding, state["opt_state"]
     )
     return params, batch_stats, opt_state
 

@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import optax
 
 from ..models.blazeface import BlazeFaceNet, generate_anchors
-from .detection import ema_update, lr_schedule, weighted_bce_logits
+from .detection import (decay_mask, ema_update, lr_schedule,
+                        mined_conf_loss, weighted_bce_logits)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -111,7 +112,6 @@ def blazeface_loss(
     mining — the single-logit analog of the SSD MultiBox loss."""
     posf = pos.astype(jnp.float32)
     n_pos = jnp.sum(posf, axis=1)
-    n = raw_scores.shape[1]
 
     diff = jnp.abs(raw_boxes[..., :4] - box_t) / scale
     smooth = jnp.where(diff < 1.0, 0.5 * diff * diff, diff - 0.5).sum(-1)
@@ -119,13 +119,7 @@ def blazeface_loss(
 
     logits = raw_scores[..., 0]
     ce = weighted_bce_logits(logits, posf)
-    neg_ce = jnp.where(pos, -jnp.inf, ce)
-    order = jnp.argsort(-neg_ce, axis=1)
-    rank = jnp.argsort(order, axis=1)
-    n_neg = jnp.clip(neg_ratio * n_pos, 1.0, n - 1.0)
-    neg = (rank < n_neg[:, None]) & ~pos
-    l_conf = jnp.sum(ce * (posf + neg.astype(jnp.float32))) / jnp.maximum(
-        jnp.sum(n_pos), 1.0)
+    l_conf = mined_conf_loss(ce, pos, neg_ratio)
     total = box_gain * l_box + l_conf
     return total, {"box": l_box, "obj": l_conf,
                    "lmk": jnp.zeros(()), "cls": jnp.zeros(())}
@@ -140,7 +134,8 @@ def create_blaze_train_state(cfg: BlazeTrainConfig, rng: jax.Array) -> Dict[str,
     variables = jax.jit(net.init)(rng, jnp.zeros((1, h, w, 3), jnp.float32))
     tx = optax.chain(
         optax.clip_by_global_norm(10.0),
-        optax.adamw(lr_schedule(cfg), weight_decay=cfg.weight_decay),
+        optax.adamw(lr_schedule(cfg), weight_decay=cfg.weight_decay,
+                    mask=decay_mask),
     )
     return {
         "net": net, "cfg": cfg, "tx": tx,

@@ -105,7 +105,11 @@ def mosaic4(
     items: 4 of (img BGR u8, rows [N,14] pixel-coord targets).
     Returns (canvas [oh,ow,3] u8, rows [M,14]) with off-canvas GT dropped."""
     ow, oh = out_wh
-    canvas = np.full((oh * 2, ow * 2, 3), 114, np.uint8)
+    # fill with the INFERENCE letterbox gray (125, ops/geometry.GRAY_FILL),
+    # not upstream yolov5's 114: mosaic-heavy training otherwise ties
+    # objectness to a pad shade eval frames never show (train/serve skew on
+    # the small golden composite sets)
+    canvas = np.full((oh * 2, ow * 2, 3), 125, np.uint8)
     # mosaic center inside the middle half of the 2x canvas
     xc = int(rng.uniform(ow * 0.5, ow * 1.5))
     yc = int(rng.uniform(oh * 0.5, oh * 1.5))

@@ -280,10 +280,51 @@ def lr_schedule(cfg: DetTrainConfig):
 def ema_update(ema_params, params, updates: jnp.ndarray, cfg: DetTrainConfig):
     """ModelEMA update (torch_utils.py:262-283): ramped decay
     d = decay*(1 - exp(-updates/tau)); ema = d*ema + (1-d)*params."""
-    d = cfg.ema_decay * (1.0 - jnp.exp(-updates / cfg.ema_tau))
+    return ema_update_ramped(ema_params, params, updates,
+                             cfg.ema_decay, cfg.ema_tau)
+
+
+def ema_update_ramped(ema_params, params, updates: jnp.ndarray,
+                      decay: float, tau: float):
+    """The ramp formula itself, cfg-free so the device loop's BN-stats EMA
+    shares the exact same update as the params EMA."""
+    d = decay * (1.0 - jnp.exp(-updates / tau))
     return jax.tree_util.tree_map(
         lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d), ema_params, params
     )
+
+
+def mined_conf_loss(ce: jnp.ndarray, pos: jnp.ndarray,
+                    neg_ratio: float) -> jnp.ndarray:
+    """SSD-style hard-negative-mined confidence loss, shape-static and
+    shared by the SSD and BlazeFace MultiBox losses: negatives ranked by
+    their CE per image (double-argsort rank), the top ``neg_ratio * n_pos``
+    kept, and the positive+mined sum normalized by the positive count
+    (Liu et al. eq. 1). ``ce`` [B, N] per-anchor loss, ``pos`` [B, N] bool."""
+    posf = pos.astype(jnp.float32)
+    n_pos = jnp.sum(posf, axis=1)                          # [B]
+    n = ce.shape[1]
+    neg_ce = jnp.where(pos, -jnp.inf, ce)                  # negatives only
+    order = jnp.argsort(-neg_ce, axis=1)
+    rank = jnp.argsort(order, axis=1)                      # [B, N] desc rank
+    n_neg = jnp.clip(neg_ratio * n_pos, 1.0, n - 1.0)
+    neg = (rank < n_neg[:, None]) & ~pos
+    return jnp.sum(ce * (posf + neg.astype(jnp.float32))) / jnp.maximum(
+        jnp.sum(n_pos), 1.0)
+
+
+def decay_mask(params):
+    """Weight-decay mask following the reference recipe: train.py builds
+    three param groups and applies decay ONLY to multiplicative weights
+    (conv/dense kernels) — biases and BatchNorm scale/bias are exempt.
+    Flax trees make this a leaf-name test: BN leaves are scale/bias and
+    carry no 'kernel' key."""
+    def _is_kernel(path, _):
+        last = path[-1]
+        name = getattr(last, "key", getattr(last, "name", ""))
+        return "kernel" in str(name)
+
+    return jax.tree_util.tree_map_with_path(_is_kernel, params)
 
 
 def create_det_train_state(cfg: DetTrainConfig, rng: jax.Array) -> Dict[str, Any]:
@@ -292,7 +333,7 @@ def create_det_train_state(cfg: DetTrainConfig, rng: jax.Array) -> Dict[str, Any
     w, h = cfg.input_size
     variables = jax.jit(net.init)(rng, jnp.zeros((1, h, w, 3), jnp.float32))
     tx = optax.chain(
-        optax.add_decayed_weights(cfg.weight_decay),
+        optax.add_decayed_weights(cfg.weight_decay, mask=decay_mask),
         optax.sgd(lr_schedule(cfg), momentum=cfg.momentum),
     )
     return {

@@ -150,11 +150,14 @@ def make_chunk_trainer(
             params, bstats, opt, ema, n, loss, metrics = step_fn(
                 params, bstats, opt, ema, n, x, t, v)
             if ema_stats_cfg is not None:
+                # the SAME ramp as the params EMA (detection.ema_update):
+                # a shared helper keeps the BN-stats shadow from drifting
+                # out of sync with the params shadow
+                from .detection import ema_update_ramped
+
                 decay, tau = ema_stats_cfg
-                d = decay * (1.0 - jnp.exp(-n.astype(jnp.float32) / tau))
-                ema_stats = jax.tree_util.tree_map(
-                    lambda e, s: e * d + s.astype(e.dtype) * (1.0 - d),
-                    ema_stats, bstats)
+                ema_stats = ema_update_ramped(
+                    ema_stats, bstats, n.astype(jnp.float32), decay, tau)
             else:
                 ema_stats = bstats
             return (params, bstats, opt, ema, ema_stats, n, rng), \

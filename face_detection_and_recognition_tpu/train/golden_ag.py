@@ -83,28 +83,48 @@ def evaluate_golden_ag(engine, iou_thres: float = 0.5) -> Dict[str, object]:
     post = engine.detect_age_gender(img)
     boxes = np.asarray(post.boxes, np.float32).reshape(-1, 4)
     labels = list(post.bbox_labels)
-    ok_labels: List[bool] = []
-    matched = 0
+    # ONE-TO-ONE greedy assignment on descending IoU (like golden.match_
+    # golden, but keeping the pred index so each GT reads its own label):
+    # two GTs can never claim the same predicted box, and a merged box over
+    # two faces can satisfy at most one of them
+    iou_mat = np.zeros((len(GOLDEN_BOXES_3), len(boxes)), np.float32)
     for gi, g in enumerate(GOLDEN_BOXES_3):
-        best, best_j = 0.0, -1
         for j, p in enumerate(boxes):
-            iou = bbox_iou_xyxy(g, p)
-            if iou > best:
-                best, best_j = iou, j
-        if best >= iou_thres and best_j >= 0:
-            matched += 1
-            want_age = AGE_BUCKETS[GOLDEN_AG[gi][0]]
-            want_gender = GENDERS[GOLDEN_AG[gi][1]]
-            got = labels[best_j]
-            ok_labels.append(want_age in got and want_gender in got)
-        else:
+            iou_mat[gi, j] = bbox_iou_xyxy(g, p)
+    assign = {}
+    if boxes.size:
+        order = np.dstack(np.unravel_index(
+            np.argsort(-iou_mat, axis=None), iou_mat.shape))[0]
+        used: set = set()
+        for gi, pj in order:
+            if gi in assign or pj in used or iou_mat[gi, pj] < iou_thres:
+                continue
+            assign[int(gi)] = int(pj)
+            used.add(int(pj))
+    ok_labels: List[bool] = []
+    for gi in range(len(GOLDEN_BOXES_3)):
+        pj = assign.get(gi)
+        if pj is None:
             ok_labels.append(False)
+            continue
+        want_age = AGE_BUCKETS[GOLDEN_AG[gi][0]]
+        want_gender = GENDERS[GOLDEN_AG[gi][1]]
+        got = labels[pj]
+        ok_labels.append(want_age in got and want_gender in got)
+    matched = len(assign)
     neg = cv2.imread(NEGATIVE_IMG)
+    if neg.shape != img.shape:
+        # one compiled detect pipeline for both gate images (the golden.py
+        # convention: a second source resolution costs a second compile)
+        neg = cv2.resize(neg, (img.shape[1], img.shape[0]))
     post_neg = engine.detect_age_gender(neg)
     n_neg = len(np.asarray(post_neg.boxes).reshape(-1, 4))
-    ok = matched == len(GOLDEN_BOXES_3) and all(ok_labels) and n_neg == 0
+    # exact-count gate like evaluate_golden: extra false positives on the
+    # 3-face image fail too, not just false positives on the 0-face image
+    ok = (matched == len(GOLDEN_BOXES_3) and len(boxes) == len(GOLDEN_BOXES_3)
+          and all(ok_labels) and n_neg == 0)
     return {"ok": bool(ok), "matched": matched, "labels_ok": ok_labels,
-            "n_neg": int(n_neg), "labels": labels}
+            "n_pos": int(len(boxes)), "n_neg": int(n_neg), "labels": labels}
 
 
 def train_golden_ag(

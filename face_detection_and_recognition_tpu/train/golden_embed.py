@@ -100,21 +100,26 @@ def evaluate_identity_filter(
     filter's exact math: per-identity mean + max-ref-distance threshold from
     one crop set, held-out probes routed by ``||f - mean|| <= thres``.
 
-    ``n_ref`` defaults high because the threshold is a MAX statistic: refs
-    must cover the augmentation spread or held-out same-identity probes land
-    beyond it. This mirrors real filter usage — the reference feeds a whole
-    directory of reference crops per class
+    The filter itself caps references at MAX_N_REF_IMGS (32,
+    ``get_ref_mean_vec_and_thres_from_imgs`` :82), so only the first 32 of
+    ``n_ref`` crops are EMBEDDED and thresholded — the rest of the stream is
+    still generated (one shared rng spans the identities, so shortening
+    n_ref would shift which crops later identities get and silently change
+    the pinned gate statistics of the committed checkpoints). This mirrors
+    real filter usage — the reference feeds a whole directory of reference
+    crops per class but uses at most 32
     (filter_faces_using_reference.py:183-197).
 
     ok = every same-id probe accepted AND every cross-id probe rejected for
     every identity, with a positive margin (min cross dist - max same dist)."""
-    from ..pipelines.similarity import ref_mean_and_threshold
+    from ..pipelines.similarity import MAX_N_REF_IMGS, ref_mean_and_threshold
 
     refs = make_identity_crops(ref_seed, n_ref, size=size)
     probes = make_identity_crops(probe_seed, n_probe, size=size)
     means, thres = [], []
     for crops in refs:
-        m, t = ref_mean_and_threshold(embed_u8_fn(np.stack(crops)))
+        m, t = ref_mean_and_threshold(
+            embed_u8_fn(np.stack(crops[:MAX_N_REF_IMGS])))
         means.append(m)
         thres.append(t)
     n_same_ok = n_cross_ok = 0

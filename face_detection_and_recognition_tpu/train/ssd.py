@@ -18,7 +18,9 @@ import jax.numpy as jnp
 import optax
 
 from ..models.ssd import SSDConfig, SSDFaceNet, generate_priors
-from .detection import ema_update, lr_schedule
+from ..ops.boxes import iou_matrix, xywh2xyxy
+from .detection import (decay_mask, ema_update, lr_schedule,
+                        mined_conf_loss)
 
 OPENCV_SSD_MEAN = (104.0, 117.0, 123.0)  # BGR mean (ops/preprocess.py)
 
@@ -46,24 +48,6 @@ class SSDTrainConfig:
         return f"ssd-{self.backbone}"
 
 
-def _cxcywh_to_xyxy(b: jnp.ndarray) -> jnp.ndarray:
-    return jnp.concatenate(
-        [b[..., :2] - b[..., 2:] / 2, b[..., :2] + b[..., 2:] / 2], axis=-1)
-
-
-def _pairwise_iou(a_xyxy: jnp.ndarray, b_xyxy: jnp.ndarray) -> jnp.ndarray:
-    """[..., N, 4] x [..., T, 4] -> [..., N, T] IoU."""
-    lt = jnp.maximum(a_xyxy[..., :, None, :2], b_xyxy[..., None, :, :2])
-    rb = jnp.minimum(a_xyxy[..., :, None, 2:], b_xyxy[..., None, :, 2:])
-    wh = jnp.clip(rb - lt, 0.0, None)
-    inter = wh[..., 0] * wh[..., 1]
-    area_a = ((a_xyxy[..., 2] - a_xyxy[..., 0])
-              * (a_xyxy[..., 3] - a_xyxy[..., 1]))[..., :, None]
-    area_b = ((b_xyxy[..., 2] - b_xyxy[..., 0])
-              * (b_xyxy[..., 3] - b_xyxy[..., 1]))[..., None, :]
-    return inter / jnp.maximum(area_a + area_b - inter, 1e-9)
-
-
 def encode_ssd_targets(
     priors: jnp.ndarray,
     gt_cxcywh: jnp.ndarray,
@@ -81,9 +65,9 @@ def encode_ssd_targets(
     """
     b, t = gt_cxcywh.shape[:2]
     n = priors.shape[0]
-    pri_xyxy = _cxcywh_to_xyxy(priors)                     # [N, 4]
-    gt_xyxy = _cxcywh_to_xyxy(gt_cxcywh)                   # [B, T, 4]
-    iou = _pairwise_iou(pri_xyxy[None], gt_xyxy)           # [B, N, T]
+    pri_xyxy = xywh2xyxy(priors)                           # [N, 4]
+    gt_xyxy = xywh2xyxy(gt_cxcywh)                         # [B, T, 4]
+    iou = iou_matrix(pri_xyxy[None], gt_xyxy, eps=1e-9)    # [B, N, T]
     iou = jnp.where(gt_valid[:, None, :], iou, -1.0)
 
     # bipartite force: each valid GT claims its best prior with iou 2.0
@@ -119,7 +103,6 @@ def ssd_multibox_loss(
 
     Mining is shape-static: negatives are ranked by their CE loss per image
     (double-argsort rank) and the top ``neg_ratio * n_pos`` kept."""
-    n = locs.shape[1]
     posf = pos.astype(jnp.float32)
     n_pos = jnp.sum(posf, axis=1)                          # [B]
 
@@ -129,13 +112,7 @@ def ssd_multibox_loss(
 
     labels = pos.astype(jnp.int32)                         # face=1, bg=0
     ce = optax.softmax_cross_entropy_with_integer_labels(conf_logits, labels)
-    neg_ce = jnp.where(pos, -jnp.inf, ce)                  # negatives only
-    order = jnp.argsort(-neg_ce, axis=1)
-    rank = jnp.argsort(order, axis=1)                      # [B, N] desc rank
-    n_neg = jnp.clip(neg_ratio * n_pos, 1.0, n - 1.0)
-    neg = (rank < n_neg[:, None]) & ~pos
-    l_conf = jnp.sum(ce * (posf + neg.astype(jnp.float32))) / jnp.maximum(
-        jnp.sum(n_pos), 1.0)
+    l_conf = mined_conf_loss(ce, pos, neg_ratio)
     total = loc_gain * l_loc + l_conf
     return total, {"box": l_loc, "obj": l_conf,
                    "lmk": jnp.zeros(()), "cls": jnp.zeros(())}
@@ -148,7 +125,7 @@ def create_ssd_train_state(cfg: SSDTrainConfig, rng: jax.Array) -> Dict[str, Any
     variables = jax.jit(net.init, static_argnames=("train",))(
         rng, jnp.zeros((1, h, w, 3), jnp.float32), train=True)
     tx = optax.chain(
-        optax.add_decayed_weights(cfg.weight_decay),
+        optax.add_decayed_weights(cfg.weight_decay, mask=decay_mask),
         optax.sgd(lr_schedule(cfg), momentum=cfg.momentum),
     )
     return {
