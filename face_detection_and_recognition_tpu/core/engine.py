@@ -266,6 +266,12 @@ class FaceEngine:
                 self.net = net
                 self._detect = _jax.jit(make_ov_detect(net))
                 variables = net.init_variables()
+                # the EXECUTOR changed, not just the weights: every cached
+                # program (including with_vars/raw entries that survive a
+                # plain rebind) was traced over the old graph and would
+                # crash or silently run the old topology
+                self._pipeline_cache.clear()
+                self._baked_groups.clear()
             else:
                 from ..utils import model_formats as MF
 
@@ -415,11 +421,16 @@ class FaceEngine:
         program cache entry (detect, raw, ensemble, crop programs) goes
         through here so novel-resolution callers of any API are bounded.
         ``baked`` names the weight groups the program closes over (see
-        _invalidate_baked). Dict ops are GIL-atomic; the compile lock only
-        guards compilation."""
+        _invalidate_baked). Dict ops are GIL-atomic but next(iter)/pop is
+        NOT one op: two threads evicting concurrently can pick the same
+        victim, so pop with a default (the compile lock only guards
+        compilation, not every caller)."""
         while len(self._pipeline_cache) >= self._PIPELINE_CACHE_MAX:
-            evicted = next(iter(self._pipeline_cache))
-            self._pipeline_cache.pop(evicted)
+            try:
+                evicted = next(iter(self._pipeline_cache))
+            except StopIteration:  # raced another evictor to empty
+                break
+            self._pipeline_cache.pop(evicted, None)
             self._baked_groups.pop(evicted, None)
         self._pipeline_cache[key] = run
         if baked:
@@ -493,11 +504,15 @@ class FaceEngine:
         per call is a blocking host->device transfer (several ms through a
         tunneled TPU) that would book against every detect step."""
         key = float(v)
-        if key not in self._scalar_cache:
+        val = self._scalar_cache.get(key)
+        if val is None:
             if len(self._scalar_cache) >= 256:  # per-request thresholds:
                 self._scalar_cache.clear()      # bound the device arrays
-            self._scalar_cache[key] = jnp.float32(key)
-        return self._scalar_cache[key]
+            val = jnp.float32(key)
+            self._scalar_cache[key] = val
+        # return the LOCAL value: a concurrent thread hitting the 256 bound
+        # can clear the dict between our insert and a dict re-read
+        return val
 
     def detect_image(
         self, img: np.ndarray, det_thres: float = None,
@@ -516,19 +531,23 @@ class FaceEngine:
         key = ("raw",) + tuple(img.shape)
         run = self._pipeline_cache.get(key)
         if run is None:
-            spec_pre = self.spec.preprocess
-            pre_dtype = self.cfg.dtype
+            with self._compile_lock:  # one thread traces per resolution
+                run = self._pipeline_cache.get(key)
+                if run is None:
+                    spec_pre = self.spec.preprocess
+                    pre_dtype = self.cfg.dtype
 
-            # preprocess traced+compiled WITH the detector (once per source
-            # resolution) instead of per-op dispatch on every call
-            @jax.jit
-            def run(variables, imgs):
-                x = imgs if native else P.apply_preprocess_batch(imgs, spec_pre, pre_dtype)
-                return self._detect(variables, x)
+                    # preprocess traced+compiled WITH the detector (once
+                    # per source resolution), not per-op dispatch per call
+                    @jax.jit
+                    def run(variables, imgs):
+                        x = (imgs if native else P.apply_preprocess_batch(
+                            imgs, spec_pre, pre_dtype))
+                        return self._detect(variables, x)
 
-            if native:  # cascade detectors drive their own python staging
-                run = self._detect
-            self._cache_put(key, run)
+                    if native:  # cascades drive their own staging
+                        run = self._detect
+                    self._cache_put(key, run)
         dets, valid = run(self.variables, img[None])
         d, v = np.asarray(dets[0]), np.asarray(valid[0])
         return d[v]
@@ -600,8 +619,22 @@ class FaceEngine:
         ``ensemble_yolov5_face/config.pbtxt``)."""
         key = ("ens", shape, crop_hw, embed_offsets, want_embed, want_ag,
                sharded)
-        if key in self._pipeline_cache:
-            return self._pipeline_cache[key]
+        hit = self._pipeline_cache.get(key)
+        if hit is not None:
+            return hit
+        # serialize check-then-compile like _pipeline_for: concurrent first
+        # requests (ThreadingHTTPServer) must not each pay the multi-minute
+        # XLA compile of the full ensemble (RLock: safe under _pipeline_for
+        # nesting)
+        with self._compile_lock:
+            hit = self._pipeline_cache.get(key)
+            if hit is not None:
+                return hit
+            return self._build_ensemble(key, shape, crop_hw, embed_offsets,
+                                        want_embed, want_ag, sharded)
+
+    def _build_ensemble(self, key, shape, crop_hw, embed_offsets,
+                        want_embed, want_ag, sharded):
         if self.spec.input_size == (-1, -1):
             raise NotImplementedError(
                 "fused ensemble requires a jittable fixed-size detector "
@@ -780,19 +813,24 @@ class FaceEngine:
         key = ("embed_crops",) + tuple(faces.shape[1:])
         run = self._pipeline_cache.get(key)
         if run is None:
-            spec = self.embed_spec
-            ew, eh = spec.input_size
-            from ..models.embedders import preprocess_crops
-            from ..ops.geometry import resize_bilinear
+            with self._compile_lock:  # one thread traces per crop size
+                run = self._pipeline_cache.get(key)
+                if run is None:
+                    spec = self.embed_spec
+                    ew, eh = spec.input_size
+                    from ..models.embedders import preprocess_crops
+                    from ..ops.geometry import resize_bilinear
 
-            @jax.jit
-            def run(variables, crops):
-                x = crops.astype(jnp.float32)
-                if x.shape[1:3] != (eh, ew):
-                    x = jax.vmap(lambda im: resize_bilinear(im, (eh, ew)))(x)
-                return self._embed(variables, preprocess_crops(spec, x))
+                    @jax.jit
+                    def run(variables, crops):
+                        x = crops.astype(jnp.float32)
+                        if x.shape[1:3] != (eh, ew):
+                            x = jax.vmap(
+                                lambda im: resize_bilinear(im, (eh, ew)))(x)
+                        return self._embed(variables,
+                                           preprocess_crops(spec, x))
 
-            self._cache_put(key, run)
+                    self._cache_put(key, run)
         return np.asarray(run(self.embed_vars, jnp.asarray(faces)))
 
     def classify_crops_age_gender(self, faces: np.ndarray):
@@ -806,15 +844,18 @@ class FaceEngine:
         key = ("ag_crops",) + tuple(faces.shape[1:])
         run = self._pipeline_cache.get(key)
         if run is None:
+            with self._compile_lock:  # one thread traces per crop size
+                run = self._pipeline_cache.get(key)
+                if run is None:
 
-            @jax.jit
-            def run(ag_vars, crops):
-                x = jax.vmap(
-                    lambda im: P.apply_preprocess(im, P.AGE_GENDER)
-                )(crops)
-                return self._classify_ag(ag_vars[0], ag_vars[1], x)
+                    @jax.jit
+                    def run(ag_vars, crops):
+                        x = jax.vmap(
+                            lambda im: P.apply_preprocess(im, P.AGE_GENDER)
+                        )(crops)
+                        return self._classify_ag(ag_vars[0], ag_vars[1], x)
 
-            self._cache_put(key, run)
+                    self._cache_put(key, run)
         a, g = run(self.ag_vars, jnp.asarray(faces))
         return np.asarray(a), np.asarray(g)
 

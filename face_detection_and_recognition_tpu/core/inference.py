@@ -37,6 +37,8 @@ def inference_img(
         if not os.path.exists(img):
             raise FileNotFoundError(f"{img} does not exist")
         image = cv2.imread(img)
+        if image is None:  # exists but unsupported codec / truncated
+            raise ValueError(f"cannot decode image: {img}")
     elif isinstance(img, np.ndarray):
         image = img
     else:
@@ -118,18 +120,22 @@ def inference_vid(
             return posts
         return res.to_numpy()[:n]
 
-    def emit(handle):
+    def write_frame(f):
+        """Lazily create the writer from the first frame's size (shared by
+        the fused and staged paths so codec/size fixes apply to both)."""
         nonlocal writer
+        if writer is None:
+            fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+            writer = cv2.VideoWriter(
+                output, fourcc, src_fps, (f.shape[1], f.shape[0]))
+        writer.write(f)
+
+    def emit(handle):
         for f, p in zip(handle[1], collect(handle)):
             annotate(f, p)
             results.append(p)
             if output:
-                if writer is None:
-                    fourcc = cv2.VideoWriter_fourcc(*"mp4v")
-                    writer = cv2.VideoWriter(
-                        output, fourcc, src_fps, (f.shape[1], f.shape[0])
-                    )
-                writer.write(f)
+                write_frame(f)
             if display:
                 cv2.imshow(wname, f)
                 if (cv2.waitKey(5) & 0xFF) == ord("q"):
@@ -138,12 +144,19 @@ def inference_vid(
     blocks: "queue.Queue" = queue.Queue(maxsize=2)  # decode double-buffer
     _END = object()
 
+    # the staged per-frame path (native cascades + age_gender) only reads
+    # the host frame list — uploading its blocks would waste the full
+    # host->device transfer per block
+    staged = age_gender and not fused_ag
+
     def upload(block: List[np.ndarray]):
         """Pad + stage the block on device FROM THE READER THREAD so the
         host->device transfer (1.5s/56MB through the axon tunnel) overlaps
         with device compute and host annotate/write of earlier blocks."""
         import jax
 
+        if staged:
+            return len(block), block, None
         padded = block + [block[-1]] * (micro_batch - len(block))
         return len(block), block, jax.device_put(np.stack(padded))
 
@@ -169,7 +182,7 @@ def inference_vid(
     t = threading.Thread(target=reader, daemon=True)
     t.start()
 
-    if age_gender and not fused_ag:  # staged per-frame path (native cascades)
+    if staged:  # per-frame path (native cascades with age/gender)
         while True:
             item = blocks.get()
             if item is _END or stop.is_set():
@@ -179,11 +192,7 @@ def inference_vid(
                 annotate(f, p)
                 results.append(p)
                 if output:
-                    if writer is None:
-                        fourcc = cv2.VideoWriter_fourcc(*"mp4v")
-                        writer = cv2.VideoWriter(
-                            output, fourcc, src_fps, (f.shape[1], f.shape[0]))
-                    writer.write(f)
+                    write_frame(f)
                 if display:
                     cv2.imshow(wname, f)
                     if (cv2.waitKey(5) & 0xFF) == ord("q"):

@@ -99,11 +99,15 @@ def make_grpc_server(service: FaceService, host: str = "0.0.0.0",
 
 def serve_grpc(cfg: ServiceConfig = None, host: str = "0.0.0.0",
                port: int = 8081, block: bool = True,
-               dynamic_batching: int = 0):
+               dynamic_batching: int = 0, warmup_shapes=((576, 1024),)):
     """Start the gRPC service (compiles before accepting traffic, like the
-    Triton readiness ping the reference polls 100 times)."""
+    Triton readiness ping the reference polls 100 times — plus a fused-
+    program warmup at the production resolution, the Triton model_warmup
+    equivalent, so the first real request doesn't pay the XLA compile)."""
     service = FaceService(cfg or ServiceConfig())
     service.ready()
+    if warmup_shapes:
+        service.warmup(shapes=warmup_shapes)
     if dynamic_batching:
         service.enable_dynamic_batching(max_batch=dynamic_batching)
     server = make_grpc_server(service, host, port)

@@ -60,28 +60,41 @@ def make_handler(service: FaceService):
 
         def _read_image(self):
             length = int(self.headers.get("Content-Length", 0))
-            data = self.rfile.read(length)
-            img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
-            return img
+            arr = np.frombuffer(self.rfile.read(length), np.uint8)
+            if arr.size == 0:  # cv2.imdecode RAISES on an empty buffer
+                return None
+            return cv2.imdecode(arr, cv2.IMREAD_COLOR)
 
         def do_POST(self):
-            url = urlparse(self.path)
-            q = parse_qs(url.query)
-            img = self._read_image()
-            if img is None:
-                self._send(400, {"error": "cannot decode image"})
+            # a malformed request must come back as a JSON 400, not a
+            # dropped connection (the gRPC twin maps these to
+            # INVALID_ARGUMENT) — keep the whole request path guarded
+            try:
+                url = urlparse(self.path)
+                q = parse_qs(url.query)
+                img = self._read_image()
+                if img is None:
+                    self._send(400, {"error": "cannot decode image"})
+                    return
+                if url.path == "/detect":
+                    dt = (float(q["det_thres"][0])
+                          if "det_thres" in q else None)
+                    at = (float(q["bbox_area_thres"][0])
+                          if "bbox_area_thres" in q else None)
+                elif url.path != "/ensemble":
+                    self._send(404, {"error": "not found"})
+                    return
+            except (ValueError, KeyError, IndexError) as e:
+                self._send(400, {"error": f"bad request: {e}"})
                 return
             if url.path == "/detect":
-                dt = float(q["det_thres"][0]) if "det_thres" in q else None
-                at = (float(q["bbox_area_thres"][0])
-                      if "bbox_area_thres" in q else None)
                 faces, bboxes, confs = service.detect_faces(img, dt, at)
                 self._send(200, {
                     "bboxes": bboxes.tolist(),
                     "confs": confs.ravel().tolist(),
                     "num_faces": int(faces.shape[0]),
                 })
-            elif url.path == "/ensemble":
+            else:
                 out = service.detect_embed_classify(img)
                 self._send(200, {
                     "bboxes": out["bboxes"].tolist(),
@@ -89,16 +102,21 @@ def make_handler(service: FaceService):
                     "embeddings": out["embeddings"].tolist(),
                     "labels": out["labels"],
                 })
-            else:
-                self._send(404, {"error": "not found"})
 
     return Handler
 
 
 def serve(cfg: ServiceConfig = None, host: str = "0.0.0.0", port: int = 8081,
-          block: bool = True, dynamic_batching: int = 0):
+          block: bool = True, dynamic_batching: int = 0,
+          warmup_shapes=((576, 1024),)):
     service = FaceService(cfg or ServiceConfig())
-    service.ready()  # compile before accepting traffic
+    service.ready()
+    # pre-compile the FUSED program at the production resolution(s) — the
+    # readiness probe alone compiles a 64x64 plain-detect program a real
+    # /detect request never hits, so without this the first request pays
+    # the full XLA compile
+    if warmup_shapes:
+        service.warmup(shapes=warmup_shapes)
     if dynamic_batching:
         # concurrent HTTP requests of one resolution share fused dispatches
         service.enable_dynamic_batching(max_batch=dynamic_batching)

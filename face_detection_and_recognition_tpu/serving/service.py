@@ -132,21 +132,8 @@ class FaceService:
             posts = res.det.to_numpy()          # once, not once per index
             valid = np.asarray(res.det.valid)
             crops = np.asarray(res.crops)
-            out = []
-            for i in range(len(imgs)):
-                m = valid[i]
-                if not m.any():
-                    out.append((np.zeros((0, 3, *self.cfg.face_size),
-                                         np.float32),
-                                NO_FACE_SENTINEL.copy(),
-                                np.zeros((0, 1), np.float32)))
-                    continue
-                faces = ((crops[i][m] - 127.5) / 127.5).transpose(0, 3, 1, 2)
-                out.append((faces.astype(np.float32),
-                            np.asarray(posts[i].boxes, np.float32),
-                            np.asarray(posts[i].bbox_confs,
-                                       np.float32)[:, None]))
-            return out
+            return [self._contract_tuple(valid[i], crops[i], posts[i])
+                    for i in range(len(imgs))]
 
         self._batcher = DynamicBatcher(run_batch, max_batch=max_batch,
                                        max_delay_ms=max_delay_ms)
@@ -154,19 +141,25 @@ class FaceService:
 
     _batcher = None
 
-    def _faces_out(self, res, i: int):
-        """Slice image ``i`` of a fused EnsembleResult into the ensemble
-        contract tuple (faces CHW (-1,1), bboxes, confs / sentinel)."""
-        m = np.asarray(res.det.valid[i])
+    def _contract_tuple(self, valid_mask, crops_hwc, post):
+        """ONE home for the ensemble I/O contract (faces CHW (-1, 1),
+        bboxes, confs — or the no-face sentinel): the unbatched, dynamic-
+        batching, and staged paths all emit through here so the contract
+        cannot silently diverge between them."""
+        m = np.asarray(valid_mask)
         if not m.any():
             return (np.zeros((0, 3, *self.cfg.face_size), np.float32),
                     NO_FACE_SENTINEL.copy(), np.zeros((0, 1), np.float32))
-        post = res.det.to_numpy()[i]
-        faces = (np.asarray(res.crops[i])[m] - 127.5) / 127.5
-        faces = faces.transpose(0, 3, 1, 2)
-        return (faces.astype(np.float32),
+        faces = (np.asarray(crops_hwc)[m] - 127.5) / 127.5
+        return (faces.transpose(0, 3, 1, 2).astype(np.float32),
                 np.asarray(post.boxes, np.float32),
                 np.asarray(post.bbox_confs, np.float32)[:, None])
+
+    def _faces_out(self, res, i: int):
+        """Slice image ``i`` of a fused EnsembleResult into the ensemble
+        contract tuple (faces CHW (-1,1), bboxes, confs / sentinel)."""
+        return self._contract_tuple(res.det.valid[i], res.crops[i],
+                                    res.det.to_numpy()[i])
 
     # ---- ensemble contract (face_detection_trt_server) ----
 
@@ -205,16 +198,13 @@ class FaceService:
         from ..ops.crop import crop_and_resize
 
         post = self.engine.detect_image(image_bgr, det_thres, bbox_area_thres)
-        if not len(post.boxes):
-            return (np.zeros((0, 3, *self.cfg.face_size), np.float32),
-                    NO_FACE_SENTINEL.copy(), np.zeros((0, 1), np.float32))
+        n = len(post.boxes)
+        if not n:
+            return self._contract_tuple(np.zeros(1, bool), None, None)
         crops = crop_and_resize(jnp.asarray(image_bgr),
                                 jnp.asarray(post.boxes, jnp.float32),
                                 self.cfg.face_size)
-        faces = (np.asarray(crops) - 127.5) / 127.5
-        return (faces.transpose(0, 3, 1, 2).astype(np.float32),
-                np.asarray(post.boxes, np.float32),
-                np.asarray(post.bbox_confs, np.float32)[:, None])
+        return self._contract_tuple(np.ones(n, bool), crops, post)
 
     # ---- facenet server contract ----
 

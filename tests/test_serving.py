@@ -81,6 +81,25 @@ def test_http_server_roundtrip(rng):
             assert False, "expected 400"
         except urllib.error.HTTPError as e:
             assert e.code == 400
+        # EMPTY body -> 400, not a dropped connection (cv2.imdecode raises
+        # on an empty buffer rather than returning None)
+        empty = urllib.request.Request(
+            "http://127.0.0.1:18931/detect", data=b"", method="POST")
+        try:
+            urllib.request.urlopen(empty)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        # malformed threshold query -> 400 JSON error
+        badq = urllib.request.Request(
+            "http://127.0.0.1:18931/detect?det_thres=abc",
+            data=enc.tobytes(), method="POST")
+        try:
+            urllib.request.urlopen(badq)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "bad request" in json.load(e)["error"]
     finally:
         httpd.shutdown()
 
