@@ -151,7 +151,14 @@ if __name__ == "__main__":
     ap.add_argument("--rect", action="store_true",
                     help="rect letterbox inference (yolov5 families)")
     ap.add_argument("--dynamic-batch", type=int, default=0)
+    ap.add_argument("--ckpt", default=None,
+                    help="detector weights (orbax dir / .pt / .caffemodel "
+                         "/ .pb / .xml)")
+    ap.add_argument("--embed-ckpt", default=None)
+    ap.add_argument("--ag-ckpt", default=None)
     args = ap.parse_args()
-    serve_grpc(ServiceConfig(detector=args.detector, rect=args.rect),
+    serve_grpc(ServiceConfig(detector=args.detector, rect=args.rect,
+                             ckpt=args.ckpt, embed_ckpt=args.embed_ckpt,
+                             ag_ckpt=args.ag_ckpt),
                port=args.port,
                dynamic_batching=args.dynamic_batch)

@@ -43,6 +43,13 @@ class ServiceConfig:
     # rect letterbox inference (yolov5 families): same detections, ~1.5x
     # detector throughput on 16:9 frames (BENCHMARKS.md)
     rect: bool = False
+    # weight artifacts loaded at construction (any format engine.load_*
+    # accepts: orbax dir, .pt/.pth, .caffemodel, .pb, .xml, SavedModel/.h5).
+    # None = random init — fine for shape/perf testing, NOT for serving
+    # (the reference's Triton servers always load real model files)
+    ckpt: Optional[str] = None
+    embed_ckpt: Optional[str] = None
+    ag_ckpt: Optional[str] = None
 
 
 class FaceService:
@@ -62,6 +69,12 @@ class FaceService:
                 rect=cfg.rect,
             )
         )
+        if cfg.ckpt:
+            self.engine.load_weights(cfg.ckpt)
+        if cfg.embed_ckpt:
+            self.engine.load_embed_weights(cfg.embed_ckpt)
+        if cfg.ag_ckpt:
+            self.engine.load_age_gender_weights(cfg.ag_ckpt)
 
     def _ensemble(self, imgs, *args, **kw):
         """Route every batched ensemble dispatch through the mesh when

@@ -232,3 +232,23 @@ def test_service_mesh_routing(rng):
     np.testing.assert_allclose(b1, b0, atol=1e-3)
     np.testing.assert_allclose(c1, c0, atol=1e-4)
     np.testing.assert_allclose(f1, f0, atol=1e-2)
+
+
+def test_service_config_loads_checkpoints():
+    """ServiceConfig.ckpt wires trained weights at construction (the
+    reference's Triton servers always load real model files; a serving
+    process must not silently run random init)."""
+    import os
+
+    ckpt = os.path.join(os.path.dirname(__file__), "data",
+                        "golden_yolov5n_ckpt")
+    if not os.path.isdir(ckpt):
+        import pytest
+        pytest.skip("golden checkpoint not trained yet")
+    img = cv2.imread(os.path.join(os.path.dirname(__file__), "data",
+                                  "test2_faces_3.jpg"))
+    svc = FaceService(ServiceConfig(detector="yolov5n", det_thres=0.5,
+                                    with_embedder=False,
+                                    with_age_gender=False, ckpt=ckpt))
+    faces, bboxes, confs = svc.detect_faces(img)
+    assert faces.shape[0] == 3
