@@ -27,6 +27,7 @@ from ..models import registry
 from ..models.age_gender import labels_from_probs, make_age_gender
 from ..ops import preprocess as P
 from ..ops.crop import crop_and_resize, pad_boxes
+from ..ops.platform import on_tpu as _on_tpu
 from .detections import Detections, PostProcessedDetection, postprocess_detections
 
 
@@ -675,7 +676,7 @@ class FaceEngine:
             # programs keep the XLA GEMM form: GSPMD cannot partition a
             # pallas_call.
             crop_m = ("pallas" if not sharded
-                      and jax.devices()[0].platform == "tpu" else "auto")
+                      and _on_tpu() else "auto")
 
             def crop_batch(boxes, out_hw):
                 return jax.vmap(

@@ -61,7 +61,8 @@ def _default_micro_batch() -> int:
     realizing most of the batch-128 throughput knee."""
     import jax
 
-    return 32 if jax.devices()[0].platform == "tpu" else 4
+    from ..ops.platform import on_tpu
+    return 32 if on_tpu() else 4
 
 
 def inference_vid(

@@ -482,9 +482,14 @@ class CaffeGraphNet:
                 else:
                     env[s.output] = jnp.mean(x, axis=(1, 2), keepdims=True)
             elif s.op == "lrn":
-                from .age_gender import local_response_norm
+                from .age_gender import _lrn
 
-                env[s.output] = local_response_norm(x)
+                env[s.output] = _lrn(
+                    x,
+                    n=int(s.attrs.get("local_size", 5)),
+                    alpha=float(s.attrs.get("alpha", 1e-4)),
+                    beta=float(s.attrs.get("beta", 0.75)),
+                )
             elif s.op == "eltwise":
                 ys = [env[i] for i in s.inputs]
                 op = s.attrs["operation"]
@@ -534,7 +539,6 @@ def make_caffe_ssd_detect(net: CaffeGraphNet, keep_top_k: Optional[int] = None,
     """Fused detect(weights, imgs) -> (dets [B,K,5] normalized xyxy+conf,
     valid) from a DetectionOutput graph, using the ssd.py postprocess
     (softmax already applied in-graph; class 1 = face)."""
-    from .ssd import SSDConfig, decode_ssd_locs
     from ..ops.nms import greedy_nms, sort_by_score
 
     assert net.detection_cfg is not None, "graph has no DetectionOutput"
@@ -557,17 +561,23 @@ def make_caffe_ssd_detect(net: CaffeGraphNet, keep_top_k: Optional[int] = None,
     def detect(weights, imgs):
         out = net.apply(weights, imgs)
         loc, conf = out[net.outputs[0]]
+        # decode in f32 regardless of the graph compute dtype (bf16 offsets
+        # through exp() drift boxes by whole pixels)
+        loc = loc.astype(jnp.float32)
+        conf = conf.astype(jnp.float32)
         b = loc.shape[0]
         locs = loc.reshape(b, n, 4)
         probs = conf.reshape(b, n, ncls)[..., 1]
-        boxes = decode_ssd_locs(locs, priors[None].squeeze(0), variances[0])
+        # per-prior variances: each PriorBox layer may carry its own
+        # variance vector (caffe row 2), so decode with the full [N,4] table
+        boxes = decode_variance_priors(locs, priors, variances)
 
         def per_image(bx, c):
             top_c, idx = jax.lax.top_k(c, top_k)
             rows = jnp.concatenate([bx[idx], top_c[:, None]], axis=-1)
             valid = top_c > conf_thres
-            platform = jax.devices()[0].platform
-            if platform == "tpu":
+            from ..ops.platform import on_tpu
+            if on_tpu():
                 from ..ops.pallas_kernels import nms_fixpoint_pallas
 
                 keep_mask = nms_fixpoint_pallas(rows[:, :4], valid, iou)

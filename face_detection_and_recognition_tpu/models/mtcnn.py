@@ -224,7 +224,8 @@ class MTCNN:
         t1, t2, t3 = cfg.thresholds
         crop_m = cfg.crop_method
         if crop_m is None:
-            crop_m = ("pallas" if jax.devices()[0].platform == "tpu"
+            from ..ops.platform import on_tpu
+            crop_m = ("pallas" if on_tpu()
                       else "gather")
         # mtcnn operates on RGB, normalized (x - 127.5) / 128
         img = img_bgr.astype(jnp.float32)[..., ::-1]
@@ -254,8 +255,8 @@ class MTCNN:
             y2 = jnp.trunc((2.0 * row + 12.0) / scale)
             boxes = jnp.stack([x1, y1, x2, y2], axis=-1)
             valid = top > t1
-            # per-level NMS 0.5 union
-            keep = greedy_nms_mask(boxes, top, valid, 0.5)
+            # per-level NMS 0.5 union (facenet +1-pixel IoU convention)
+            keep = greedy_nms_mask(boxes, top, valid, 0.5, plus1=True)
             level_boxes.append(boxes)
             level_scores.append(top)
             level_regs.append(reg[0].reshape(-1, 4)[idx])
@@ -270,8 +271,8 @@ class MTCNN:
         regs = jnp.concatenate(level_regs)
         valid = jnp.concatenate(level_valid)
 
-        # global NMS 0.7 union, keep top max_stage1
-        keep = greedy_nms_mask(boxes, scores, valid, 0.7)
+        # global NMS 0.7 union, keep top max_stage1 (+1 convention)
+        keep = greedy_nms_mask(boxes, scores, valid, 0.7, plus1=True)
         _, s_scores, s_valid, s_boxes, s_regs = sort_by_score(
             scores, keep, boxes, regs
         )
@@ -295,21 +296,24 @@ class MTCNN:
         boxes = jnp.trunc(_rerec(boxes))
 
         # ---- stage 2: R-Net ----
-        crops = crop_and_resize_padded(norm, boxes, (24, 24), valid,
-                                       method=crop_m,
+        # facenet pad() crops img[y-1:ey, x-1:ex] — 1-based boxes, so the
+        # 0-based crop region is origin (x1-1, y1-1), size (x2-x1+1, y2-y1+1)
+        pad_shift = jnp.asarray([-1.0, -1.0, 0.0, 0.0], jnp.float32)
+        crops = crop_and_resize_padded(norm, boxes + pad_shift, (24, 24),
+                                       valid, method=crop_m,
                                        compute_dtype=self.dtype)
         prob, reg = self.rnet.apply(variables["rnet"], crops)
         score = prob[:, 1]
         valid = valid & (score > t2)
-        keep = greedy_nms_mask(boxes, score, valid, 0.7)
+        keep = greedy_nms_mask(boxes, score, valid, 0.7, plus1=True)
         boxes = _bbreg(boxes, reg)
         boxes = jnp.trunc(_rerec(boxes))
         _, score, valid, boxes = sort_by_score(
             score, keep, boxes, top=cfg.max_stage2)
 
         # ---- stage 3: O-Net ----
-        crops = crop_and_resize_padded(norm, boxes, (48, 48), valid,
-                                       method=crop_m,
+        crops = crop_and_resize_padded(norm, boxes + pad_shift, (48, 48),
+                                       valid, method=crop_m,
                                        compute_dtype=self.dtype)
         prob, reg, lmk = self.onet.apply(variables["onet"], crops)
         score = prob[:, 1]
@@ -320,7 +324,8 @@ class MTCNN:
         lx = bw[:, None] * lmk[:, 0:5] + boxes[:, 0:1] - 1.0
         ly = bh[:, None] * lmk[:, 5:10] + boxes[:, 1:2] - 1.0
         boxes = _bbreg(boxes, reg)
-        keep = greedy_nms_mask(boxes, score, valid, 0.7, mode="min")
+        keep = greedy_nms_mask(boxes, score, valid, 0.7, plus1=True,
+                               mode="min")
 
         # interleave landmarks to [x1, y1, ..., x5, y5] and normalize
         lmk_pairs = jnp.stack([lx, ly], axis=-1).reshape(-1, 10)

@@ -307,8 +307,30 @@ class OVGraphNet:
                                         in_keys[:2], out_key, {}))
                 self.outputs = [out_key]
             elif t == "Interpolate":
+                mode = str(L.attrs.get("mode", "nearest")).lower()
+                if "nearest" not in mode:
+                    raise NotImplementedError(
+                        f"Interpolate '{L.name}': mode '{mode}' unsupported "
+                        "(nearest only)")
+                # integer scale from the xml port dims; a missing-dims IR
+                # falls back to the FPN-standard 2x
+                factor = 2
+                out_dims = L.port_dims.get(out_port) or []
+                src_layer = g.by_id(srcs[0][0]) if srcs else None
+                in_dims = ((src_layer.port_dims.get(srcs[0][1]) or [])
+                           if src_layer else [])
+                if (len(out_dims) == 4 and len(in_dims) == 4
+                        and in_dims[2] and in_dims[3]):
+                    fy = out_dims[2] / in_dims[2]
+                    fx = out_dims[3] / in_dims[3]
+                    if fy != fx or not float(fy).is_integer() or fy < 1:
+                        raise NotImplementedError(
+                            f"Interpolate '{L.name}': non-uniform or "
+                            f"non-integer scale ({fy}, {fx})")
+                    factor = int(fy)
                 self.steps.append(_Step("interp_nearest", L.name,
-                                        in_keys[:1], out_key, {}))
+                                        in_keys[:1], out_key,
+                                        {"factor": factor}))
             else:
                 raise NotImplementedError(f"IR op '{t}' ({L.name})")
         if prior_parts:
@@ -484,8 +506,9 @@ class OVGraphNet:
                 env[s.output] = (env[s.inputs[0]], env[s.inputs[1]])
             elif s.op == "interp_nearest":
                 b, hh, ww, c = x.shape
+                f = int(s.attrs.get("factor", 2))
                 env[s.output] = jax.image.resize(
-                    x, (b, hh * 2, ww * 2, c), method="nearest")
+                    x, (b, hh * f, ww * f, c), method="nearest")
                 hwc_logical.add(s.output)
             else:  # pragma: no cover
                 raise AssertionError(s.op)
@@ -525,7 +548,8 @@ def make_ov_detect(net: OVGraphNet):
             top_c, idx = jax.lax.top_k(c, top_k)
             rows = jnp.concatenate([bx[idx], top_c[:, None]], axis=-1)
             valid = top_c > dc["confidence_threshold"]
-            if jax.devices()[0].platform == "tpu":
+            from ..ops.platform import on_tpu
+            if on_tpu():
                 from ..ops.pallas_kernels import nms_fixpoint_pallas
 
                 keep_mask = nms_fixpoint_pallas(rows[:, :4], valid,

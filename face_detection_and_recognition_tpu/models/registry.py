@@ -205,7 +205,7 @@ def _build_res10_graph():
 
         if kw.pop("input_size", None) not in (None, (300, 300)):
             raise ValueError("res10 runs the fixed 300x300 deploy graph")
-        return build_res10(rng=rng)
+        return build_res10(rng=rng, dtype=dtype)
 
     return build
 

@@ -235,13 +235,19 @@ def res10_deploy_defs() -> List[CaffeLayerDef]:
 
 def build_res10(rng=None, dtype=None):
     """Random-init res10 from the deploy table. Returns (net, weights,
-    detect) in the registry build contract."""
+    detect) in the registry build contract. dtype sets the graph compute
+    dtype (the executor propagates the input dtype; decode stays f32)."""
     import jax
+    import jax.numpy as jnp
 
     net = CaffeGraphNet(res10_deploy_defs(), input_size=(300, 300),
                         rng=rng if rng is not None else jax.random.PRNGKey(0))
     weights = net.init_variables()
-    detect = jax.jit(make_caffe_ssd_detect(net))
+    base = make_caffe_ssd_detect(net)
+    if dtype is not None and dtype != jnp.float32:
+        detect = jax.jit(lambda w, imgs: base(w, imgs.astype(dtype)))
+    else:
+        detect = jax.jit(base)
     return net, weights, detect
 
 

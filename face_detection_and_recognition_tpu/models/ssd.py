@@ -229,7 +229,8 @@ def ssd_postprocess(
     boxes = decode_ssd_locs(locs, priors, cfg.variances)
     use_pallas = cfg.pallas_nms
     if use_pallas is None:
-        use_pallas = jax.devices()[0].platform == "tpu"
+        from ..ops.platform import on_tpu
+        use_pallas = on_tpu()
 
     def per_image(b, c):
         k = min(cfg.top_k, c.shape[0])

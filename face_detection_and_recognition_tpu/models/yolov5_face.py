@@ -357,7 +357,9 @@ class YoloV5FaceConfig:
 
 def _use_pallas_nms(cfg: YoloV5FaceConfig) -> bool:
     if cfg.pallas_nms is None:
-        return jax.devices()[0].platform == "tpu"
+        from ..ops.platform import on_tpu
+
+        return on_tpu()
     return cfg.pallas_nms
 
 

@@ -40,9 +40,9 @@ EXTRACTION_OFFSETS = (-6.0, -1.0, 4.0, 5.0)
 
 
 def _auto_method() -> str:
-    import jax as _jax
+    from .platform import on_tpu
 
-    return "gemm" if _jax.devices()[0].platform == "tpu" else "gather"
+    return "gemm" if on_tpu() else "gather"
 
 
 def _hat_weights(coords: jnp.ndarray, n: int) -> jnp.ndarray:
@@ -215,7 +215,7 @@ def _crop_pallas(img, boxes, valid, out_hw, clamp, compute_dtype=jnp.float32):
     img_cm = img.transpose(2, 0, 1).reshape(c * h, w)
     v = valid if valid is not None else jnp.ones(boxes.shape[0], jnp.float32)
     out = crop_gemm_pallas(img_cm, boxes, v, (oh, ow), clamp=clamp,
-                           compute_dtype=compute_dtype)
+                           compute_dtype=compute_dtype, channels=c)
     return out.reshape(boxes.shape[0], c, oh, ow).transpose(0, 2, 3, 1)
 
 

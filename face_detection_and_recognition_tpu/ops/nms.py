@@ -165,7 +165,8 @@ def weighted_blend_nms(
     """
     k, d = dets.shape
     _, sscores, svalid, sdets = sort_by_score(dets[:, -1], valid, dets)
-    if jax.devices()[0].platform == "tpu":
+    from .platform import on_tpu
+    if on_tpu():
         # one VMEM kernel: greedy-keep fixpoint + owner assignment + MXU
         # blend matmuls (the jnp fori below ran at 40 GB/s — 16.8 ms of the
         # b256 blazeface-back step); kept rows are already in emission order

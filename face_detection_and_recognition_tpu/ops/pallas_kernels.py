@@ -29,7 +29,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _on_tpu() -> bool:
-    return jax.devices()[0].platform == "tpu"
+    from .platform import on_tpu
+
+    return on_tpu()
 
 
 # ---------------- fused greedy NMS ----------------
@@ -414,7 +416,7 @@ _CROP_WIN_W = 256
 
 @functools.partial(jax.jit,
                    static_argnames=("out_hw", "clamp", "interpret",
-                                    "compute_dtype"))
+                                    "compute_dtype", "channels"))
 def crop_gemm_pallas(
     img_cm: jnp.ndarray,
     boxes: jnp.ndarray,
@@ -423,6 +425,7 @@ def crop_gemm_pallas(
     clamp: bool = True,
     interpret: bool = None,
     compute_dtype=jnp.float32,
+    channels: int = None,
 ) -> jnp.ndarray:
     """Fused crop+resize for ALL boxes of one image in one kernel.
 
@@ -452,8 +455,11 @@ def crop_gemm_pallas(
     ow_pad = ((ow + 127) // 128) * 128
     oh_pad = ((oh + 7) // 8) * 8
     ch_total, w = img_cm.shape
-    # infer channels from divisibility (C is tiny and static at trace time)
-    c = 3 if ch_total % 3 == 0 else 1
+    # channel count comes from the caller (crop.py knows img.shape[2]);
+    # divisibility inference alone mis-splits e.g. a [H,W,1] image whose H
+    # happens to divide by 3
+    c = channels if channels is not None else (3 if ch_total % 3 == 0 else 1)
+    assert ch_total % c == 0, (ch_total, c)
     h = ch_total // c
     windowed = (h % 8 == 0 and w % 128 == 0
                 and h >= _CROP_WIN_H and w >= _CROP_WIN_W)

@@ -53,18 +53,29 @@ def _square_jitter(rng: random.Random, box: np.ndarray,
                     np.float32)
 
 
-def _crop_norm(img: np.ndarray, box: np.ndarray, size: int) -> np.ndarray:
+def _crop_norm(img: np.ndarray, box: np.ndarray, size: int,
+               pad_crop: bool = False) -> np.ndarray:
     """Crop a (possibly out-of-frame) square box with zero padding OUTSIDE
     the frame — the cascade's crop_and_resize_padded convention — resized to
-    [size,size,3], RGB, normalized (x-127.5)/128."""
+    [size,size,3], RGB, normalized (x-127.5)/128.
+
+    pad_crop=True uses the R/O-Net deployment geometry (facenet pad():
+    1-based boxes, so origin (x1-1, y1-1), size (x2-x1+1, y2-y1+1));
+    P-Net patches (applied convolutionally, never via pad()) keep the plain
+    [x1, x2) crop."""
     h, w = img.shape[:2]
     x1, y1, x2, y2 = [int(round(v)) for v in box]
-    side_x, side_y = max(x2 - x1, 1), max(y2 - y1, 1)
+    if pad_crop:
+        side_x, side_y = max(x2 - x1 + 1, 1), max(y2 - y1 + 1, 1)
+        ox, oy = x1 - 1, y1 - 1
+    else:
+        side_x, side_y = max(x2 - x1, 1), max(y2 - y1, 1)
+        ox, oy = x1, y1
     canvas = np.zeros((side_y, side_x, 3), np.uint8)
-    sx1, sy1 = max(x1, 0), max(y1, 0)
-    sx2, sy2 = min(x2, w), min(y2, h)
+    sx1, sy1 = max(ox, 0), max(oy, 0)
+    sx2, sy2 = min(ox + side_x, w), min(oy + side_y, h)
     if sx2 > sx1 and sy2 > sy1:
-        canvas[sy1 - y1:sy2 - y1, sx1 - x1:sx2 - x1] = img[sy1:sy2, sx1:sx2]
+        canvas[sy1 - oy:sy2 - oy, sx1 - ox:sx2 - ox] = img[sy1:sy2, sx1:sx2]
     crop = cv2.resize(canvas, (size, size))
     rgb = crop[..., ::-1].astype(np.float32)
     return (rgb - 127.5) * 0.0078125
@@ -151,7 +162,7 @@ def build_stage_buffer(
                 cb = np.array([x0, y0, x0 + side, y0 + side], np.float32)
             if len(gts) and max(bbox_iou_xyxy(cb, g) for g in gts) >= 0.3:
                 continue
-            xs[i] = _crop_norm(img, cb, size)
+            xs[i] = _crop_norm(img, cb, size, pad_crop=plus1)
             cls[i] = 0
             i += 1
             continue
@@ -160,7 +171,7 @@ def build_stage_buffer(
         cb = _square_jitter(rng, g, pos=want_pos)
         iou = bbox_iou_xyxy(cb, g)
         if iou > 0.65:
-            xs[i] = _crop_norm(img, cb, size)
+            xs[i] = _crop_norm(img, cb, size, pad_crop=plus1)
             cls[i] = 1
             reg[i] = _reg_target(cb, g, plus1)
             reg_mask[i] = 1.0
@@ -168,7 +179,7 @@ def build_stage_buffer(
             lmk_mask[i] = 1.0
             i += 1
         elif 0.4 <= iou <= 0.65:
-            xs[i] = _crop_norm(img, cb, size)
+            xs[i] = _crop_norm(img, cb, size, pad_crop=plus1)
             cls_mask[i] = 0.0                  # part face: regression only
             reg[i] = _reg_target(cb, g, plus1)
             reg_mask[i] = 1.0
@@ -325,7 +336,7 @@ def train_golden_mtcnn(
             cx, cy = b[0] + w / 2, b[1] + h / 2
             sq = np.array([cx - l / 2, cy - l / 2, cx + l / 2, cy + l / 2],
                           np.float32)
-            xs.append(_crop_norm(imgs[p], sq, size))
+            xs.append(_crop_norm(imgs[p], sq, size, pad_crop=size != 12))
         n = len(xs)
         if n == 0:
             return data

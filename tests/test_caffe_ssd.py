@@ -211,3 +211,163 @@ def test_res10_registry_and_engine_load(tmp_path, rng):
                                dict((L.name, L.blobs) for L in defs
                                     if L.blobs)["conv1_h"][0].reshape(
                                         np.asarray(old["conv1_h"][0]).shape))
+
+
+def test_caffe_graph_lrn_executes(rng):
+    """A graph containing an LRN layer runs end-to-end and matches the
+    channel-window LRN math (this path was dead before round 3: the step
+    imported a nonexistent helper and crashed at apply time)."""
+    import jax.numpy as jnp
+
+    from face_detection_and_recognition_tpu.models.age_gender import _lrn
+
+    layers = [
+        CaffeLayerDef(name="conv1", type="Convolution", bottoms=["data"],
+                      tops=["conv1"],
+                      params={"conv": {"num_output": 8, "bias_term": True,
+                                       "pad": [1], "kernel": [3],
+                                       "stride": [1], "group": 1,
+                                       "dilation": [1]}},
+                      blobs=[rng.randn(8, 3, 3, 3).astype(np.float32) * 0.1,
+                             rng.randn(8).astype(np.float32) * 0.1]),
+        CaffeLayerDef(name="norm1", type="LRN", bottoms=["conv1"],
+                      tops=["norm1"], params={}),
+    ]
+    net = CaffeGraphNet(layers, input_size=(16, 16))
+    w = net.init_variables()
+    x = jnp.asarray(rng.randn(2, 16, 16, 3).astype(np.float32))
+    out = net.apply(w, x)["norm1"]
+    conv_only = CaffeGraphNet(layers[:1], input_size=(16, 16))
+    conv = conv_only.apply(w, x)["conv1"]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_lrn(conv)),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_detect_decodes_per_prior_variances(rng):
+    """Two PriorBox levels carrying DIFFERENT variance vectors: the fused
+    detect must decode every prior with its own variance row, not level 0's
+    (pre-round-3 it applied variances[0] to all priors)."""
+    import jax
+    import jax.numpy as jnp
+
+    from face_detection_and_recognition_tpu.models.caffe_ssd import (
+        make_caffe_ssd_detect)
+
+    def conv(name, bot, top, n_out, stride=1):
+        return CaffeLayerDef(
+            name=name, type="Convolution", bottoms=[bot], tops=[top],
+            params={"conv": {"num_output": n_out, "bias_term": True,
+                             "pad": [1], "kernel": [3], "stride": [stride],
+                             "group": 1, "dilation": [1]}})
+
+    def head(src, bot, variance):
+        return [
+            conv(f"{src}_loc", bot, f"{src}_loc", 4),
+            CaffeLayerDef(name=f"{src}_loc_perm", type="Permute",
+                          bottoms=[f"{src}_loc"], tops=[f"{src}_loc_perm"],
+                          params={"permute": {"order": [0, 2, 3, 1]}}),
+            CaffeLayerDef(name=f"{src}_loc_flat", type="Flatten",
+                          bottoms=[f"{src}_loc_perm"],
+                          tops=[f"{src}_loc_flat"],
+                          params={"flatten": {"axis": 1}}),
+            conv(f"{src}_conf", bot, f"{src}_conf", 2),
+            CaffeLayerDef(name=f"{src}_conf_perm", type="Permute",
+                          bottoms=[f"{src}_conf"], tops=[f"{src}_conf_perm"],
+                          params={"permute": {"order": [0, 2, 3, 1]}}),
+            CaffeLayerDef(name=f"{src}_conf_flat", type="Flatten",
+                          bottoms=[f"{src}_conf_perm"],
+                          tops=[f"{src}_conf_flat"],
+                          params={"flatten": {"axis": 1}}),
+            CaffeLayerDef(name=f"{src}_pb", type="PriorBox",
+                          bottoms=[bot, "data"], tops=[f"{src}_pb"],
+                          params={"prior_box": {
+                              "min_size": [4.0], "max_size": [],
+                              "aspect_ratio": [], "flip": True,
+                              "clip": False, "variance": variance,
+                              "step": None, "offset": 0.5}}),
+        ]
+
+    layers = [conv("feat_a", "data", "feat_a", 8, stride=2),
+              conv("feat_b", "feat_a", "feat_b", 8, stride=2)]
+    layers += head("a", "feat_a", [0.1, 0.1, 0.2, 0.2])
+    layers += head("b", "feat_b", [0.3, 0.3, 0.15, 0.15])
+    layers += [
+        CaffeLayerDef(name="mbox_loc", type="Concat",
+                      bottoms=["a_loc_flat", "b_loc_flat"],
+                      tops=["mbox_loc"], params={"concat": {"axis": 1}}),
+        CaffeLayerDef(name="mbox_conf", type="Concat",
+                      bottoms=["a_conf_flat", "b_conf_flat"],
+                      tops=["mbox_conf"], params={"concat": {"axis": 1}}),
+        CaffeLayerDef(name="mbox_pb", type="Concat",
+                      bottoms=["a_pb", "b_pb"], tops=["mbox_pb"],
+                      params={"concat": {"axis": 2}}),
+        CaffeLayerDef(name="mbox_conf_reshape", type="Reshape",
+                      bottoms=["mbox_conf"], tops=["mbox_conf_reshape"],
+                      params={"reshape": {"shape": [0, -1, 2]}}),
+        CaffeLayerDef(name="mbox_conf_softmax", type="Softmax",
+                      bottoms=["mbox_conf_reshape"],
+                      tops=["mbox_conf_softmax"],
+                      params={"softmax": {"axis": 2}}),
+        CaffeLayerDef(name="mbox_conf_flatten", type="Flatten",
+                      bottoms=["mbox_conf_softmax"],
+                      tops=["mbox_conf_flatten"],
+                      params={"flatten": {"axis": 1}}),
+        CaffeLayerDef(name="det", type="DetectionOutput",
+                      bottoms=["mbox_loc", "mbox_conf_flatten", "mbox_pb"],
+                      tops=["det"],
+                      params={"detection_output": {
+                          "num_classes": 2, "background_label_id": 0,
+                          "nms_threshold": 0.45, "top_k": 400,
+                          "keep_top_k": 10,
+                          "confidence_threshold": 0.01}}),
+    ]
+    net = CaffeGraphNet(layers, input_size=(16, 16))
+    w = net.init_variables()
+    n = len(net.priors)
+    assert n == 8 * 8 + 4 * 4
+    # the two levels really carry different variance tables
+    assert not np.allclose(net.prior_variances[0], net.prior_variances[-1])
+
+    detect = jax.jit(make_caffe_ssd_detect(net))
+    x = jnp.asarray(rng.randn(1, 16, 16, 3).astype(np.float32))
+    dets, valid = detect(w, x)
+    dets = np.asarray(dets)[0]
+
+    # independent numpy decode with per-prior variances
+    out = net.apply(w, x)
+    loc, conf = out["det"]
+    locs = np.asarray(loc, np.float64).reshape(n, 4)
+    probs = np.asarray(conf, np.float64).reshape(n, 2)[:, 1]
+    pri = net.priors.astype(np.float64)
+    pcx = (pri[:, 0] + pri[:, 2]) / 2
+    pcy = (pri[:, 1] + pri[:, 3]) / 2
+    pw = pri[:, 2] - pri[:, 0]
+    ph = pri[:, 3] - pri[:, 1]
+    v = net.prior_variances.astype(np.float64)
+    cx = pcx + locs[:, 0] * v[:, 0] * pw
+    cy = pcy + locs[:, 1] * v[:, 1] * ph
+    bw = pw * np.exp(locs[:, 2] * v[:, 2])
+    bh = ph * np.exp(locs[:, 3] * v[:, 3])
+    boxes = np.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], 1)
+
+    top = int(np.argmax(probs))
+    assert bool(np.asarray(valid)[0, 0])
+    np.testing.assert_allclose(dets[0, 4], probs[top], rtol=1e-5)
+    np.testing.assert_allclose(dets[0, :4], boxes[top], rtol=1e-4, atol=1e-5)
+
+
+def test_res10_build_respects_dtype(rng):
+    """build_res10(dtype=bf16) runs the graph in bf16 (pre-round-3 the
+    dtype silently fell back to f32) while the decode stays f32."""
+    import jax.numpy as jnp
+
+    from face_detection_and_recognition_tpu.models.res10 import build_res10
+
+    net, weights, detect = build_res10(dtype=jnp.bfloat16)
+    x = jnp.asarray(rng.randn(1, 300, 300, 3).astype(np.float32))
+    out = net.apply(weights, x.astype(jnp.bfloat16))
+    loc, conf = out["detection_out"]
+    assert loc.dtype == jnp.bfloat16      # graph ran in the compute dtype
+    dets, valid = detect(weights, x)
+    assert dets.dtype == jnp.float32      # decode upcasts
+    assert np.isfinite(np.asarray(dets)).all()

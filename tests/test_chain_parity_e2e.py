@@ -169,20 +169,22 @@ def _np_bbreg(b, reg):
 
 
 def _np_crops(norm, boxes, size, resize):
-    """facenet pad(): out-of-bounds region lands in a zero canvas before
-    resampling."""
+    """facenet pad(): boxes are 1-based, so the 0-based crop is
+    img[y1-1:y2, x1-1:x2] — origin (x1-1, y1-1), size (x2-x1+1, y2-y1+1);
+    out-of-bounds region lands in a zero canvas before resampling."""
     import jax.numpy as jnp
 
     h, w = norm.shape[:2]
     out = []
     for b in boxes:
         x1, y1, x2, y2 = (int(v) for v in np.trunc(b))
-        cw, ch = max(x2 - x1, 1), max(y2 - y1, 1)
+        cw, ch = max(x2 - x1 + 1, 1), max(y2 - y1 + 1, 1)
+        ox, oy = x1 - 1, y1 - 1
         canvas = np.zeros((ch, cw, 3), np.float32)
-        sx1, sy1 = max(x1, 0), max(y1, 0)
-        sx2, sy2 = min(x1 + cw, w), min(y1 + ch, h)
+        sx1, sy1 = max(ox, 0), max(oy, 0)
+        sx2, sy2 = min(ox + cw, w), min(oy + ch, h)
         if sx2 > sx1 and sy2 > sy1:
-            canvas[sy1 - y1:sy2 - y1, sx1 - x1:sx2 - x1] = norm[sy1:sy2,
+            canvas[sy1 - oy:sy2 - oy, sx1 - ox:sx2 - ox] = norm[sy1:sy2,
                                                                 sx1:sx2]
         out.append(np.asarray(resize(jnp.asarray(canvas), (size, size))))
     return np.stack(out) if out else np.zeros((0, size, size, 3), np.float32)

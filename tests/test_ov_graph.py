@@ -369,3 +369,38 @@ def test_detect_face_cli_openvino_ir(tmp_path, rng):
                "--dt", "0.01", "--no-display", "-o", out])
     assert rc == 0
     assert cv2.imread(out) is not None
+
+
+def test_interpolate_factor_from_port_dims(rng):
+    """Interpolate reads its scale from the xml port dims (4x here) and
+    rejects non-nearest modes — pre-round-3 it silently hardcoded 2x."""
+    import jax.numpy as jnp
+
+    def build(mode, out_hw):
+        layers = [
+            IRLayer(id=0, name="image", type="Parameter",
+                    attrs={"shape": "1,3,4,4", "element_type": "f32"},
+                    output_ports=[0], port_dims={0: [1, 3, 4, 4]}),
+            IRLayer(id=1, name="up", type="Interpolate",
+                    attrs={"mode": mode},
+                    input_ports=[0], output_ports=[1],
+                    port_dims={1: [1, 3, out_hw, out_hw]}),
+            IRLayer(id=2, name="out", type="Result", input_ports=[0]),
+        ]
+        edges = {(1, 0): (0, 0), (2, 0): (1, 1)}
+        xml, blob = write_ir_graph(layers, edges)
+        return OVGraphNet(parse_ir_graph(xml, blob))
+
+    net = build("nearest", 16)
+    x = rng.randn(1, 4, 4, 3).astype(np.float32)
+    out = net.apply(net.init_variables(), jnp.asarray(x))
+    y = np.asarray(out[net.outputs[0]])
+    assert y.shape == (1, 16, 16, 3)
+    # nearest 4x: every source pixel becomes a 4x4 block
+    np.testing.assert_allclose(y[0, :4, :4], np.broadcast_to(
+        x[0, 0, 0], (4, 4, 3)))
+
+    with pytest.raises(NotImplementedError):
+        build("linear", 8)
+    with pytest.raises(NotImplementedError):
+        build("nearest", 6)  # non-integer 1.5x scale

@@ -179,3 +179,25 @@ def test_weighted_blend_nms_pallas_matches_jnp(rng):
     np.testing.assert_array_equal(got_valid, np.asarray(ref_valid))
     np.testing.assert_allclose(got_out, np.asarray(ref_out),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_crop_gemm_explicit_channels_grayscale(rng):
+    """channels=1 with H divisible by 3: divisibility inference alone would
+    mis-split the channels-major image (pre-round-3 bug); the explicit
+    channel count keeps single-channel crops exact vs the gather sampler."""
+    import jax.numpy as jnp
+
+    import face_detection_and_recognition_tpu.ops.pallas_kernels as PK
+    from face_detection_and_recognition_tpu.ops.crop import crop_and_resize
+
+    img = rng.uniform(-1, 1, (300, 256, 1)).astype(np.float32)  # 300 % 3 == 0
+    img_cm = jnp.asarray(img).transpose(2, 0, 1).reshape(-1, img.shape[1])
+    boxes = jnp.asarray(np.array([[10, 10, 90, 120],
+                                  [50, 200, 250, 290]], np.float32))
+    valid = jnp.asarray(np.ones(2, np.float32))
+    out = np.asarray(PK.crop_gemm_pallas.__wrapped__(
+        img_cm, boxes, valid, (24, 24), True, True, jnp.float32, 1))
+    assert out.shape == (2, 24, 24)
+    ref = np.asarray(crop_and_resize(jnp.asarray(img), boxes, (24, 24),
+                                     valid, method="gemm"))
+    np.testing.assert_allclose(out.reshape(2, 24, 24, 1), ref, atol=1e-4)
