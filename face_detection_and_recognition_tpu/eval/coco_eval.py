@@ -8,9 +8,12 @@ WIDER-FACE (``eval_face_detector.py:170-196``).
 """
 from __future__ import annotations
 
+import logging
 from typing import Dict, List
 
 import numpy as np
+
+logger = logging.getLogger("face_eval")
 
 IOU_THRESHOLDS = np.arange(0.5, 1.0, 0.05)
 RECALL_POINTS = np.linspace(0.0, 1.0, 101)
@@ -179,15 +182,24 @@ def evaluate_engine_on_wider(
     paths = sorted(gt)[:limit] if limit else sorted(gt)
     gt_by_image, det_by_image = {}, {}
 
+    n_unreadable = 0
+
     if engine.input_size == (-1, -1):  # native-resolution cascade
         for img_id, rel in enumerate(paths):
+            # an unreadable image keeps its GT (its faces count as missed);
+            # silently dropping it from gt_by_image would shrink total_gt
+            # and inflate the reported AP/AR
+            gt_by_image[img_id] = gt[rel]
             img = read_image_bgr(os.path.join(images_root, rel))
             if img is None:
+                n_unreadable += 1
                 continue
-            gt_by_image[img_id] = gt[rel]
             post = engine.detect_image(img)
             if len(post.boxes):
                 det_by_image[img_id] = _dets_to_xywh(post)
+        if n_unreadable:
+            logger.warning("%d/%d images unreadable: their GT boxes count "
+                           "as missed", n_unreadable, len(paths))
         return evaluate_detections(gt_by_image, det_by_image)
 
     iw, ih = engine.input_size
@@ -203,8 +215,13 @@ def evaluate_engine_on_wider(
         for start in range(0, len(paths), batch_size):
             chunk = paths[start:start + batch_size]
             loaded = list(pool.map(load, chunk))
+            # every image in the chunk keeps its GT, decodable or not —
+            # unreadable ones contribute missed GT, not a smaller denominator
+            for i, rel in enumerate(chunk):
+                gt_by_image[start + i] = gt[rel]
             keep = [(i, c, wh) for i, (c, wh) in enumerate(loaded)
                     if c is not None]
+            n_unreadable += len(chunk) - len(keep)
             if not keep:
                 continue
             block = np.stack([c for _, c, _ in keep])
@@ -218,11 +235,13 @@ def evaluate_engine_on_wider(
             posts = dets.to_numpy()[:len(keep)]
             for (i, _, (ww, hh)), post in zip(keep, posts):
                 img_id = start + i
-                gt_by_image[img_id] = gt[chunk[i]]
                 if len(post.boxes):
                     post.boxes = _unletterbox(
                         np.asarray(post.boxes, np.float64), (iw, ih), (ww, hh))
                     det_by_image[img_id] = _dets_to_xywh(post)
+    if n_unreadable:
+        logger.warning("%d/%d images unreadable: their GT boxes count as "
+                       "missed", n_unreadable, len(paths))
     return evaluate_detections(gt_by_image, det_by_image)
 
 

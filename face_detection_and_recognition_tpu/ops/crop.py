@@ -39,6 +39,17 @@ import jax.numpy as jnp
 EXTRACTION_OFFSETS = (-6.0, -1.0, 4.0, 5.0)
 
 
+def extraction_crop_region(box, w: int, h: int):
+    """Integer (x1, y1, x2, y2) crop region for saved artifacts: the
+    reference's offsets clipped to the frame. Slice ends are EXCLUSIVE, so
+    the clip bound is w/h — not w-1/h-1, which would drop the last pixel
+    column/row of edge-touching faces (extract_faces_from_dataset.py:301)."""
+    x1, y1, x2, y2 = (int(v) for v in box)
+    ox1, oy1, ox2, oy2 = (int(v) for v in EXTRACTION_OFFSETS)
+    return (max(0, x1 + ox1), max(0, y1 + oy1),
+            min(w, x2 + ox2), min(h, y2 + oy2))
+
+
 def _auto_method() -> str:
     from .platform import on_tpu
 

@@ -99,16 +99,37 @@ class PrefetchLoader:
         for it in items:
             self._item_q.put(it)
         self._threads: List[threading.Thread] = []
+        self._stop = threading.Event()
 
     def _worker(self):
-        while True:
+        while not self._stop.is_set():
             try:
                 item = self._item_q.get_nowait()
             except queue.Empty:
                 break
             frames = list(iter_media_frames(item, self.max_frames))
-            self._q.put((item, frames))
-        self._q.put(self._END)
+            # timed put so a consumer that stopped iterating (exception,
+            # early break) cannot park this thread forever on a full queue
+            while not self._stop.is_set():
+                try:
+                    self._q.put((item, frames), timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
+        self._q.put(self._END)  # close() drains, so this cannot deadlock
+
+    def close(self):
+        """Stop workers and reclaim their threads; safe to call twice.
+        Runs automatically when iteration ends OR is abandoned."""
+        self._stop.set()
+        while any(t.is_alive() for t in self._threads):
+            try:
+                self._q.get(timeout=0.1)
+            except queue.Empty:
+                pass
+        for t in self._threads:
+            t.join()
+        self._threads = []
 
     def __iter__(self):
         for _ in range(self.num_workers):
@@ -116,12 +137,15 @@ class PrefetchLoader:
             t.start()
             self._threads.append(t)
         done = 0
-        while done < self.num_workers:
-            got = self._q.get()
-            if got is self._END:
-                done += 1
-                continue
-            yield got
+        try:
+            while done < self.num_workers:
+                got = self._q.get()
+                if got is self._END:
+                    done += 1
+                    continue
+                yield got
+        finally:
+            self.close()
 
 
 def output_exists(out_dir: str, class_name: str, media_path: str,

@@ -26,7 +26,7 @@ import cv2
 import numpy as np
 
 from ..core.engine import FaceEngine
-from ..ops.crop import EXTRACTION_OFFSETS
+from ..ops.crop import EXTRACTION_OFFSETS, extraction_crop_region
 from .dataset import (MAX_N_FACES_PER_FRAME, MAX_N_FRAME_FROM_VID,
                       MediaItem, PrefetchLoader, output_exists,
                       walk_class_tree)
@@ -105,9 +105,7 @@ def _host_crops(frame: np.ndarray, boxes: np.ndarray) -> List[np.ndarray]:
     h, w = frame.shape[:2]
     out = []
     for box in boxes:
-        x1, y1, x2, y2 = (int(v) for v in box)
-        x1o, y1o = max(0, x1 - 6), max(0, y1 - 1)
-        x2o, y2o = min(w - 1, x2 + 4), min(h - 1, y2 + 5)
+        x1o, y1o, x2o, y2o = extraction_crop_region(box, w, h)
         crop = frame[y1o:y2o, x1o:x2o]
         if crop.size:  # degenerate boxes produce empty slices
             out.append(crop)
@@ -149,8 +147,8 @@ def extract_faces_from_dataset(
     fused = engine.spec.input_size != (-1, -1)
     if mesh is not None and block_size % mesh.shape["data"] != 0:
         raise ValueError(
-            f"block_size {block_size} must divide the mesh data axis "
-            f"({mesh.shape['data']})"
+            f"the mesh data axis ({mesh.shape['data']}) must divide "
+            f"block_size {block_size} so each device gets whole frames"
         )
 
     def finalize(st: _MediaState):
@@ -212,7 +210,12 @@ def extract_faces_from_dataset(
         st = _MediaState(item, n_frames=len(frames),
                          frame_feats=[None] * len(frames))
         if not frames:
-            finalize(st)
+            # undecodable media is a FAILURE (reference :446-448), not a
+            # zero-face success — writing an all-zero feature file would
+            # both feed fabricated embeddings downstream and make
+            # resume-by-existence skip the file forever
+            logger.error("no decodable frames in %s", item.path)
+            stats.failed.append(item.path)
             continue
         for pos, (_, frame) in enumerate(frames):
             b = buckets.setdefault(frame.shape, [])

@@ -40,6 +40,8 @@ def extract_features_from_face_dataset(
 ) -> int:
     """For each face crop image, save ``[D+1]`` array [features..., label]
     as ``out/class/stem.npy``. Returns number of records written."""
+    if engine.embed_spec is None:
+        raise RuntimeError("engine built without an embedder")
     class_map = load_class_map(class_map_path, data_dir)
     written = 0
     for cls, label in class_map.items():
@@ -60,6 +62,7 @@ def extract_features_from_face_dataset(
                     out_cls, os.path.splitext(os.path.basename(p))[0] + ".npy"
                 ))
             ]
+        ew, eh = engine.embed_spec.input_size
         for i in range(0, len(paths), batch_size):
             chunk = paths[i : i + batch_size]
             from ..utils.native import read_image_bgr
@@ -68,13 +71,11 @@ def extract_features_from_face_dataset(
             pairs = [(p, im) for p, im in zip(chunk, imgs) if im is not None]
             if not pairs:
                 continue
-            feats = [
-                engine.embed_faces(
-                    im, np.asarray([[0, 0, im.shape[1], im.shape[0]]],
-                                   np.float32)
-                )[0]
-                for _, im in pairs
-            ]
+            # the images ARE the face crops: host-resize to the embedder
+            # input and run the whole chunk as ONE batched device program
+            # (per-image embed_faces dispatches cost several ms each)
+            batch = np.stack([cv2.resize(im, (ew, eh)) for _, im in pairs])
+            feats = engine.embed_crops(batch)
             for (p, _), f in zip(pairs, feats):
                 stem = os.path.splitext(os.path.basename(p))[0]
                 rec = np.concatenate([f, [float(label)]]).astype(np.float32)

@@ -15,6 +15,8 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from ..ops.crop import extraction_crop_region
+
 AGE_GROUPS: Tuple[Tuple[int, int, str], ...] = (
     (0, 13, "0-13"),
     (14, 24, "14-24"),
@@ -163,9 +165,7 @@ def extract_imdb_wiki_faces(
             hh, ww = img.shape[:2]
             box = _unletterbox(np.asarray(post.boxes, np.float64),
                                (iw, ih), (ww, hh))[0]
-            x1, y1, x2, y2 = (int(v) for v in box)
-            x1o, y1o = max(0, x1 - 6), max(0, y1 - 1)
-            x2o, y2o = min(ww - 1, x2 + 4), min(hh - 1, y2 + 5)
+            x1o, y1o, x2o, y2o = extraction_crop_region(box, ww, hh)
             crop = img[y1o:y2o, x1o:x2o]
             if not crop.size:
                 continue

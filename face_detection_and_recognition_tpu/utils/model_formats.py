@@ -51,6 +51,8 @@ def _read_varint(buf: bytes, pos: int) -> Tuple[int, int]:
 
 
 def _write_varint(value: int) -> bytes:
+    if value < 0:  # two's-complement 64-bit (10-byte varint), like protobuf
+        value &= (1 << 64) - 1
     out = bytearray()
     while True:
         b = value & 0x7F
@@ -106,6 +108,12 @@ def _packed_varints(buf: bytes) -> List[int]:
         v, pos = _read_varint(buf, pos)
         out.append(v)
     return out
+
+
+def _signed64(v: int) -> int:
+    """Protobuf int32/int64 fields encode negatives as 64-bit
+    two's-complement varints (NOT zigzag — that is sint*)."""
+    return v - (1 << 64) if v >= (1 << 63) else v
 
 
 # ---------------------------------------------------------------------------
@@ -265,14 +273,21 @@ def _parse_tensor_proto(buf: bytes) -> Optional[np.ndarray]:
                     vals.extend(np.frombuffer(val, "<f4").tolist())
                 elif field == 6:
                     vals.extend(np.frombuffer(val, "<f8").tolist())
-                else:
-                    vals.extend(_packed_varints(val))
+                elif field == 13:  # half_val holds uint16 BIT PATTERNS
+                    vals.extend(np.asarray(_packed_varints(val), np.uint16)
+                                .view(np.float16).tolist())
+                else:  # int_val/int64_val: negatives are 64-bit
+                    # two's-complement varints
+                    vals.extend(_signed64(v) for v in _packed_varints(val))
             elif wire == _I32:
                 vals.append(struct.unpack("<f", val)[0])
             elif wire == _I64:
                 vals.append(struct.unpack("<d", val)[0])
+            elif field == 13:
+                vals.append(float(np.asarray([val & 0xFFFF], np.uint16)
+                                  .view(np.float16)[0]))
             else:
-                vals.append(val)
+                vals.append(_signed64(val))
     if content:
         arr = np.frombuffer(content, dtype=np.dtype(dtype).newbyteorder("<")).copy()
     else:

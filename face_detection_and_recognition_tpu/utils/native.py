@@ -76,7 +76,10 @@ def decode_letterbox_jpeg(
             jpeg_bytes, len(jpeg_bytes), w, h, fill,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         )
-        return out if rc == 0 else None
+        if rc == 0:
+            return out
+        # fall through to cv2: libjpeg rejects CMYK/arithmetic-coded files
+        # cv2 can decode — coverage must not depend on the native build
     import cv2
 
     img = cv2.imdecode(np.frombuffer(jpeg_bytes, np.uint8), cv2.IMREAD_COLOR)
@@ -120,7 +123,13 @@ def decode_letterbox_batch(
         status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         num_threads,
     )
-    return out, status == 0
+    ok = status == 0
+    for i in np.nonzero(~ok)[0]:  # cv2 rescue for libjpeg-rejected files
+        img = decode_letterbox_jpeg(bytes(jpeg_list[i]), out_wh, fill)
+        if img is not None:
+            out[i] = img
+            ok[i] = True
+    return out, ok
 
 
 def decode_jpeg_bgr(jpeg_bytes: bytes) -> Optional[np.ndarray]:

@@ -28,6 +28,12 @@ class ArgumentParserMod(argparse.ArgumentParser):
             for group in self._action_groups:
                 if action in group._group_actions:
                     group._group_actions.remove(action)
+            # _remove_action drops the action from help/parsing order but
+            # argparse ROUTES option strings through _option_string_actions;
+            # without this the removed flag still parses and re-adding it
+            # conflicts
+            for opt in action.option_strings:
+                self._option_string_actions.pop(opt, None)
 
     def remove_arguments(self, args: List[str]) -> None:
         for a in args:

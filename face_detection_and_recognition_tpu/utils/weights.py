@@ -344,6 +344,16 @@ def caffe_layers_to_arrays(layers) -> list:
 _LEAF_ORDER = {"kernel": 0, "scale": 1, "bias": 2, "alpha": 3}
 
 
+def _natural_key(name: str):
+    """Sort flax auto-numbered siblings numerically: Conv_2 before Conv_10
+    (plain string sort interleaves them at >=10 children, silently pouring
+    weights into the wrong layers when consecutive shapes coincide)."""
+    import re
+
+    return tuple(int(p) if p.isdigit() else p
+                 for p in re.split(r"(\d+)", name))
+
+
 def _walk_slots(params: Mapping, stats: Mapping, path=()):
     """Yield (path, leaf_name, expected_shape, is_batch_stat) in canonical
     execution order. flax sorts param dicts alphabetically, so the walk
@@ -355,10 +365,10 @@ def _walk_slots(params: Mapping, stats: Mapping, path=()):
     leaves = [(k, v) for k, v in params.items() if not isinstance(v, Mapping)]
     subs = [(k, v) for k, v in params.items() if isinstance(v, Mapping)]
     for key, val in sorted(leaves, key=lambda kv: (_LEAF_ORDER.get(kv[0], 9),
-                                                   kv[0])):
+                                                   _natural_key(kv[0]))):
         yield (path, key, tuple(np.shape(val)), False)
     for key, val in sorted(subs, key=lambda kv: (
-            0 if kv[0].startswith("Conv") else 1, kv[0])):
+            0 if kv[0].startswith("Conv") else 1, _natural_key(kv[0]))):
         sub_stats = stats.get(key, {}) if isinstance(stats, Mapping) else {}
         yield from _walk_slots(val, sub_stats, path + (key,))
         if key.startswith("BatchNorm") and sub_stats:

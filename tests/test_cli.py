@@ -125,3 +125,18 @@ def test_webcam_loop_with_stubbed_camera(monkeypatch, rng):
                                      det_thres=0.3, max_det=4))
     inference_webcam(engine, 0)
     assert len(shown) == 6  # every camera frame displayed exactly once
+
+
+def test_parser_remove_argument_unregisters_option_strings():
+    """A removed flag must stop parsing AND be re-addable (argparse routes
+    through _option_string_actions, which _remove_action leaves behind)."""
+    import pytest
+
+    from face_detection_and_recognition_tpu.utils.parser import get_argparse
+
+    p = get_argparse()
+    p.remove_argument("input_src")
+    with pytest.raises(SystemExit):
+        p.parse_args(["-i", "x.mp4"])
+    p.add_argument("-i", "--input_src", dest="input_src", default="cam0")
+    assert p.parse_args(["-i", "y.mp4"]).input_src == "y.mp4"

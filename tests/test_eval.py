@@ -207,3 +207,39 @@ def test_matcher_tie_breaking_matches_classic_loop():
     # both dets must match (one gt each) -> perfect AP/AR
     assert out["AP"] == pytest.approx(1.0, abs=1e-6)
     assert out["AR"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_unreadable_images_count_as_missed_gt(tmp_path):
+    """An undecodable image keeps its GT in the denominator (its faces are
+    misses) — silently dropping it inflated AP/AR."""
+    import cv2
+
+    from face_detection_and_recognition_tpu.eval.coco_eval import (
+        evaluate_engine_on_wider)
+
+    d = tmp_path / "imgs" / "0--Parade"
+    d.mkdir(parents=True)
+    img = np.zeros((64, 64, 3), np.uint8)
+    cv2.imwrite(str(d / "ok.jpg"), img)
+    (d / "corrupt.jpg").write_bytes(b"not an image")
+    ann = tmp_path / "gt.txt"
+    ann.write_text(
+        "0--Parade/ok.jpg\n1\n10 10 20 20 0 0 0 0 0 0\n"
+        "0--Parade/corrupt.jpg\n1\n10 10 20 20 0 0 0 0 0 0\n"
+    )
+
+    class _Post:
+        boxes = np.asarray([[10.0, 10.0, 30.0, 30.0]])
+        bbox_confs = np.asarray([0.9])
+
+    class _Eng:  # native-resolution branch: detect_image per readable image
+        input_size = (-1, -1)
+
+        def detect_image(self, img):
+            return _Post()
+
+    m = evaluate_engine_on_wider(_Eng(), str(ann), str(tmp_path / "imgs"))
+    # 2 GT boxes total; only 1 (perfectly) detected -> recall capped at 0.5
+    # (the old behavior dropped the unreadable image's GT -> AP = AR = 1.0)
+    assert m["AR"] <= 0.5 + 1e-6
+    assert m["AP50"] <= 0.51  # 101-point interpolation of precision=1 @ r<=.5

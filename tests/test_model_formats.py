@@ -492,3 +492,37 @@ def test_mtcnn_graphdef_reordered_consts(rng):
     np.testing.assert_array_equal(
         imported["onet"]["params"]["PReLU_3"]["alpha"],
         by_name["onet/PReLU_3/alpha"])
+
+
+def test_tensor_proto_negative_int_and_half(rng):
+    """Unpacked VARINT semantics: int_val negatives arrive as 64-bit
+    two's-complement varints, half_val holds float16 BIT PATTERNS."""
+    from face_detection_and_recognition_tpu.utils import model_formats as MF
+
+    varint_field = MF._varint_field
+    len_field = MF._len_field
+
+    # int32 Const with value -1 (dtype=DT_INT32=3, shape [2], splat int_val)
+    shape = len_field(2, len_field(2, varint_field(1, 2)))
+    proto = varint_field(1, 3) + shape + varint_field(7, -1)
+    arr = MF._parse_tensor_proto(proto)
+    assert arr.dtype == np.int32
+    np.testing.assert_array_equal(arr, [-1, -1])
+
+    # DT_HALF (19) splat: bit pattern 0x3C00 == float16(1.0)
+    shape = len_field(2, len_field(2, varint_field(1, 3)))
+    proto = varint_field(1, 19) + shape + varint_field(13, 0x3C00)
+    arr = MF._parse_tensor_proto(proto)
+    assert arr.dtype == np.float16
+    np.testing.assert_array_equal(arr, np.full(3, 1.0, np.float16))
+
+
+def test_walk_slots_natural_order():
+    """>= 10 auto-numbered siblings pour in numeric order (Conv_2 before
+    Conv_10); plain string sort silently transposed repeated blocks."""
+    from face_detection_and_recognition_tpu.utils import weights as W
+
+    params = {f"Conv_{i}": {"kernel": np.zeros((1, 1, 1, i + 1))}
+              for i in range(12)}
+    order = [path[0] for path, leaf, _, _ in W._walk_slots(params, {})]
+    assert order == [f"Conv_{i}" for i in range(12)]

@@ -295,3 +295,59 @@ def test_imdb_wiki_extraction_block_path(tmp_path, rng):
     for rec in data:
         assert rec["embedding"].shape == (512,)
         assert rec["age_group"] is not None
+
+
+def test_prefetch_loader_early_exit_reclaims_threads(class_tree):
+    """Abandoning iteration (break/exception) must not leave worker threads
+    parked on the bounded queue forever."""
+    import threading
+
+    items = dataset.walk_class_tree(str(class_tree)) * 4
+    before = threading.active_count()
+    loader = dataset.PrefetchLoader(items, num_workers=3, queue_size=1)
+    for _ in loader:
+        break  # consumer stops immediately; queue_size=1 parks workers
+    # generator close -> finally -> loader.close() joins every worker
+    assert not loader._threads
+    assert threading.active_count() <= before + 1
+
+
+def test_extraction_crop_region_keeps_edge_pixels():
+    """The clip bound is w/h (exclusive slice ends) — the reference's
+    min(xw, w); clipping to w-1 dropped the last pixel column/row."""
+    from face_detection_and_recognition_tpu.ops.crop import (
+        extraction_crop_region)
+
+    # x2+4 lands exactly at w: full width survives
+    assert extraction_crop_region([10, 10, 96, 95], 100, 100) == \
+        (4, 9, 100, 100)
+    # interior box: pure offsets
+    assert extraction_crop_region([10, 10, 20, 20], 100, 100) == \
+        (4, 9, 24, 25)
+
+
+def test_extract_faces_unreadable_media_recorded_as_failure(tmp_path):
+    """A media file with no decodable frames must be a FAILURE (no zero
+    feature file, not skipped on resume), matching the reference's per-media
+    try/except."""
+    from face_detection_and_recognition_tpu.pipelines.extract_faces import (
+        extract_faces_from_dataset)
+
+    d = tmp_path / "data" / "class_x"
+    d.mkdir(parents=True)
+    (d / "corrupt.jpg").write_bytes(b"\xff\xd8 this is not a jpeg")
+
+    class _Spec:
+        input_size = (-1, -1)
+
+    class _Eng:
+        spec = _Spec()
+        embed_spec = None
+
+    out = tmp_path / "out"
+    stats = extract_faces_from_dataset(
+        _Eng(), str(tmp_path / "data"), str(out), save_features=False)
+    assert str(d / "corrupt.jpg") in stats.failed
+    assert "class_x" not in stats.classes
+    crop_dir = out / "class_x" / "corrupt"
+    assert not crop_dir.exists() or not any(crop_dir.iterdir())
