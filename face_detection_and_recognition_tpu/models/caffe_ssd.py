@@ -260,8 +260,12 @@ class CaffeGraphNet:
                          "stride": s, "pad": pd, "out_hw": (oh, ow),
                          "in_hw": (hh, ww)}))
             elif lt == "LRN":
+                p = L.params.get("lrn", {})
+                if p.get("norm_region", 0) != 0:
+                    raise NotImplementedError(
+                        f"LRN '{L.name}': WITHIN_CHANNEL norm_region")
                 shapes[top] = shapes[bot]
-                self.steps.append(_Step("lrn", L.name, [bot], top, {}))
+                self.steps.append(_Step("lrn", L.name, [bot], top, dict(p)))
             elif lt == "Eltwise":
                 op = L.params.get("eltwise", {}).get("operation", "sum")
                 shapes[top] = shapes[L.bottoms[0]]
@@ -487,8 +491,9 @@ class CaffeGraphNet:
                 env[s.output] = _lrn(
                     x,
                     n=int(s.attrs.get("local_size", 5)),
-                    alpha=float(s.attrs.get("alpha", 1e-4)),
+                    alpha=float(s.attrs.get("alpha", 1.0)),
                     beta=float(s.attrs.get("beta", 0.75)),
+                    k=float(s.attrs.get("k", 1.0)),
                 )
             elif s.op == "eltwise":
                 ys = [env[i] for i in s.inputs]

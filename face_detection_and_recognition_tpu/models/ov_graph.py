@@ -386,9 +386,14 @@ class OVGraphNet:
                 env[s.output] = y
                 hwc_logical.add(s.output)
             elif s.op == "binop":
+                # elementwise ops PRESERVE the input's logical layout: a 4-D
+                # tensor is channels-last only if its producer was (a reshape
+                # output is NCHW-logical, so its const operand must NOT be
+                # transposed and the result must not be marked hwc)
+                in_hwc = x.ndim == 4 and s.inputs[0] in hwc_logical
                 y2 = (jnp.asarray(weights[s.inputs[1]])
                       if s.attrs["const2"] else env[s.inputs[1]])
-                if s.attrs["const2"] and y2.ndim == 4 and x.ndim == 4:
+                if s.attrs["const2"] and y2.ndim == 4 and in_hwc:
                     y2 = jnp.transpose(y2, (0, 2, 3, 1))  # [1,C,1,1]->NHWC
                 kind = s.attrs["kind"]
                 env[s.output] = {
@@ -397,29 +402,35 @@ class OVGraphNet:
                     "Maximum": lambda: jnp.maximum(x, y2),
                     "Divide": lambda: x / y2,
                 }[kind]()
-                if x.ndim == 4:
+                if in_hwc:
                     hwc_logical.add(s.output)
             elif s.op == "prelu":
                 alpha = jnp.asarray(weights[s.inputs[1]]).reshape(-1)
-                env[s.output] = jnp.where(x >= 0, x, x * alpha)
-                if x.ndim == 4:
+                # per-channel alpha broadcasts over the LAST axis, which is
+                # channels only for hwc-logical tensors
+                in_hwc = x.ndim == 4 and s.inputs[0] in hwc_logical
+                a_ = alpha if (in_hwc or x.ndim != 4 or alpha.size == 1) \
+                    else alpha.reshape(-1, 1, 1)
+                env[s.output] = jnp.where(x >= 0, x, x * a_)
+                if in_hwc:
                     hwc_logical.add(s.output)
             elif s.op in ("relu", "sigmoid", "elu", "tanh"):
                 fn = {"relu": jax.nn.relu, "sigmoid": jax.nn.sigmoid,
                       "elu": jax.nn.elu, "tanh": jnp.tanh}[s.op]
                 env[s.output] = fn(x)
-                if x.ndim == 4:
+                if x.ndim == 4 and s.inputs[0] in hwc_logical:
                     hwc_logical.add(s.output)
             elif s.op == "clamp":
                 env[s.output] = jnp.clip(x, s.attrs["min"], s.attrs["max"])
-                if x.ndim == 4:
+                if x.ndim == 4 and s.inputs[0] in hwc_logical:
                     hwc_logical.add(s.output)
             elif s.op == "softmax":
                 ax = s.attrs["axis"]
-                if x.ndim == 4 and s.inputs[0] in hwc_logical and ax == 1:
+                in_hwc = x.ndim == 4 and s.inputs[0] in hwc_logical
+                if in_hwc and ax == 1:
                     ax = 3
                 env[s.output] = jax.nn.softmax(x, axis=ax)
-                if x.ndim == 4:
+                if in_hwc:
                     hwc_logical.add(s.output)
             elif s.op == "pool":
                 a = s.attrs

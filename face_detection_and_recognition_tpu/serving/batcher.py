@@ -40,17 +40,34 @@ class DynamicBatcher:
         run_batch: fn(imgs [B, H, W, 3], key) -> list of B per-image results
             (key is the grouping tuple the requests were submitted with,
             e.g. thresholds).
-        max_batch: coalescing limit == the compiled batch size (requests are
-            padded up to it, so every group reuses one XLA program).
+        max_batch: coalescing limit (requests beyond it dispatch in the
+            next window).
         max_delay_ms: how long the worker waits for co-travellers after the
             first request of a group arrives.
+        preferred_batch_sizes: the compiled batch buckets (Triton's
+            ``preferred_batch_size``): each group pads up to the SMALLEST
+            bucket that fits it, not straight to max_batch. Padding bytes
+            ride the host->device link, so a lone request padded to 8 pays
+            8x the upload of a batch-1 program — ruinous through a slow
+            tunnel, measurable even on PCIe. Defaults to powers of two up
+            to max_batch (one XLA program per bucket, compile-once each).
     """
 
     def __init__(self, run_batch: Callable, max_batch: int = 8,
-                 max_delay_ms: float = 4.0):
+                 max_delay_ms: float = 4.0,
+                 preferred_batch_sizes: Optional[List[int]] = None):
         self.run_batch = run_batch
         self.max_batch = max_batch
         self.max_delay = max_delay_ms / 1e3
+        if preferred_batch_sizes is None:
+            preferred_batch_sizes = []
+            b = 1
+            while b < max_batch:
+                preferred_batch_sizes.append(b)
+                b *= 2
+            preferred_batch_sizes.append(max_batch)
+        self.preferred_batch_sizes = sorted(
+            {min(int(b), max_batch) for b in preferred_batch_sizes})
         self._q: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
         self.dispatches = 0          # observability: device calls made
@@ -133,7 +150,9 @@ class DynamicBatcher:
         self.dispatches += 1
         try:
             imgs = np.stack([r.img for r in group])
-            pad = self.max_batch - len(group)
+            bucket = next((b for b in self.preferred_batch_sizes
+                           if b >= len(group)), self.max_batch)
+            pad = bucket - len(group)
             if pad:
                 imgs = np.concatenate(
                     [imgs, np.repeat(imgs[-1:], pad, axis=0)])

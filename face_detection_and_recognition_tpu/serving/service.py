@@ -131,10 +131,13 @@ class FaceService:
     # ---- dynamic batching (Triton config.pbtxt dynamic_batching) ----
 
     def enable_dynamic_batching(self, max_batch: int = 8,
-                                max_delay_ms: float = 4.0):
+                                max_delay_ms: float = 4.0,
+                                preferred_batch_sizes=None):
         """Coalesce concurrent detect_faces calls into shared fused-ensemble
         dispatches (grouped by image shape + thresholds). Returns the
-        batcher for observability (dispatch/request counters)."""
+        batcher for observability (dispatch/request counters).
+        ``preferred_batch_sizes`` are the compiled padding buckets
+        (Triton's preferred_batch_size; default powers of two)."""
         from .batcher import DynamicBatcher
 
         def run_batch(imgs, key):
@@ -148,8 +151,9 @@ class FaceService:
             return [self._contract_tuple(valid[i], crops[i], posts[i])
                     for i in range(len(imgs))]
 
-        self._batcher = DynamicBatcher(run_batch, max_batch=max_batch,
-                                       max_delay_ms=max_delay_ms)
+        self._batcher = DynamicBatcher(
+            run_batch, max_batch=max_batch, max_delay_ms=max_delay_ms,
+            preferred_batch_sizes=preferred_batch_sizes)
         return self._batcher
 
     _batcher = None

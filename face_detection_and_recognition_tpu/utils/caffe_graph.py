@@ -189,6 +189,20 @@ def _parse_eltwise_param(msg: bytes) -> Dict[str, object]:
         _first_int(acc.get(1), 1), "sum")}
 
 
+def _parse_lrn_param(msg: bytes) -> Dict[str, object]:
+    # LRNParameter: local_size=1 [5], alpha=2 [1.0], beta=3 [0.75],
+    # norm_region=4 (0=ACROSS_CHANNELS, 1=WITHIN_CHANNEL), k=5 [1.0]
+    acc: Dict[int, list] = {}
+    _parse_repeated(msg, acc)
+    return {
+        "local_size": _first_int(acc.get(1), 5),
+        "alpha": _first_float(acc.get(2), 1.0),
+        "beta": _first_float(acc.get(3), 0.75),
+        "norm_region": _first_int(acc.get(4), 0),
+        "k": _first_float(acc.get(5), 1.0),
+    }
+
+
 def _parse_scale_param(msg: bytes) -> Dict[str, object]:
     acc: Dict[int, list] = {}
     _parse_repeated(msg, acc)
@@ -248,6 +262,7 @@ _PARAM_PARSERS = {
     _F_CONV: ("conv", _parse_conv_param),
     _F_POOL: ("pool", _parse_pool_param),
     _F_ELTWISE: ("eltwise", _parse_eltwise_param),
+    _F_LRN: ("lrn", _parse_lrn_param),
     _F_PRIORBOX: ("prior_box", _parse_priorbox_param),
     _F_DETECTION_OUT: ("detection_output", _parse_detection_output_param),
     _F_SCALE: ("scale", _parse_scale_param),
@@ -362,6 +377,15 @@ def _write_scale_param(p: Dict[str, object]) -> bytes:
     return _varint_field(4, 1 if p.get("bias_term") else 0)
 
 
+def _write_lrn_param(p: Dict[str, object]) -> bytes:
+    body = bytearray(_varint_field(1, int(p.get("local_size", 5))))
+    body += _f32_field(2, p.get("alpha", 1.0))
+    body += _f32_field(3, p.get("beta", 0.75))
+    body += _varint_field(4, int(p.get("norm_region", 0)))
+    body += _f32_field(5, p.get("k", 1.0))
+    return bytes(body)
+
+
 def _write_norm_param(p: Dict[str, object]) -> bytes:
     return (_varint_field(1, 1 if p.get("across_spatial", True) else 0)
             + _varint_field(3, 1 if p.get("channel_shared", True) else 0))
@@ -388,6 +412,7 @@ _PARAM_WRITERS = {
     "conv": (_F_CONV, _write_conv_param),
     "pool": (_F_POOL, _write_pool_param),
     "eltwise": (_F_ELTWISE, _write_eltwise_param),
+    "lrn": (_F_LRN, _write_lrn_param),
     "prior_box": (_F_PRIORBOX, _write_priorbox_param),
     "detection_output": (_F_DETECTION_OUT, _write_detection_output_param),
     "scale": (_F_SCALE, _write_scale_param),

@@ -214,13 +214,18 @@ def test_res10_registry_and_engine_load(tmp_path, rng):
 
 
 def test_caffe_graph_lrn_executes(rng):
-    """A graph containing an LRN layer runs end-to-end and matches the
-    channel-window LRN math (this path was dead before round 3: the step
-    imported a nonexistent helper and crashed at apply time)."""
+    """A graph containing an LRN layer runs end-to-end, carries the layer's
+    OWN local_size/alpha/beta/k through the protobuf wire format (the params
+    were silently dropped before round 3c: _F_LRN was declared but never
+    registered, so every parsed LRN fell back to defaults), and matches the
+    channel-window LRN math."""
     import jax.numpy as jnp
 
     from face_detection_and_recognition_tpu.models.age_gender import _lrn
+    from face_detection_and_recognition_tpu.utils.caffe_graph import (
+        read_caffemodel_graph, write_caffemodel_graph)
 
+    lrn_p = {"local_size": 3, "alpha": 2e-4, "beta": 0.6, "k": 2.0}
     layers = [
         CaffeLayerDef(name="conv1", type="Convolution", bottoms=["data"],
                       tops=["conv1"],
@@ -231,16 +236,36 @@ def test_caffe_graph_lrn_executes(rng):
                       blobs=[rng.randn(8, 3, 3, 3).astype(np.float32) * 0.1,
                              rng.randn(8).astype(np.float32) * 0.1]),
         CaffeLayerDef(name="norm1", type="LRN", bottoms=["conv1"],
-                      tops=["norm1"], params={}),
+                      tops=["norm1"], params={"lrn": dict(lrn_p)}),
     ]
-    net = CaffeGraphNet(layers, input_size=(16, 16))
+    # non-default params must survive the wire round-trip
+    parsed = read_caffemodel_graph(write_caffemodel_graph(layers))
+    got = parsed[1].params["lrn"]
+    assert got["local_size"] == 3 and got["norm_region"] == 0
+    np.testing.assert_allclose(
+        [got["alpha"], got["beta"], got["k"]], [2e-4, 0.6, 2.0], rtol=1e-6)
+
+    net = CaffeGraphNet(parsed, input_size=(16, 16))
     w = net.init_variables()
     x = jnp.asarray(rng.randn(2, 16, 16, 3).astype(np.float32))
     out = net.apply(w, x)["norm1"]
     conv_only = CaffeGraphNet(layers[:1], input_size=(16, 16))
     conv = conv_only.apply(w, x)["conv1"]
-    np.testing.assert_allclose(np.asarray(out), np.asarray(_lrn(conv)),
-                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out),
+        np.asarray(_lrn(conv, n=3, alpha=2e-4, beta=0.6, k=2.0)),
+        rtol=1e-5, atol=1e-6)
+    # an UNPARAMETERIZED LRN layer uses caffe.proto's defaults (alpha=1.0,
+    # not the AlexNet-conventional 1e-4)
+    plain = CaffeGraphNet(
+        layers[:1] + [CaffeLayerDef(name="norm1", type="LRN",
+                                    bottoms=["conv1"], tops=["norm1"])],
+        input_size=(16, 16))
+    out2 = plain.apply(w, x)["norm1"]
+    np.testing.assert_allclose(
+        np.asarray(out2),
+        np.asarray(_lrn(conv, n=5, alpha=1.0, beta=0.75, k=1.0)),
+        rtol=1e-5, atol=1e-6)
 
 
 def test_detect_decodes_per_prior_variances(rng):

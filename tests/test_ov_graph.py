@@ -404,3 +404,46 @@ def test_interpolate_factor_from_port_dims(rng):
         build("linear", 8)
     with pytest.raises(NotImplementedError):
         build("nearest", 6)  # non-integer 1.5x scale
+
+
+def test_elementwise_after_reshape_keeps_nchw_layout(rng):
+    """A binop/activation consuming a RESHAPE output (4-D, NCHW-logical)
+    must broadcast its [1,C,1,1] const on axis 1 and must NOT mark the
+    result channels-last — pre-round-3c the executor transposed the const
+    and tagged every 4-D elementwise output hwc, silently mis-broadcasting
+    ([1,3,16,1] + [1,1,1,3] -> [1,3,16,3]) on NCHW-logical tensors."""
+    import jax.numpy as jnp
+
+    bias = rng.randn(1, 3, 1, 1).astype(np.float32)
+    layers = [
+        IRLayer(id=0, name="image", type="Parameter",
+                attrs={"shape": "1,3,4,4", "element_type": "f32"},
+                output_ports=[0], port_dims={0: [1, 3, 4, 4]}),
+        _const(1, "tgt", np.asarray([1, 3, 16, 1], np.int64)),
+        IRLayer(id=2, name="resh", type="Reshape",
+                attrs={"special_zero": "true"},
+                input_ports=[0, 1], output_ports=[2],
+                port_dims={2: [1, 3, 16, 1]}),
+        _const(3, "bias", bias),
+        IRLayer(id=4, name="addc", type="Add", input_ports=[0, 1],
+                output_ports=[2], port_dims={2: [1, 3, 16, 1]}),
+        IRLayer(id=5, name="act", type="ReLU", input_ports=[0],
+                output_ports=[1], port_dims={1: [1, 3, 16, 1]}),
+        _const(6, "tgt2", np.asarray([1, 48], np.int64)),
+        IRLayer(id=7, name="flat", type="Reshape",
+                attrs={"special_zero": "true"},
+                input_ports=[0, 1], output_ports=[2],
+                port_dims={2: [1, 48]}),
+        IRLayer(id=8, name="out", type="Result", input_ports=[0]),
+    ]
+    edges = {(2, 0): (0, 0), (2, 1): (1, 0), (4, 0): (2, 2), (4, 1): (3, 0),
+             (5, 0): (4, 2), (7, 0): (5, 1), (7, 1): (6, 0), (8, 0): (7, 2)}
+    xml, blob = write_ir_graph(layers, edges)
+    net = OVGraphNet(parse_ir_graph(xml, blob))
+    x = rng.randn(1, 4, 4, 3).astype(np.float32)  # caller hands NHWC
+    out = net.apply(net.init_variables(), jnp.asarray(x))
+    y = np.asarray(out[net.outputs[0]])
+    x_nchw = np.transpose(x, (0, 3, 1, 2))
+    expect = np.maximum(x_nchw.reshape(1, 3, 16, 1) + bias, 0).reshape(1, 48)
+    assert y.shape == (1, 48)
+    np.testing.assert_allclose(y, expect, rtol=1e-6, atol=1e-6)

@@ -252,3 +252,41 @@ def test_service_config_loads_checkpoints():
                                     with_age_gender=False, ckpt=ckpt))
     faces, bboxes, confs = svc.detect_faces(img)
     assert faces.shape[0] == 3
+
+
+def test_batcher_pads_to_preferred_buckets():
+    """A group pads to the SMALLEST preferred bucket that fits it, never
+    straight to max_batch: padding bytes ride the host->device upload, so a
+    lone request padded 1->8 pays 8x the transfer (Triton's
+    preferred_batch_size semantics)."""
+    import threading
+
+    from face_detection_and_recognition_tpu.serving.batcher import (
+        DynamicBatcher)
+
+    seen = []
+
+    def run_batch(imgs, key):
+        seen.append(len(imgs))
+        return [int(imgs[i, 0, 0, 0]) for i in range(len(imgs))]
+
+    b = DynamicBatcher(run_batch, max_batch=8, max_delay_ms=40.0)
+    assert b.preferred_batch_sizes == [1, 2, 4, 8]
+    img = np.zeros((4, 4, 3), np.uint8)
+    # one lone request -> bucket 1
+    assert b.submit(img) == 0
+    # three concurrent -> bucket 4 (one dispatch, coalesced in the window)
+    out = [None] * 3
+    ts = [threading.Thread(target=lambda i=i: out.__setitem__(
+        i, b.submit(img + i))) for i in range(3)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    b.shutdown()
+    assert sorted(out) == [0, 1, 2]
+    assert seen[0] == 1
+    # the 3 concurrent submits may coalesce into 1 dispatch (bucket 4) or
+    # race into smaller ones; every dispatch must be a preferred bucket
+    assert all(s in (1, 2, 4, 8) for s in seen), seen
+    assert 4 in seen or seen.count(1) + seen.count(2) >= 2
