@@ -97,11 +97,14 @@ def main():
               f"p90 {p90:.0f} ms ({args.iters} iters)", flush=True)
 
     if args.concurrent:
-        # warm the batched shapes (1..8 coalesce) before measuring
         for nc in (1, 8, 32):
             for batching in (False, True):
                 if batching:
                     fresh = FaceService(ServiceConfig(detector="yolov5s"))
+                    # compile EVERY padding bucket up front (1/2/4/8):
+                    # a first-hit bucket mid-benchmark is a 20-40s XLA
+                    # compile booked against one unlucky request's p99
+                    fresh.warmup(shapes=(FRAME_HW,), batches=(1, 2, 4, 8))
                     fresh.enable_dynamic_batching(max_batch=8,
                                                   max_delay_ms=4.0)
                 else:

@@ -550,8 +550,8 @@ class FaceEngine:
                         run = self._detect
                     self._cache_put(key, run)
         dets, valid = run(self.variables, img[None])
-        d, v = np.asarray(dets[0]), np.asarray(valid[0])
-        return d[v]
+        d, v = jax.device_get((dets[0], valid[0]))  # one transfer, one RTT
+        return np.asarray(d)[np.asarray(v)]
 
     # ---------------- fused ensemble ----------------
 
@@ -857,7 +857,7 @@ class FaceEngine:
                         return self._classify_ag(ag_vars[0], ag_vars[1], x)
 
                     self._cache_put(key, run)
-        a, g = run(self.ag_vars, jnp.asarray(faces))
+        a, g = jax.device_get(run(self.ag_vars, jnp.asarray(faces)))
         return np.asarray(a), np.asarray(g)
 
     # ---------------- cropping + embedding ----------------

@@ -104,7 +104,10 @@ def inference_vid(
         """One async device dispatch for an uploaded block -> handle."""
         n, block, imgs = item
         if fused_ag:
-            return n, block, engine.detect_embed_classify_batch(imgs)
+            # the annotate path consumes dets + age/gender labels only:
+            # leave the embed stage out of the compiled program
+            return n, block, engine.detect_embed_classify_batch(
+                imgs, want_embed=False)
         return n, block, engine.detect_batch(imgs)
 
     def collect(handle) -> List[PostProcessedDetection]:
@@ -112,12 +115,19 @@ def inference_vid(
         if fused_ag:
             from ..models.age_gender import labels_from_probs
 
+            import jax
+
             posts = res.det.to_numpy()[:n]
-            valid = np.asarray(res.det.valid)
+            # one transfer for the whole block: per-image np.asarray slices
+            # cost 2 device round-trips per frame (tens of ms each through
+            # a tunneled chip)
+            valid, ages, genders = jax.device_get(
+                (res.det.valid, res.age_probs, res.gender_probs))
+            valid = np.asarray(valid)
             for i, p in enumerate(posts):
                 p.bbox_labels = list(labels_from_probs(
-                    np.asarray(res.age_probs[i])[valid[i]],
-                    np.asarray(res.gender_probs[i])[valid[i]]))
+                    np.asarray(ages[i])[valid[i]],
+                    np.asarray(genders[i])[valid[i]]))
             return posts
         return res.to_numpy()[:n]
 

@@ -145,10 +145,22 @@ class FaceService:
             res = self._ensemble(
                 imgs, dt, at, crop_size=self.cfg.face_size,
                 want_embed=False, want_ag=False)
-            posts = res.det.to_numpy()          # once, not once per index
+            # fetch the tiny validity mask FIRST: the crops tensor is the
+            # expensive transfer ([B, max_det, 112, 112, 3] f32 — tens of MB
+            # at batch 8), and frames without faces never need it. Fetch
+            # crop rows only for images that HAVE faces, in one transfer.
             valid = np.asarray(res.det.valid)
-            crops = np.asarray(res.crops)
-            return [self._contract_tuple(valid[i], crops[i], posts[i])
+            has = valid.any(axis=1)
+            if not has.any():
+                return [self._contract_tuple(valid[i], None, None)
+                        for i in range(len(imgs))]
+            posts = res.det.to_numpy()          # once, not once per index
+            import jax
+
+            fetched = jax.device_get([res.crops[i]
+                                      for i in np.nonzero(has)[0]])
+            crops = dict(zip(np.nonzero(has)[0].tolist(), fetched))
+            return [self._contract_tuple(valid[i], crops.get(i), posts[i])
                     for i in range(len(imgs))]
 
         self._batcher = DynamicBatcher(
@@ -174,9 +186,15 @@ class FaceService:
 
     def _faces_out(self, res, i: int):
         """Slice image ``i`` of a fused EnsembleResult into the ensemble
-        contract tuple (faces CHW (-1,1), bboxes, confs / sentinel)."""
-        return self._contract_tuple(res.det.valid[i], res.crops[i],
-                                    res.det.to_numpy()[i])
+        contract tuple (faces CHW (-1,1), bboxes, confs / sentinel).
+
+        Fetches the validity mask FIRST: the no-face case (most frames)
+        returns the sentinel after one tiny transfer instead of paying the
+        full Detections fetch + a crops-tensor device slice."""
+        m = np.asarray(res.det.valid[i])
+        if not m.any():
+            return self._contract_tuple(m, None, None)
+        return self._contract_tuple(m, res.crops[i], res.det.to_numpy()[i])
 
     # ---- ensemble contract (face_detection_trt_server) ----
 

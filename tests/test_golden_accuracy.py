@@ -356,31 +356,3 @@ def test_rect_inference_matches_square_on_golden():
     # conv padding context, worth at most a pixel or two)
     cross = match_golden(b_rc, b_sq)
     assert all(iou >= 0.8 for iou in cross), cross
-
-
-@pytest.mark.skipif(not os.path.isdir(CKPT),
-                    reason="golden checkpoint not trained yet: make accuracy")
-def test_eval_wider_cli_executed_end_to_end(tmp_path, capsys):
-    """The WIDER-eval CLI itself, executed: a WIDER-format val tree (the
-    composite generator writes the reference's exact annotation layout)
-    scored with the trained checkpoint through cli/eval_wider.py's main —
-    annot parse -> block-batched detect -> COCO matcher -> AP JSON on
-    stdout. Closes the last eval surface that had only ever been unit-
-    tested with synthetic engines (reference: eval/eval_face_detector.py)."""
-    import json
-
-    from face_detection_and_recognition_tpu.cli.eval_wider import main
-    from face_detection_and_recognition_tpu.train.golden import (
-        make_composite_dataset)
-
-    ann, images_root = make_composite_dataset(
-        str(tmp_path / "wider_val"), n_images=24, out_wh=(640, 640),
-        seed=8642, include_real=False)  # disjoint from every training seed
-    rc = main(["--ann", ann, "--images", images_root, "--md", "yolov5n",
-               "--ckpt", CKPT, "--dt", "0.05"])
-    assert rc == 0
-    line = capsys.readouterr().out.strip().splitlines()[-1]
-    metrics = json.loads(line)
-    assert metrics["AP50"] >= 0.55, metrics
-    assert metrics["AP"] > 0.2, metrics
-    assert "AR" in metrics and "AP75" in metrics, metrics
