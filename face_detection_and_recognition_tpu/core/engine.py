@@ -687,10 +687,16 @@ class FaceEngine:
                       and _on_tpu() else "auto")
 
             def crop_batch(boxes, out_hw):
-                return jax.vmap(
+                out = jax.vmap(
                     lambda im, bx, vl: crop_and_resize(im, bx, out_hw, vl,
                                                        method=crop_m)
                 )(imgs_f, boxes, post.valid)
+                # pixel-range clamp: exact bilinear is convex (cannot leave
+                # [0, 255]), but the pallas kernel's MXU bf16 pass can round
+                # a 255-neighborhood sample to 256.0 — which the serving
+                # contract's (x-127.5)/127.5 maps past 1.0 and a user's
+                # astype(uint8) wraps to 0. Free: fuses into the crop output.
+                return jnp.clip(out, 0.0, 255.0)
 
             # extraction-style crop offsets ((-6, -1, +4, +5) in the
             # reference, extract_faces_from_dataset.py:290-291) apply to the
