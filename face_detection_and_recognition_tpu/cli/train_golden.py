@@ -30,6 +30,11 @@ def main(argv=None) -> int:
     ap.add_argument("--work-dir", default=None)
     ap.add_argument("--resume-from", default=None,
                     help="continue from a previous golden checkpoint")
+    ap.add_argument("--gate-dt", type=float, default=0.5,
+                    help="confidence center the golden gate holds at")
+    ap.add_argument("--gate-margin", type=float, default=0.05,
+                    help="gate must also hold at gate-dt +/- this "
+                         "(0.6/0.15 covers the CLI's default --dt 0.70)")
     args = ap.parse_args(argv)
 
     from ..train.golden import train_golden
@@ -39,7 +44,8 @@ def main(argv=None) -> int:
         args.out, work, arch=args.arch, input_size=args.size,
         batch_size=args.batch, max_steps=args.steps,
         eval_every=args.eval_every, n_images=args.images, lr=args.lr,
-        seed=args.seed, resume_from=args.resume_from)
+        seed=args.seed, resume_from=args.resume_from,
+        gate_det_thres=args.gate_dt, gate_margin=args.gate_margin)
     print(f"golden gate: ok={r['ok']} reload_ok={r.get('reload_ok')} "
           f"ious={['%.3f' % i for i in r['ious']]} steps={r.get('steps')}")
     if r["ok"] and r.get("reload_ok"):

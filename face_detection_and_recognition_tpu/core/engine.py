@@ -161,6 +161,10 @@ class FaceEngine:
     # pipeline cache).
     @property
     def variables(self):
+        """Detector weights. REBIND-ONLY contract: compiled pipelines bake
+        the pytree into their closures, and only assignment through this
+        setter (or ``load_weights``) invalidates them — mutating leaves of
+        the returned dict in place keeps serving the old weights."""
         return self._variables
 
     @variables.setter

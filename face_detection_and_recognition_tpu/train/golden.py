@@ -409,10 +409,19 @@ def train_golden(
     lr: float = 0.01,
     seed: int = 0,
     resume_from: Optional[str] = None,
+    gate_det_thres: float = 0.5,
+    gate_margin: float = 0.05,
     log=print,
 ) -> Dict[str, object]:
     """Full loop: composites -> augmented batches -> EMA training -> golden
     gate -> orbax checkpoint -> reload through engine.load_weights -> regate.
+
+    ``gate_det_thres``/``gate_margin`` set the confidence band the gate must
+    hold across (3 faces and a clean negative at det±margin as well as at
+    det itself). The default is the reference test's 0.5 bar with a small
+    numeric-drift margin; ``0.6/0.15`` trains a checkpoint that detects
+    across the whole 0.45-0.75 band — including the CLI's reference-default
+    ``--dt 0.70``.
 
     Returns the final evaluate_golden() result dict plus bookkeeping."""
     import jax
@@ -500,7 +509,8 @@ def train_golden(
     warm = {k: jax.device_get(v) for k, v in
             (("params", state["params"]),
              ("batch_stats", state["batch_stats"])) if v}
-    r0 = evaluate_golden(engine, variables=warm)
+    r0 = evaluate_golden(engine, variables=warm,
+                         det_thres=gate_det_thres, margin=gate_margin)
     log(f"[golden] eval warmup ok (pos={r0['n_pos']} neg={r0['n_neg']})")
 
     # pre-augment (mosaic/HSV) ONCE into a device-resident buffer; flips and
@@ -529,7 +539,8 @@ def train_golden(
         # checkpointed (ModelEMA usually wins late, live wins early)
         for tag, variables in (("ema", _strip_empty(ema_vars)),
                                ("live", _strip_empty(live_vars))):
-            r = evaluate_golden(engine, variables=variables)
+            r = evaluate_golden(engine, variables=variables,
+                                det_thres=gate_det_thres, margin=gate_margin)
             log(f"[golden] eval@{done}/{tag}: pos={r['n_pos']} "
                 f"neg={r['n_neg']} ious={['%.2f' % x for x in r['ious']]} "
                 f"top_conf={r.get('top_conf', 0.0):.3f}")
@@ -555,7 +566,8 @@ def train_golden(
         "batch_stats": jax.device_get(state["ema_batch_stats"])})
     if not result.get("ok"):
         # keep the best-effort weights anyway for inspection
-        result = evaluate_golden(engine, variables=cand)
+        result = evaluate_golden(engine, variables=cand,
+                                 det_thres=gate_det_thres, margin=gate_margin)
         result["steps"] = max_steps
 
     from ..utils.checkpoint import save_variables
@@ -566,7 +578,8 @@ def train_golden(
     engine2 = FaceEngine(EngineConfig(detector=arch, det_thres=0.5,
                                       detector_overrides=overrides))
     engine2.load_weights(ckpt_out)
-    reload_result = evaluate_golden(engine2)
+    reload_result = evaluate_golden(engine2, det_thres=gate_det_thres,
+                                    margin=gate_margin)
     result["reload_ok"] = reload_result["ok"]
     result["reload_ious"] = reload_result["ious"]
     log(f"[golden] reload gate: {reload_result['ok']} "

@@ -29,10 +29,18 @@ def test_trained_checkpoint_detects_golden_faces():
 
     eng = FaceEngine(EngineConfig(detector="yolov5n", det_thres=0.5))
     eng.load_weights(CKPT)
-    r = evaluate_golden(eng)
+    # band gate: 3 faces + clean negative at EVERY threshold in
+    # {0.45, 0.6, 0.75} — the checkpoint works at the reference test's 0.5
+    # bar AND at the CLI's reference-default --dt 0.70, with slack for
+    # cross-platform (CPU suite vs v5e bf16) numeric drift
+    r = evaluate_golden(eng, det_thres=0.6, margin=0.15)
+    assert r["ok"], r
     assert r["n_pos"] == 3, f"expected 3 golden faces, got {r['n_pos']}"
     assert r["n_neg"] == 0, f"0-face image produced {r['n_neg']} detections"
-    assert all(iou >= 0.5 for iou in r["ious"]), r["ious"]
+    # the reference's own golden harness matches at IoU >= 0.8
+    # (tests/image_tests/test_yolov5_face.py); the trained checkpoint
+    # clears that bar, not just the 0.5 training gate
+    assert all(iou >= 0.8 for iou in r["ious"]), r["ious"]
     # boxes land inside the frame, plausibly face-sized
     pred = np.asarray(r["pred_boxes"])
     assert (pred[:, 2] > pred[:, 0]).all() and (pred[:, 3] > pred[:, 1]).all()
@@ -58,20 +66,37 @@ def test_trained_checkpoint_holdout_ap(tmp_path):
 
 @pytest.mark.skipif(not os.path.isdir(CKPT),
                     reason="golden checkpoint not trained yet: make accuracy")
-def test_trained_checkpoint_through_cli_detect():
+@pytest.mark.parametrize("dt_args", [["--dt", "0.5"], []],
+                         ids=["reference-bar-0.5", "cli-default-0.70"])
+def test_trained_checkpoint_through_cli_detect(capsys, dt_args):
     """The same checkpoint through the user-facing CLI: detect_face on the
-    golden image writes an annotated output and reports 3 faces."""
+    golden image writes an annotated output, reports 3 faces, and the
+    boxes it PRINTS match the reference's pinned golden boxes (the gate is
+    on the CLI's user-visible output, not just its exit code). Runs both
+    at the reference test's 0.5 bar and with NO --dt at all — the trained
+    checkpoint holds across the whole 0.45-0.75 band, so a user driving
+    the CLI at its reference-default threshold (0.70) sees the faces."""
     import cv2
 
     from face_detection_and_recognition_tpu.cli.detect_face import main
+    from face_detection_and_recognition_tpu.train.golden import (
+        GOLDEN_BOXES_3, match_golden)
 
     out = "/tmp/golden_cli_out.jpg"
     rc = main(["-i", os.path.join(os.path.dirname(__file__), "data",
                                   "test2_faces_3.jpg"),
-               "--md", "yolov5n", "--ckpt", CKPT, "--dt", "0.5",
-               "--no-display", "-o", out])
+               "--md", "yolov5n", "--ckpt", CKPT,
+               "--no-display", "-o", out] + dt_args)
     assert rc == 0
     assert cv2.imread(out) is not None
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert any(li.strip() == "3 face(s)" for li in lines), lines
+    printed = np.array(
+        [[float(v) for v in li.strip().split()[0].strip("[]").split(",")]
+         for li in lines if li.strip().startswith("[")], np.float32)
+    assert printed.shape == (3, 4), lines
+    ious = match_golden(printed, GOLDEN_BOXES_3)
+    assert all(i >= 0.5 for i in ious), ious
 
 SSD_CKPT = os.path.join(os.path.dirname(__file__), "data", "golden_ssd_ckpt")
 
