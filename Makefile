@@ -1,4 +1,4 @@
-.PHONY: test bench native clean accuracy accuracy-ssd accuracy-blaze accuracy-ag accuracy-mtcnn accuracy-embed accuracy-s accuracy-official accuracy-int8 accuracy-facenet accuracy-reid accuracy-facenet512 accuracy-all
+.PHONY: test bench native clean accuracy accuracy-ssd accuracy-ssd-mnv2 accuracy-ssd-sq accuracy-blaze accuracy-ag accuracy-mtcnn accuracy-embed accuracy-s accuracy-official accuracy-int8 accuracy-facenet accuracy-reid accuracy-facenet512 accuracy-all
 
 test:
 	python -m pytest tests/ -q
@@ -83,10 +83,28 @@ accuracy-facenet512:
 		--out tests/data/golden_facenet512_ckpt --embedder facenet-512 \
 		--steps 3000 --lr 0.003 --batch 32 --train-per-id 192
 
-# the HEADLINE bench arch (bench.py) through the same executed gate
+# the HEADLINE bench arch (bench.py) through the same executed gate;
+# trained to the 0.45-0.75 band so the CLI's reference-default --dt 0.70
+# sees all three faces (same contract as `make accuracy`)
 accuracy-s:
 	python -m face_detection_and_recognition_tpu.cli.train_golden \
-		--out tests/data/golden_yolov5s_ckpt --arch yolov5s
+		--out tests/data/golden_yolov5s_ckpt --arch yolov5s \
+		--steps 8000 --gate-dt 0.6 --gate-margin 0.15
+
+# the OpenVINO-class SSD variants (reference modules/openvino/model.py
+# face-detection-0204 / SqueezeNet-light slots) through the executed gate,
+# trained to the same 0.45-0.75 band
+accuracy-ssd-mnv2:
+	python -m face_detection_and_recognition_tpu.cli.train_golden \
+		--out tests/data/golden_ssd_mnv2_ckpt --arch ssd-mobilenetv2 \
+		--size 448 --batch 16 --lr 0.002 --steps 8000 \
+		--gate-dt 0.6 --gate-margin 0.15
+
+accuracy-ssd-sq:
+	python -m face_detection_and_recognition_tpu.cli.train_golden \
+		--out tests/data/golden_ssd_sq_ckpt --arch ssd-squeezenet \
+		--size 300 --batch 32 --lr 0.002 --steps 8000 \
+		--gate-dt 0.6 --gate-margin 0.15
 
 # the official (multiclass, landmark-less) yolov5 path through the executed
 # gate: nc=80 head trained with faces as class 0, decoded via
@@ -106,5 +124,6 @@ accuracy-int8:
 
 # every executed-accuracy loop in sequence (hours of TPU time)
 accuracy-all: accuracy accuracy-s accuracy-official accuracy-ssd \
+		accuracy-ssd-mnv2 accuracy-ssd-sq \
 		accuracy-blaze accuracy-mtcnn accuracy-ag accuracy-embed \
 		accuracy-facenet accuracy-reid accuracy-facenet512 accuracy-int8

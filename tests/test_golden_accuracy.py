@@ -211,17 +211,21 @@ Y5S_CKPT = os.path.join(os.path.dirname(__file__), "data",
 def test_trained_yolov5s_checkpoint_detects_golden_faces():
     """The HEADLINE bench arch (bench.py measures yolov5s-face e2e fps)
     through the executed golden gate: the throughput claims describe a
-    detector that really detects (round-2 VERDICT Weak #2)."""
+    detector that really detects (round-2 VERDICT Weak #2). Same band
+    bar as yolov5n: 3 faces + clean negative at every threshold in
+    {0.45, 0.6, 0.75} — including the CLI's reference-default --dt 0.70 —
+    with each match clearing the reference harness's own IoU >= 0.8."""
     from face_detection_and_recognition_tpu.core.engine import (
         EngineConfig, FaceEngine)
     from face_detection_and_recognition_tpu.train.golden import evaluate_golden
 
     eng = FaceEngine(EngineConfig(detector="yolov5s", det_thres=0.5))
     eng.load_weights(Y5S_CKPT)
-    r = evaluate_golden(eng)
+    r = evaluate_golden(eng, det_thres=0.6, margin=0.15)
+    assert r["ok"], r
     assert r["n_pos"] == 3, f"expected 3 golden faces, got {r['n_pos']}"
     assert r["n_neg"] == 0, f"0-face image produced {r['n_neg']} detections"
-    assert all(iou >= 0.5 for iou in r["ious"]), r["ious"]
+    assert all(iou >= 0.8 for iou in r["ious"]), r["ious"]
 
 
 @pytest.mark.skipif(not os.path.isdir(Y5S_CKPT),
