@@ -1,4 +1,4 @@
-.PHONY: test bench native clean accuracy accuracy-ssd accuracy-ssd-mnv2 accuracy-ssd-sq accuracy-blaze accuracy-ag accuracy-mtcnn accuracy-embed accuracy-s accuracy-official accuracy-int8 accuracy-facenet accuracy-reid accuracy-facenet512 accuracy-all
+.PHONY: test bench native clean regate accuracy accuracy-ssd accuracy-ssd-mnv2 accuracy-ssd-sq accuracy-blaze accuracy-ag accuracy-mtcnn accuracy-embed accuracy-s accuracy-official accuracy-int8 accuracy-facenet accuracy-reid accuracy-facenet512 accuracy-all
 
 test:
 	python -m pytest tests/ -q
@@ -40,6 +40,11 @@ accuracy-embed:
 
 bench-all:
 	python benchmarks/bench_all.py
+
+# re-execute EVERY committed golden-gate checkpoint on the current device
+# (run on the TPU to refresh the PARITY.md executed-accuracy table)
+regate:
+	python benchmarks/regate_golden.py
 
 native:
 	$(MAKE) -C native

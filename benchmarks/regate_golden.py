@@ -1,0 +1,134 @@
+"""Re-execute every committed golden-gate checkpoint on the current device.
+
+``make regate`` (or ``python benchmarks/regate_golden.py``) mirrors the
+engine configs of tests/test_golden_accuracy.py, tests/test_golden_embed.py
+and the age/gender cascade test exactly, but runs them directly on whatever
+platform JAX selects — on the real TPU chip this is the proof that the
+executed-accuracy claims in PARITY.md hold on the target hardware, not just
+on the CPU suite platform. Prints one result line per gate and exits
+nonzero if any gate fails.
+
+Reference analog: tests/image_tests/* golden harnesses
+(/root/reference/face_detection_and_extraction/tests/image_tests/).
+"""
+import os
+import sys
+import traceback
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+D = os.path.join(REPO, "tests", "data")
+results = []
+
+
+def run(name, fn):
+    try:
+        results.append((name, fn()))
+    except Exception as e:  # keep going; report at the end
+        traceback.print_exc()
+        results.append((name, f"FAIL {type(e).__name__}: {e}"))
+    print(f"[{name}] {results[-1][1]}", flush=True)
+
+
+def det_gate(detector, ckpt, overrides=None, band=False, quant_vars=False,
+             iou_bar=0.5):
+    def _go():
+        from face_detection_and_recognition_tpu.core.engine import (
+            EngineConfig, FaceEngine)
+        from face_detection_and_recognition_tpu.train.golden import (
+            evaluate_golden)
+        from face_detection_and_recognition_tpu.utils.checkpoint import (
+            load_variables)
+        eng = FaceEngine(EngineConfig(detector=detector, det_thres=0.5,
+                                      detector_overrides=overrides or {}))
+        if quant_vars:
+            eng.variables = load_variables(os.path.join(D, ckpt))
+        else:
+            eng.load_weights(os.path.join(D, ckpt))
+        if band:
+            r = evaluate_golden(eng, det_thres=0.6, margin=0.15)
+        else:
+            r = evaluate_golden(eng)
+        ok = r["n_pos"] == 3 and r["n_neg"] == 0 and \
+            all(i >= iou_bar for i in r["ious"]) and (not band or r["ok"])
+        ious = "/".join(f"{i:.3f}" for i in r["ious"])
+        return f"ok={ok} ious={ious} neg={r['n_neg']}" + \
+            (" band=0.45-0.75" if band else "")
+    return _go
+
+
+def embed_gate(embedder, ckpt, size=None):
+    def _go():
+        from face_detection_and_recognition_tpu.core.engine import (
+            EngineConfig, FaceEngine)
+        from face_detection_and_recognition_tpu.train.golden_embed import (
+            evaluate_identity_filter)
+        eng = FaceEngine(EngineConfig(detector="blazeface-front",
+                                      embedder=embedder))
+        eng.load_embed_weights(os.path.join(D, ckpt))
+        kw = {} if size is None else {"size": size}
+        r = evaluate_identity_filter(eng.embed_crops, **kw)
+        return (f"ok={r['ok']} same={r['same_acc']:.2f} "
+                f"cross={r['cross_acc']:.2f} margin={r['margin']:.2f}")
+    return _go
+
+
+def ag_gate():
+    from face_detection_and_recognition_tpu.core.engine import (
+        EngineConfig, FaceEngine)
+    from face_detection_and_recognition_tpu.train.golden_ag import (
+        evaluate_golden_ag)
+    eng = FaceEngine(EngineConfig(detector="yolov5n", det_thres=0.5,
+                                  with_age_gender=True))
+    eng.load_weights(os.path.join(D, "golden_yolov5n_ckpt"))
+    eng.load_age_gender_weights(os.path.join(D, "golden_ag_ckpt"))
+    r = evaluate_golden_ag(eng)
+    ok = r["matched"] == 3 and all(r["labels_ok"]) and r["n_neg"] == 0
+    return f"ok={ok} matched={r['matched']} labels_ok={all(r['labels_ok'])}"
+
+
+def main():
+    import jax
+    print("platform:", jax.devices()[0].platform,
+          jax.devices()[0].device_kind, flush=True)
+
+    run("yolov5n (band)", det_gate("yolov5n", "golden_yolov5n_ckpt",
+                                   band=True, iou_bar=0.8))
+    run("yolov5s (band)", det_gate("yolov5s", "golden_yolov5s_ckpt",
+                                   band=True, iou_bar=0.8))
+    run("yolov5n-int8", det_gate("yolov5n", "golden_yolov5n_int8_ckpt",
+                                 overrides={"quantized": "static"},
+                                 quant_vars=True))
+    run("yolov5n-official", det_gate("yolov5n-official",
+                                     "golden_yolov5n_official_ckpt",
+                                     overrides={"nc": 80}))
+    run("ssd-resnet10@300", det_gate("ssd-resnet10", "golden_ssd_ckpt",
+                                     overrides={"input_size": (300, 300)}))
+    run("ssd-mobilenetv2@448", det_gate(
+        "ssd-mobilenetv2", "golden_ssd_mnv2_ckpt",
+        overrides={"input_size": (448, 448)}))
+    run("ssd-squeezenet@300", det_gate(
+        "ssd-squeezenet", "golden_ssd_sq_ckpt",
+        overrides={"input_size": (300, 300)}))
+    run("blazeface-front", det_gate("blazeface-front", "golden_blaze_ckpt"))
+    run("mtcnn-cascade", det_gate("mtcnn", "golden_mtcnn_ckpt"))
+    run("age-gender-cascade", ag_gate)
+    run("mobile_facenet-512d", embed_gate("mobile_facenet",
+                                          "golden_embed_ckpt"))
+    run("facenet-128d", embed_gate("facenet", "golden_facenet_ckpt",
+                                   size=160))
+    run("reid-mnv2-256d", embed_gate("reid-mnv2", "golden_reid_ckpt",
+                                     size=128))
+    run("facenet-512d", embed_gate("facenet-512", "golden_facenet512_ckpt",
+                                   size=160))
+
+    print("\n=== summary ===")
+    fails = [n for n, r in results if not str(r).startswith("ok=True")]
+    for n, r in results:
+        print(f"{n:24s} {r}")
+    print("FAILED:" if fails else "ALL GATES PASS", fails or "")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
