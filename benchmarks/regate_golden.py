@@ -104,9 +104,9 @@ def main():
                                      overrides={"nc": 80}))
     run("ssd-resnet10@300", det_gate("ssd-resnet10", "golden_ssd_ckpt",
                                      overrides={"input_size": (300, 300)}))
-    run("ssd-mobilenetv2@448", det_gate(
+    run("ssd-mobilenetv2@448 (band)", det_gate(
         "ssd-mobilenetv2", "golden_ssd_mnv2_ckpt",
-        overrides={"input_size": (448, 448)}))
+        overrides={"input_size": (448, 448)}, band=True))
     run("ssd-squeezenet@300", det_gate(
         "ssd-squeezenet", "golden_ssd_sq_ckpt",
         overrides={"input_size": (300, 300)}))

@@ -166,7 +166,7 @@ def test_trained_cascade_emits_golden_age_gender_labels():
     assert r["n_neg"] == 0, r
 
 
-def _gate_ssd_variant(ckpt, arch, size):
+def _gate_ssd_variant(ckpt, arch, size, band=False):
     from face_detection_and_recognition_tpu.core.engine import (
         EngineConfig, FaceEngine)
     from face_detection_and_recognition_tpu.train.golden import evaluate_golden
@@ -175,7 +175,10 @@ def _gate_ssd_variant(ckpt, arch, size):
         detector=arch, det_thres=0.5,
         detector_overrides={"input_size": (size, size)}))
     eng.load_weights(ckpt)
-    r = evaluate_golden(eng)
+    r = evaluate_golden(eng, det_thres=0.6, margin=0.15) if band \
+        else evaluate_golden(eng)
+    if band:
+        assert r["ok"], r
     assert r["n_pos"] == 3, r
     assert r["n_neg"] == 0, r
     assert all(iou >= 0.5 for iou in r["ious"]), r["ious"]
@@ -191,8 +194,10 @@ SQ_CKPT = os.path.join(os.path.dirname(__file__), "data",
                     reason="mnv2 golden ckpt not trained")
 def test_trained_ssd_mobilenetv2_detects_golden_faces():
     """OpenVINO-class MobileNetV2-SSD (reference modules/openvino/model.py)
-    through the executed golden gate at its 448px input."""
-    _gate_ssd_variant(MNV2_CKPT, "ssd-mobilenetv2", 448)
+    through the executed golden gate at its 448px input — across the whole
+    0.45-0.75 confidence band, so the reference CLI's default --dt 0.70
+    (modules/utils/parser.py:53) sees all three faces."""
+    _gate_ssd_variant(MNV2_CKPT, "ssd-mobilenetv2", 448, band=True)
 
 
 @pytest.mark.skipif(not os.path.isdir(SQ_CKPT),
