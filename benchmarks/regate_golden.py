@@ -107,9 +107,9 @@ def main():
     run("ssd-mobilenetv2@448 (band)", det_gate(
         "ssd-mobilenetv2", "golden_ssd_mnv2_ckpt",
         overrides={"input_size": (448, 448)}, band=True))
-    run("ssd-squeezenet@300", det_gate(
+    run("ssd-squeezenet@300 (band)", det_gate(
         "ssd-squeezenet", "golden_ssd_sq_ckpt",
-        overrides={"input_size": (300, 300)}))
+        overrides={"input_size": (300, 300)}, band=True))
     run("blazeface-front", det_gate("blazeface-front", "golden_blaze_ckpt"))
     run("mtcnn-cascade", det_gate("mtcnn", "golden_mtcnn_ckpt"))
     run("age-gender-cascade", ag_gate)
