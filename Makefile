@@ -117,7 +117,8 @@ accuracy-ssd-sq:
 accuracy-official:
 	python -m face_detection_and_recognition_tpu.cli.train_golden \
 		--out tests/data/golden_yolov5n_official_ckpt \
-		--arch yolov5n-official
+		--arch yolov5n-official --steps 8000 \
+		--gate-dt 0.6 --gate-margin 0.15
 
 # executed int8 accuracy: quantize the trained yolov5n checkpoint (BN fold,
 # per-channel int8 weights, static calibrated activation scales) and re-run

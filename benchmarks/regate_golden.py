@@ -46,14 +46,17 @@ def det_gate(detector, ckpt, overrides=None, band=False, quant_vars=False,
         else:
             eng.load_weights(os.path.join(D, ckpt))
         if band:
-            r = evaluate_golden(eng, det_thres=0.6, margin=0.15)
+            # True = the standard 0.45-0.75 band; a (dt, margin) pair
+            # narrows it (int8 holds 0.45-0.70)
+            dt, m = (0.6, 0.15) if band is True else band
+            r = evaluate_golden(eng, det_thres=dt, margin=m)
         else:
             r = evaluate_golden(eng)
         ok = r["n_pos"] == 3 and r["n_neg"] == 0 and \
             all(i >= iou_bar for i in r["ious"]) and (not band or r["ok"])
         ious = "/".join(f"{i:.3f}" for i in r["ious"])
         return f"ok={ok} ious={ious} neg={r['n_neg']}" + \
-            (" band=0.45-0.75" if band else "")
+            (f" band={dt - m:.2f}-{dt + m:.2f}" if band else "")
     return _go
 
 
@@ -96,12 +99,13 @@ def main():
                                    band=True, iou_bar=0.8))
     run("yolov5s (band)", det_gate("yolov5s", "golden_yolov5s_ckpt",
                                    band=True, iou_bar=0.8))
-    run("yolov5n-int8", det_gate("yolov5n", "golden_yolov5n_int8_ckpt",
-                                 overrides={"quantized": "static"},
-                                 quant_vars=True))
-    run("yolov5n-official", det_gate("yolov5n-official",
-                                     "golden_yolov5n_official_ckpt",
-                                     overrides={"nc": 80}))
+    run("yolov5n-int8 (band)", det_gate("yolov5n", "golden_yolov5n_int8_ckpt",
+                                        overrides={"quantized": "static"},
+                                        quant_vars=True,
+                                        band=(0.575, 0.125)))
+    run("yolov5n-official (band)", det_gate("yolov5n-official",
+                                            "golden_yolov5n_official_ckpt",
+                                            overrides={"nc": 80}, band=True))
     run("ssd-resnet10@300", det_gate("ssd-resnet10", "golden_ssd_ckpt",
                                      overrides={"input_size": (300, 300)}))
     run("ssd-mobilenetv2@448 (band)", det_gate(

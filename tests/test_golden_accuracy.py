@@ -274,7 +274,9 @@ def test_trained_official_head_detects_golden_faces():
     executed golden gate: an nc=80 head trained with faces as class 0,
     decoded via yolov5_official_postprocess (conf = obj * cls, class-offset
     NMS — reference onnx_utils.py:193-288). Pins that the official decode's
-    live class column really carries signal, not just the obj channel."""
+    live class column really carries signal, not just the obj channel —
+    across the whole 0.45-0.75 confidence band, so the reference CLI's
+    default --dt 0.70 (modules/utils/parser.py:53) sees all three faces."""
     from face_detection_and_recognition_tpu.core.engine import (
         EngineConfig, FaceEngine)
     from face_detection_and_recognition_tpu.train.golden import evaluate_golden
@@ -282,7 +284,8 @@ def test_trained_official_head_detects_golden_faces():
     eng = FaceEngine(EngineConfig(detector="yolov5n-official", det_thres=0.5,
                                   detector_overrides={"nc": 80}))
     eng.load_weights(OFFICIAL_CKPT)
-    r = evaluate_golden(eng)
+    r = evaluate_golden(eng, det_thres=0.6, margin=0.15)
+    assert r["ok"], r
     assert r["n_pos"] == 3, f"expected 3 golden faces, got {r['n_pos']}"
     assert r["n_neg"] == 0, f"0-face image produced {r['n_neg']} detections"
     assert all(iou >= 0.5 for iou in r["ious"]), r["ious"]
@@ -299,7 +302,10 @@ def test_int8_quantized_checkpoint_detects_golden_faces():
     folding + per-channel int8 weight quantization + static calibrated
     activation scales (cli/quantize_golden.py) and still passes the golden
     gate through a quantized='static' engine — the int8 path's accuracy
-    claim is pixel-level, not random-weight map correlation."""
+    claim is pixel-level, not random-weight map correlation. The quantized
+    net holds the 0.45-0.70 confidence band (f32 holds up to 0.75; int8's
+    score sharpness drops one face there), which still covers the
+    reference CLI's default --dt 0.70."""
     from face_detection_and_recognition_tpu.core.engine import (
         EngineConfig, FaceEngine)
     from face_detection_and_recognition_tpu.train.golden import evaluate_golden
@@ -310,7 +316,8 @@ def test_int8_quantized_checkpoint_detects_golden_faces():
         detector="yolov5n", det_thres=0.5,
         detector_overrides={"quantized": "static"}))
     eng.variables = load_variables(INT8_CKPT)
-    r = evaluate_golden(eng)
+    r = evaluate_golden(eng, det_thres=0.575, margin=0.125)
+    assert r["ok"], r
     assert r["n_pos"] == 3, f"expected 3 golden faces, got {r['n_pos']}"
     assert r["n_neg"] == 0, f"0-face image produced {r['n_neg']} detections"
     assert all(iou >= 0.5 for iou in r["ious"]), r["ious"]
