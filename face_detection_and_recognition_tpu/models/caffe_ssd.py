@@ -402,10 +402,15 @@ class CaffeGraphNet:
 
     # -- execution ----------------------------------------------------------
     def apply(self, weights: Dict[str, List[jnp.ndarray]],
-              imgs: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+              imgs: jnp.ndarray, taps: Sequence[str] = ()
+              ) -> Dict[str, jnp.ndarray]:
         """imgs: [B, H, W, C] preprocessed (mean-subtracted BGR). Returns
         {output_name: tensor}; detection graphs return the raw
-        (loc, conf_probs) pair under 'mbox' for the fused postprocess."""
+        (loc, conf_probs) pair under 'mbox' for the fused postprocess.
+        ``taps`` adds named intermediate tensors to the result — the
+        trainer reads the pre-softmax head pair (mbox_loc /
+        mbox_conf_reshape) this way, since the whole interpreter is
+        differentiable jnp (train/caffe_golden.py)."""
         env: Dict[str, jnp.ndarray] = {"data": imgs}
         for s in self.steps:
             x = env[s.inputs[0]] if s.inputs else None
@@ -530,7 +535,10 @@ class CaffeGraphNet:
                 env[s.output] = (loc, conf)
             else:  # pragma: no cover
                 raise AssertionError(s.op)
-        return {name: env[name] for name in self.outputs}
+        out = {name: env[name] for name in self.outputs}
+        for t in taps:
+            out[t] = env[t]
+        return out
 
 
 # ---------------------------------------------------------------------------
@@ -564,6 +572,11 @@ def make_caffe_ssd_detect(net: CaffeGraphNet, keep_top_k: Optional[int] = None,
     top_k = min(int(dc.get("top_k", 400)), n)
 
     def detect(weights, imgs):
+        # accept both the engine's raw blob dict (caffemodel pour) and the
+        # trainer/orbax convention that wraps it as {"params": blobs}
+        if isinstance(weights, dict) and isinstance(
+                weights.get("params"), dict):
+            weights = weights["params"]
         out = net.apply(weights, imgs)
         loc, conf = out[net.outputs[0]]
         # decode in f32 regardless of the graph compute dtype (bf16 offsets

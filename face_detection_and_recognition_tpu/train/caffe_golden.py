@@ -1,0 +1,171 @@
+"""Train the EXACT public res10_300x300 deploy graph — through the
+caffe graph interpreter itself.
+
+``models/caffe_ssd.CaffeGraphNet`` executes caffe layer tables as pure
+jnp, which makes the interpreter differentiable: this module trains the
+REAL deploy topology (``models/res10.res10_deploy_defs``) directly with
+the same MultiBox loss as the flax SSD family (``train/ssd.py``). The
+trained blob dict then round-trips through a REAL binary ``.caffemodel``
+(``utils/caffe_graph.write_caffemodel_graph``), so both import paths the
+reference artifact would exercise — the strict name/shape blob pour and
+the file-embedded-graph executor (``models/res10.build_res10_from_caffemodel``)
+— fire on a real artifact with executed pixel accuracy, not just on
+synthetic fixtures.
+
+Training conventions for the interpreter:
+
+* caffe ``BatchNorm`` blobs are inference STATISTICS (mean/var/scale
+  factor), not learnables — they stay frozen at their identity init
+  (mean 0, var 1, sf 1); the following ``Scale`` layers carry the
+  learnable affine, exactly how caffe fine-tuning freezes BN;
+* weight decay applies to multiplicative kernels only (ndim >= 2),
+  mirroring the reference recipe (train.py param groups).
+
+Reference: ``modules/opencv2_dnn/model.py:21`` loads
+res10_300x300_ssd_iter_140000.caffemodel — the artifact class this loop
+produces a synthetic twin of.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .detection import ema_update_ramped, lr_schedule
+from .ssd import OPENCV_SSD_MEAN, encode_ssd_targets, ssd_multibox_loss
+
+
+@dataclasses.dataclass(frozen=True)
+class CaffeGoldenConfig:
+    input_size: Tuple[int, int] = (300, 300)
+    max_targets: int = 8
+    iou_pos: float = 0.5
+    neg_ratio: int = 3
+    loc_gain: float = 1.0
+    lr: float = 0.002
+    momentum: float = 0.9
+    weight_decay: float = 5e-4
+    lrf: float = 0.1
+    warmup_steps: int = 0
+    total_steps: int = 0
+    ema_decay: float = 0.999
+    ema_tau: float = 500.0
+
+    @property
+    def arch(self):
+        return "res10-ssd"
+
+
+def _blob_masks(net, weights):
+    """(decay_mask, bn_names): decay multiplicative kernels only; BN
+    statistic blobs are frozen entirely."""
+    bn_names = {s.name for s in net.steps if s.op == "batchnorm"}
+    decay = {k: [bool(np.ndim(b) >= 2) and k not in bn_names for b in v]
+             for k, v in weights.items()}
+    return decay, bn_names
+
+
+def create_res10_train_state(cfg: CaffeGoldenConfig,
+                             rng: jax.Array) -> Dict[str, Any]:
+    from ..models.res10 import build_res10
+
+    net, weights, _ = build_res10(rng=rng)
+    corners = np.asarray(net.priors, np.float32)             # [N, 4] xyxy
+    priors = np.stack([
+        (corners[:, 0] + corners[:, 2]) / 2,
+        (corners[:, 1] + corners[:, 3]) / 2,
+        corners[:, 2] - corners[:, 0],
+        corners[:, 3] - corners[:, 1],
+    ], axis=1)
+    variances = np.asarray(net.prior_variances, np.float32)
+    # encode_ssd_targets takes one variance 4-vector; res10's PriorBox
+    # layers all carry (0.1, 0.1, 0.2, 0.2) — assert instead of assuming
+    assert np.allclose(variances, variances[0]), "non-uniform prior variances"
+
+    decay, bn_names = _blob_masks(net, weights)
+    tx = optax.chain(
+        optax.add_decayed_weights(cfg.weight_decay, mask=decay),
+        optax.sgd(lr_schedule(cfg), momentum=cfg.momentum),
+    )
+    params = {k: [jnp.asarray(b) for b in v] for k, v in weights.items()}
+    return {
+        "net": net, "cfg": cfg, "tx": tx,
+        "priors": jnp.asarray(priors),
+        "variances": tuple(float(v) for v in variances[0]),
+        "bn_names": bn_names,
+        "params": params,
+        "batch_stats": {},          # stat-less family contract (blazeface)
+        "opt_state": tx.init(params),
+        "ema_params": jax.tree_util.tree_map(jnp.copy, params),
+    }
+
+
+def make_res10_train_step_ema(state: Dict[str, Any]):
+    """Family-agnostic step signature (train/ssd.py): step(params,
+    batch_stats, opt_state, ema, n, images, targets, valid).
+
+    images: [B, 300, 300, 3] uint8 BGR (the OpenCV-SSD convention — NO
+    RGB swap); targets [B, T, 14] pixel cxcywh rows (landmarks ignored)."""
+    net = state["net"]
+    cfg: CaffeGoldenConfig = state["cfg"]
+    tx = state["tx"]
+    priors = state["priors"]
+    variances = state["variances"]
+    bn_names = state["bn_names"]
+    w, h = cfg.input_size
+    mean = jnp.asarray(OPENCV_SSD_MEAN, jnp.float32)
+    scale = jnp.asarray([w, h, w, h], jnp.float32)
+    n_priors = priors.shape[0]
+
+    def loss_fn(params, images, targets, target_valid):
+        x = images.astype(jnp.float32) - mean
+        env = net.apply(params, x, taps=("mbox_loc", "mbox_conf_reshape"))
+        b = images.shape[0]
+        locs = env["mbox_loc"].astype(jnp.float32).reshape(b, n_priors, 4)
+        conf = env["mbox_conf_reshape"].astype(jnp.float32)  # [B, N, 2] logits
+        gt = targets[..., :4] / scale
+        loc_t, pos = encode_ssd_targets(
+            priors, gt, target_valid, variances, cfg.iou_pos)
+        return ssd_multibox_loss(
+            locs, conf, loc_t, pos, cfg.neg_ratio, cfg.loc_gain)
+
+    def _freeze_bn(grads):
+        return {k: ([jnp.zeros_like(g) for g in v] if k in bn_names else v)
+                for k, v in grads.items()}
+
+    def step(params, batch_stats, opt_state, ema, n, images, targets, valid):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, images, targets, valid)
+        grads = _freeze_bn(grads)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        n = n + 1
+        new_ema = ema_update_ramped(ema, new_params, n.astype(jnp.float32),
+                                    cfg.ema_decay, cfg.ema_tau)
+        return new_params, batch_stats, new_opt, new_ema, n, loss, metrics
+
+    return step
+
+
+def export_trained_caffemodel(weights: Dict[str, Any], path: str) -> None:
+    """Write trained interpreter blobs into a REAL binary .caffemodel
+    (full layer defs + blobs — the synthetic twin of a training snapshot),
+    so ``engine.load_weights('*.caffemodel')`` and
+    ``build_res10_from_caffemodel`` both fire on it."""
+    from ..models.res10 import res10_deploy_defs
+    from ..utils.caffe_graph import write_caffemodel_graph
+
+    if isinstance(weights.get("params"), dict):
+        weights = weights["params"]
+    defs = res10_deploy_defs()
+    for layer in defs:
+        blobs = weights.get(layer.name)
+        if blobs is not None:
+            layer.blobs = [np.asarray(jax.device_get(b), np.float32)
+                           for b in blobs]
+    with open(path, "wb") as f:
+        f.write(write_caffemodel_graph(defs))

@@ -439,7 +439,23 @@ def train_golden(
 
     warmup = max(3 * len(index) // batch_size, 50)
     is_blaze = arch.startswith("blazeface")
-    if is_ssd:
+    if arch == "res10-ssd":
+        # the EXACT public deploy graph, trained THROUGH the caffe graph
+        # interpreter (train/caffe_golden.py) — frozen BN statistics,
+        # learnable Scale affines
+        from .caffe_golden import (CaffeGoldenConfig,
+                                   create_res10_train_state,
+                                   make_res10_train_step_ema)
+
+        if (input_size, input_size) != (300, 300):
+            raise ValueError("res10-ssd runs the fixed 300x300 deploy "
+                             "graph — pass --size 300")
+        cfg = CaffeGoldenConfig(
+            max_targets=8, lr=lr, warmup_steps=warmup,
+            total_steps=max_steps, ema_decay=0.999, ema_tau=500.0)
+        state = create_res10_train_state(cfg, jax.random.PRNGKey(seed))
+        make_step = make_res10_train_step_ema
+    elif is_ssd:
         from .ssd import (SSDTrainConfig, create_ssd_train_state,
                           make_ssd_train_step_ema)
 
