@@ -96,6 +96,21 @@ accuracy-s:
 		--out tests/data/golden_yolov5s_ckpt --arch yolov5s \
 		--steps 8000 --gate-dt 0.6 --gate-margin 0.15
 
+# the third yolov5-face base graph: the P6 four-level head (stride 64)
+accuracy-n6:
+	python -m face_detection_and_recognition_tpu.cli.train_golden \
+		--out tests/data/golden_yolov5n6_ckpt --arch yolov5n6 \
+		--steps 8000 --gate-dt 0.6 --gate-margin 0.15
+
+# the EXACT public res10 deploy graph trained THROUGH the caffe graph
+# interpreter (train/caffe_golden.py), exported to a real .caffemodel
+accuracy-res10:
+	python -m face_detection_and_recognition_tpu.cli.train_golden \
+		--out tests/data/golden_res10_ckpt --arch res10-ssd --size 300 \
+		--batch 32 --lr 0.002 --steps 8000 \
+		--gate-dt 0.6 --gate-margin 0.15 \
+		--export-caffemodel tests/data/golden_res10.caffemodel
+
 # the OpenVINO-class SSD variants (reference modules/openvino/model.py
 # face-detection-0204 / SqueezeNet-light slots) through the executed gate,
 # trained to the same 0.45-0.75 band

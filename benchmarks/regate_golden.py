@@ -99,6 +99,9 @@ def main():
                                    band=True, iou_bar=0.8))
     run("yolov5s (band)", det_gate("yolov5s", "golden_yolov5s_ckpt",
                                    band=True, iou_bar=0.8))
+    if os.path.isdir(os.path.join(D, "golden_yolov5n6_ckpt")):
+        run("yolov5n6 (band)", det_gate("yolov5n6", "golden_yolov5n6_ckpt",
+                                        band=True, iou_bar=0.8))
     run("yolov5n-int8 (band)", det_gate("yolov5n", "golden_yolov5n_int8_ckpt",
                                         overrides={"quantized": "static"},
                                         quant_vars=True,

@@ -35,7 +35,12 @@ def main(argv=None) -> int:
     ap.add_argument("--gate-margin", type=float, default=0.05,
                     help="gate must also hold at gate-dt +/- this "
                          "(0.6/0.15 covers the CLI's default --dt 0.70)")
+    ap.add_argument("--export-caffemodel", default=None,
+                    help="(res10-ssd only) also write the trained blobs "
+                         "into a REAL binary .caffemodel at this path")
     args = ap.parse_args(argv)
+    if args.export_caffemodel and args.arch != "res10-ssd":
+        ap.error("--export-caffemodel applies to --arch res10-ssd only")
 
     from ..train.golden import train_golden
 
@@ -61,6 +66,13 @@ def main(argv=None) -> int:
                                  seed=args.seed + 7777)
         print(f"holdout AP50={ap['AP50']:.3f} AP={ap['AP']:.3f} "
               f"AR={ap['AR']:.3f}")
+        if args.export_caffemodel:
+            from ..train.caffe_golden import export_trained_caffemodel
+            from ..utils.checkpoint import load_variables
+
+            export_trained_caffemodel(load_variables(args.out),
+                                      args.export_caffemodel)
+            print(f"trained .caffemodel written to {args.export_caffemodel}")
     return 0 if (r["ok"] and r.get("reload_ok")) else 1
 
 

@@ -234,6 +234,33 @@ def test_trained_yolov5s_checkpoint_detects_golden_faces():
     assert all(iou >= 0.8 for iou in r["ious"]), r["ious"]
 
 
+N6_CKPT = os.path.join(os.path.dirname(__file__), "data",
+                       "golden_yolov5n6_ckpt")
+
+
+@pytest.mark.skipif(not os.path.isdir(N6_CKPT),
+                    reason="yolov5n6 golden ckpt not trained: "
+                           "make accuracy-n6")
+def test_trained_yolov5n6_detects_golden_faces():
+    """The third yolov5-face base graph — the P6 four-level head
+    (stride-64 level, FACE_ANCHORS_P6; reference pytorch/models/
+    yolov5n6.yaml) — through the executed golden gate, holding the same
+    0.45-0.75 band as the P5 archs. With this all three base graphs the
+    9-arch zoo is built from (P5 CSP, ShuffleV2, P6) have executed
+    pixel accuracy, not just graph parity."""
+    from face_detection_and_recognition_tpu.core.engine import (
+        EngineConfig, FaceEngine)
+    from face_detection_and_recognition_tpu.train.golden import evaluate_golden
+
+    eng = FaceEngine(EngineConfig(detector="yolov5n6", det_thres=0.5))
+    eng.load_weights(N6_CKPT)
+    r = evaluate_golden(eng, det_thres=0.6, margin=0.15)
+    assert r["ok"], r
+    assert r["n_pos"] == 3, f"expected 3 golden faces, got {r['n_pos']}"
+    assert r["n_neg"] == 0, f"0-face image produced {r['n_neg']} detections"
+    assert all(iou >= 0.8 for iou in r["ious"]), r["ious"]
+
+
 @pytest.mark.skipif(not os.path.isdir(Y5S_CKPT),
                     reason="yolov5s golden ckpt not trained: make accuracy-s")
 def test_trained_yolov5s_rect_matches_square_on_golden():
