@@ -114,6 +114,10 @@ class FaceEngine:
         # closes over; entries that take variables as call arguments carry
         # an empty set and survive rebinds
         self._baked_groups: Dict[Any, frozenset] = {}
+        # monotonic stamp bumped on EVERY weight rebind; baked cache keys
+        # carry it so a stale compiled program can never be served even if
+        # an invalidation path is missed (advisor r2 finding #1)
+        self._weights_version = 0
         self._scalar_cache: Dict[float, Any] = {}
         import threading
 
@@ -154,40 +158,53 @@ class FaceEngine:
     # `engine.variables = ...` (the eval_wider pattern) safe, not just
     # load_weights().
     #
-    # CONTRACT: weights update by REBIND ONLY. In-place mutation of the tree
-    # (engine.variables["params"][k] = new_leaf) cannot be observed — the
-    # compiled closures keep serving the old constants. Mutators must write
+    # CONTRACT: weights update by REBIND ONLY. The trees returned by these
+    # properties are FROZEN views (utils/frozen.py): in-place mutation
+    # (engine.variables["params"][k] = new_leaf) RAISES TypeError instead of
+    # silently serving stale compiled constants. Mutators must write
     # `engine.variables = new_tree` (cheap: the dict swap just clears the
-    # pipeline cache).
+    # pipeline cache and bumps the weights version).
     @property
     def variables(self):
-        """Detector weights. REBIND-ONLY contract: compiled pipelines bake
-        the pytree into their closures, and only assignment through this
-        setter (or ``load_weights``) invalidates them — mutating leaves of
-        the returned dict in place keeps serving the old weights."""
+        """Detector weights (read-only view). REBIND-ONLY contract:
+        compiled pipelines bake the pytree into their closures, so the only
+        way to change weights is assignment through this setter (or
+        ``load_weights``) — which invalidates the baked programs and bumps
+        ``_weights_version``. In-place mutation of the returned tree raises
+        ``TypeError``; copy with ``utils.frozen.thaw`` first."""
         return self._variables
 
     @variables.setter
     def variables(self, v):
-        self._variables = v
+        from ..utils.frozen import freeze
+
+        self._variables = freeze(v)
         self._invalidate_baked("det")
 
     @property
     def embed_vars(self):
+        """Embedder weights (read-only view) — same rebind-only contract as
+        :attr:`variables`."""
         return self._embed_vars
 
     @embed_vars.setter
     def embed_vars(self, v):
-        self._embed_vars = v
+        from ..utils.frozen import freeze
+
+        self._embed_vars = freeze(v)
         self._invalidate_baked("embed")
 
     @property
     def ag_vars(self):
+        """Age/gender ``(age_vars, gen_vars)`` (read-only view) — same
+        rebind-only contract as :attr:`variables`."""
         return self._ag_vars
 
     @ag_vars.setter
     def ag_vars(self, v):
-        self._ag_vars = v
+        from ..utils.frozen import freeze
+
+        self._ag_vars = freeze(v)
         self._invalidate_baked("ag")
 
     def _invalidate_baked(self, group: str) -> None:
@@ -195,7 +212,10 @@ class FaceEngine:
         weight group — with-vars pipelines, detect_raw, and sharded
         ensembles take variables as call arguments and survive (e.g. the
         golden-ag train loop rebinds ag_vars per eval; its detect pipeline
-        must not re-pay a multi-minute axon compile each time)."""
+        must not re-pay a multi-minute axon compile each time). Also bumps
+        the weights version so baked keys built before this rebind can
+        never hit again (belt-and-braces against missed invalidation)."""
+        self._weights_version += 1
         for key in [k for k, g in self._baked_groups.items() if group in g]:
             self._pipeline_cache.pop(key, None)
             self._baked_groups.pop(key, None)
@@ -407,7 +427,10 @@ class FaceEngine:
         ThreadingHTTPServer pattern) serialize compilation behind a lock,
         and an adversarial client cycling novel resolutions evicts LRU
         entries instead of growing compile state without limit."""
-        key = (shape, with_vars)
+        # baked (with_vars=False) entries key on the weights version: a
+        # program compiled against rebound-away weights can never be served
+        key = (shape, with_vars,
+               None if with_vars else self._weights_version)
         hit = self._pipeline_cache.get(key)
         if hit is not None:
             with self._compile_lock:  # LRU touch
@@ -443,7 +466,7 @@ class FaceEngine:
         return run
 
     def _compile_pipeline(self, key):
-        shape, with_vars = key
+        shape, with_vars = key[0], key[1]
         h, w = shape[:2]
         native = self.spec.input_size == (-1, -1)
         in_size = (w, h) if native else self.spec.input_size
@@ -631,7 +654,7 @@ class FaceEngine:
         (``models/yolov5_face_postprocess/1/model.py:32-114`` +
         ``ensemble_yolov5_face/config.pbtxt``)."""
         key = ("ens", shape, crop_hw, embed_offsets, want_embed, want_ag,
-               sharded)
+               sharded, None if sharded else self._weights_version)
         hit = self._pipeline_cache.get(key)
         if hit is not None:
             return hit

@@ -441,12 +441,14 @@ def structural_import(arrays, variables: Mapping, strict: bool = True,
     for strictly sequential module trees). Every shape mismatch names the
     offending path. Returns a new {"params": ..., "batch_stats": ...} tree.
     """
-    import copy
+    from .frozen import thaw
 
-    params = copy.deepcopy(
-        {k: v for k, v in variables.get("params", variables).items()}
-    )
-    stats = copy.deepcopy(dict(variables.get("batch_stats", {})))
+    # thaw: deep-copies the dict STRUCTURE (leaves are replaced wholesale
+    # below, never mutated, so sharing them with the template is safe) and
+    # accepts the engine's read-only FrozenVars views as templates
+    variables = thaw(variables)
+    params = {k: v for k, v in variables.get("params", variables).items()}
+    stats = dict(variables.get("batch_stats", {}))
     out = {"params": params, "batch_stats": stats} if stats else {"params": params}
     slots = ordered_slots({"params": params, "batch_stats": stats},
                           module_order)
@@ -510,11 +512,14 @@ def convert_mtcnn_graphdef(consts, variables: Mapping) -> Dict:
             return "kernel"
         return None
 
+    from .frozen import thaw
+
     out: Dict = {}
     for stage in _MTCNN_STAGES:
         tree = variables[stage]
-        params = {k: dict(v) if isinstance(v, Mapping) else v
-                  for k, v in tree["params"].items()}
+        # thaw: deep mutable copy of the structure (accepts the engine's
+        # FrozenVars views; leaves are replaced below, never mutated)
+        params = thaw(tree["params"])
         pool = list(by_stage[stage])
         if not pool:
             raise ValueError(f"no consts matching stage '{stage}' in graph")

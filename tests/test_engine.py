@@ -135,3 +135,55 @@ def test_pipeline_cache_bounded_and_locked(rng):
         img = rng.randint(0, 255, (40 + 8 * i, 48, 3)).astype(np.uint8)
         eng.detect_raw(img)
     assert len(eng._pipeline_cache) <= 4
+
+
+def test_weights_rebind_only_contract(rng):
+    """Advisor r2 finding #1: in-place mutation of engine weight trees must
+    either serve fresh weights or raise — it raises (the properties return
+    FrozenVars read-only views), rebinding serves fresh weights, and the
+    weights version stamps baked cache keys so a stale compiled program can
+    never be returned even if an invalidation path were missed."""
+    import jax
+    import pytest as _pytest
+
+    from face_detection_and_recognition_tpu.core.engine import (
+        EngineConfig, FaceEngine)
+    from face_detection_and_recognition_tpu.utils.frozen import (
+        FrozenVars, thaw)
+
+    eng = FaceEngine(EngineConfig(detector="blazeface-front", det_thres=0.3,
+                                  max_det=4))
+    img = rng.randint(0, 255, (64, 64, 3)).astype(np.uint8)
+    eng.detect_image(img)  # bake a with_vars=False pipeline
+
+    # 1) in-place mutation raises, at every depth
+    assert isinstance(eng.variables, FrozenVars)
+    with _pytest.raises(TypeError, match="read-only"):
+        eng.variables["params"] = {}
+    with _pytest.raises(TypeError, match="read-only"):
+        first = next(iter(eng.variables["params"]))
+        eng.variables["params"][first] = None
+    with _pytest.raises(TypeError, match="read-only"):
+        eng.variables["params"].clear()
+
+    # 2) edit-then-rebind serves fresh weights through the cached pipeline
+    v0 = eng._weights_version
+    new = thaw(eng.variables)
+    new = jax.tree_util.tree_map(lambda x: np.zeros_like(x), new)
+    eng.variables = new
+    assert eng._weights_version > v0
+    post = eng.detect_image(img)  # all-zero weights -> no detections
+    assert int(np.asarray(post.boxes).shape[0]) == 0
+
+    # 3) baked keys are version-stamped: no key minted before the rebind
+    # remains in the cache with the old version
+    for key in eng._pipeline_cache:
+        if key in eng._baked_groups and "det" in eng._baked_groups[key]:
+            assert key[-1] == eng._weights_version
+
+    # 4) frozen trees still jit/tree-op like plain dicts, and tree ops
+    # yield mutable copies (the documented escape hatch)
+    out = jax.jit(lambda t: jax.tree_util.tree_map(lambda x: x * 0, t))(
+        eng.variables)
+    assert not isinstance(out, FrozenVars)
+    out["params"] = {}  # mutable

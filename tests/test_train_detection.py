@@ -344,8 +344,12 @@ def test_official_head_train_step_runs_and_pours_into_engine():
     eng = FaceEngine(EngineConfig(
         detector="yolov5n-official", det_thres=0.5,
         detector_overrides={"input_size": (64, 64)}))
-    # structure must match exactly for the pour to be meaningful
-    a = jax.tree_util.tree_structure(eng.variables["params"])
+    # structure must match exactly for the pour to be meaningful (thaw:
+    # the engine property returns a FrozenVars view whose treedef node
+    # type differs from plain dicts)
+    from face_detection_and_recognition_tpu.utils.frozen import thaw
+
+    a = jax.tree_util.tree_structure(thaw(eng.variables["params"]))
     b = jax.tree_util.tree_structure(params)
     assert a == b
     eng.variables = {"params": jax.device_get(params),
