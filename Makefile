@@ -1,7 +1,10 @@
-.PHONY: test bench native clean regate accuracy accuracy-ssd accuracy-ssd-mnv2 accuracy-ssd-sq accuracy-blaze accuracy-ag accuracy-mtcnn accuracy-embed accuracy-s accuracy-official accuracy-int8 accuracy-facenet accuracy-reid accuracy-facenet512 accuracy-all
+.PHONY: test test-all bench native clean regate accuracy accuracy-ssd accuracy-ssd-mnv2 accuracy-ssd-sq accuracy-ov-sq accuracy-ov-0204 accuracy-res10 accuracy-blaze accuracy-ag accuracy-mtcnn accuracy-embed accuracy-s accuracy-official accuracy-int8 accuracy-facenet accuracy-reid accuracy-facenet512 accuracy-all
 
-test:
+test:	# FAST lane (default -m filter in pyproject); see README Testing
 	python -m pytest tests/ -q
+
+test-all:	# every lane
+	python -m pytest tests/ -q -m ""
 
 bench:
 	python bench.py
@@ -125,6 +128,24 @@ accuracy-ssd-sq:
 		--out tests/data/golden_ssd_sq_ckpt --arch ssd-squeezenet \
 		--size 300 --batch 32 --lr 0.002 --steps 8000 \
 		--gate-dt 0.6 --gate-margin 0.15
+
+# the reference's REAL OpenVINO topologies (models/ov_topologies.py:
+# face-detection-0204 / face-detection-retail-0004 per the OMZ model cards),
+# trained THROUGH the differentiable IR interpreter to the 0.45-0.75 band,
+# then exported as a real model.xml/bin and regated through the file path
+accuracy-ov-sq:
+	python -m face_detection_and_recognition_tpu.cli.train_golden \
+		--out tests/data/golden_ov_sq_ckpt --arch ov-squeezenet-light \
+		--size 300 --batch 32 --lr 0.001 --steps 8000 \
+		--gate-dt 0.6 --gate-margin 0.15 \
+		--export-ir tests/data/golden_ov_sq.xml
+
+accuracy-ov-0204:
+	python -m face_detection_and_recognition_tpu.cli.train_golden \
+		--out tests/data/golden_ov_0204_ckpt --arch ov-0204 \
+		--size 448 --batch 16 --lr 0.001 --steps 8000 \
+		--gate-dt 0.6 --gate-margin 0.15 \
+		--export-ir tests/data/golden_ov_0204.xml
 
 # the official (multiclass, landmark-less) yolov5 path through the executed
 # gate: nc=80 head trained with faces as class 0, decoded via

@@ -31,7 +31,7 @@ def run(name, fn):
 
 
 def det_gate(detector, ckpt, overrides=None, band=False, quant_vars=False,
-             iou_bar=0.5):
+             iou_bar=0.5, no_ckpt=False):
     def _go():
         from face_detection_and_recognition_tpu.core.engine import (
             EngineConfig, FaceEngine)
@@ -41,7 +41,9 @@ def det_gate(detector, ckpt, overrides=None, band=False, quant_vars=False,
             load_variables)
         eng = FaceEngine(EngineConfig(detector=detector, det_thres=0.5,
                                       detector_overrides=overrides or {}))
-        if quant_vars:
+        if no_ckpt:
+            pass  # weights come from the artifact in overrides (real IR)
+        elif quant_vars:
             eng.variables = load_variables(os.path.join(D, ckpt))
         else:
             eng.load_weights(os.path.join(D, ckpt))
@@ -117,6 +119,25 @@ def main():
     run("ssd-squeezenet@300 (band)", det_gate(
         "ssd-squeezenet", "golden_ssd_sq_ckpt",
         overrides={"input_size": (300, 300)}, band=True))
+    if os.path.isdir(os.path.join(D, "golden_ov_sq_ckpt")):
+        run("ov-squeezenet-light (band)", det_gate(
+            "ov-squeezenet-light", "golden_ov_sq_ckpt", band=True))
+    if os.path.isfile(os.path.join(D, "golden_ov_sq.xml")):
+        run("ov-sq real-IR (band)", det_gate(
+            "openvino-ir", None,
+            overrides={"xml": os.path.join(D, "golden_ov_sq.xml")},
+            band=True, no_ckpt=True))
+    if os.path.isdir(os.path.join(D, "golden_ov_0204_ckpt")):
+        run("ov-0204 (band)", det_gate(
+            "ov-0204", "golden_ov_0204_ckpt", band=True))
+    if os.path.isfile(os.path.join(D, "golden_ov_0204.xml")):
+        run("ov-0204 real-IR (band)", det_gate(
+            "openvino-ir", None,
+            overrides={"xml": os.path.join(D, "golden_ov_0204.xml")},
+            band=True, no_ckpt=True))
+    if os.path.isdir(os.path.join(D, "golden_res10_ckpt")):
+        run("res10-deploy-graph (band)", det_gate(
+            "res10-ssd", "golden_res10_ckpt", band=True))
     run("blazeface-front", det_gate("blazeface-front", "golden_blaze_ckpt"))
     run("mtcnn-cascade", det_gate("mtcnn", "golden_mtcnn_ckpt"))
     run("age-gender-cascade", ag_gate)

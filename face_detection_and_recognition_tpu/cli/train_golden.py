@@ -38,9 +38,14 @@ def main(argv=None) -> int:
     ap.add_argument("--export-caffemodel", default=None,
                     help="(res10-ssd only) also write the trained blobs "
                          "into a REAL binary .caffemodel at this path")
+    ap.add_argument("--export-ir", default=None,
+                    help="(ov-* only) also write the trained weights into "
+                         "a REAL model.xml (+ sibling .bin) at this path")
     args = ap.parse_args(argv)
     if args.export_caffemodel and args.arch != "res10-ssd":
         ap.error("--export-caffemodel applies to --arch res10-ssd only")
+    if args.export_ir and not args.arch.startswith("ov-"):
+        ap.error("--export-ir applies to the ov-* topologies only")
 
     from ..train.golden import train_golden
 
@@ -73,6 +78,13 @@ def main(argv=None) -> int:
             export_trained_caffemodel(load_variables(args.out),
                                       args.export_caffemodel)
             print(f"trained .caffemodel written to {args.export_caffemodel}")
+        if args.export_ir:
+            from ..models.ov_topologies import export_trained_ir
+            from ..utils.checkpoint import load_variables
+
+            export_trained_ir(args.arch, load_variables(args.out),
+                              args.export_ir)
+            print(f"trained IR written to {args.export_ir} (+ .bin)")
     return 0 if (r["ok"] and r.get("reload_ok")) else 1
 
 

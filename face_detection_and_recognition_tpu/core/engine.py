@@ -271,10 +271,30 @@ class FaceEngine:
         elif ext == ".pb":
             from ..utils import model_formats as MF
 
-            if name != "mtcnn":
+            if name == "mtcnn":
+                variables = W.convert_mtcnn_graphdef(
+                    MF.read_tf_graphdef(path), self.variables)
+            elif hasattr(self.net, "pour_blobs"):
+                # the TF-GraphDef flavor of the OpenCV face SSD
+                # (opencv_face_detector_uint8.pb — the reference's
+                # OpenCVFaceDetModel loads BOTH this and the .caffemodel,
+                # modules/opencv2_dnn/model.py:21,30-32): dequantize +
+                # pour into the res10 deploy graph
+                variables = W.convert_res10_graphdef(
+                    MF.read_tf_graphdef(path), self.net)
+            elif name.startswith("ssd-"):
+                # flax SSD twins take the same dequantized array stream
+                # through the shape-checked structural pour
+                consts = W.dequantize_graphdef_consts(
+                    MF.read_tf_graphdef(path))
+                # TF kernels are HWIO — already the flax layout the
+                # structural importer expects
+                arrays = [np.asarray(c.value, np.float32) for c in consts]
+                variables = W.structural_import(
+                    arrays, self.variables,
+                    module_order=self._execution_order())
+            else:
                 raise ValueError(f"no GraphDef importer for '{name}'")
-            variables = W.convert_mtcnn_graphdef(
-                MF.read_tf_graphdef(path), self.variables)
         elif ext == ".xml":
             from ..models.ov_graph import OVGraphNet
 
@@ -519,11 +539,12 @@ class FaceEngine:
         """Multi-chip data-parallel detection: the frame batch is sharded
         over the mesh 'data' axis, variables replicated; XLA partitions the
         whole preprocess+detect+postprocess program (SURVEY §2.7 item 1)."""
-        from ..parallel.sharding import batch_sharding, replicate_to_mesh
+        from ..parallel.sharding import (batch_sharding, put_global,
+                                         replicate_to_mesh)
 
         run = self._pipeline_for(tuple(imgs.shape[1:]), with_vars=True)
         variables = replicate_to_mesh(self.variables, mesh)
-        imgs = jax.device_put(np.asarray(imgs), batch_sharding(mesh, 4))
+        imgs = put_global(np.asarray(imgs), batch_sharding(mesh, 4))
         return run(variables, imgs, self._scalar(self.cfg.det_thres),
                    self._scalar(self.cfg.bbox_area_thres))
 
@@ -830,7 +851,9 @@ class FaceEngine:
 
             det_vars, embed_vars, ag_vars = replicate_to_mesh(
                 (self.variables, self.embed_vars, self.ag_vars), mesh)
-            imgs = jax.device_put(np.asarray(imgs), batch_sharding(mesh, 4))
+            from ..parallel.sharding import put_global
+
+            imgs = put_global(np.asarray(imgs), batch_sharding(mesh, 4))
             post, crops, emb, age, gender = run(
                 det_vars, embed_vars, ag_vars,
                 imgs, self._scalar(dt), self._scalar(at),

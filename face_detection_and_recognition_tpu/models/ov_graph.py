@@ -352,10 +352,20 @@ class OVGraphNet:
 
     # ------------------------------------------------------------------
     def apply(self, weights: Dict[str, jnp.ndarray],
-              imgs: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+              imgs: jnp.ndarray,
+              taps: Sequence[str] = ()) -> Dict[str, jnp.ndarray]:
         """imgs [B, H, W, C] (NHWC; callers transpose the reference's NCHW
         blobs). 4-D activations run channels-last; Transpose(0,2,3,1) is a
-        layout no-op, Reshape restores NCHW semantics first."""
+        layout no-op, Reshape restores NCHW semantics first.
+
+        ``taps`` names extra step outputs to return by LAYER NAME — the
+        differentiable-training path (train/ov_golden.py) taps the loc
+        reshape and the PRE-softmax conf reshape the same way the caffe
+        interpreter's taps work."""
+        if (isinstance(weights, dict) and "params" not in self.weights
+                and isinstance(weights.get("params"), dict)):
+            # trainer/orbax convention wraps the flat dict as {"params": .}
+            weights = weights["params"]
         env: Dict[str, jnp.ndarray] = {self.input_key or "data": imgs}
         hwc_logical: set = {self.input_key or "data"}  # 4D already-NHWC keys
 
@@ -523,7 +533,12 @@ class OVGraphNet:
                 hwc_logical.add(s.output)
             else:  # pragma: no cover
                 raise AssertionError(s.op)
-        return {k: env[k] for k in self.outputs}
+        out = {k: env[k] for k in self.outputs}
+        if taps:
+            by_name = {s.name: s.output for s in self.steps}
+            for t in taps:
+                out[t] = env[by_name[t]]
+        return out
 
 
 def make_ov_detect(net: OVGraphNet):

@@ -257,6 +257,38 @@ register(DetectorSpec(
     _build_ov_ir()))
 
 
+def _build_ov_topology(topology: str):
+    def build(rng=None, dtype=jnp.float32, **kw):
+        import jax
+
+        from .ov_graph import OVGraphNet, make_ov_detect
+        from .ov_topologies import build_ov_topology
+
+        kw.pop("input_size", None)  # sizing comes from the topology
+        seed = int(jax.random.randint(rng, (), 0, 2**31 - 1)) if rng is not None else 0
+        # He-init weights are baked into the topology's Const layers
+        net = OVGraphNet(build_ov_topology(topology, seed=seed))
+        detect = jax.jit(make_ov_detect(net))
+        return net, net.init_variables(), detect
+
+    return build
+
+
+# the reference's REAL OpenVINO topologies, encoded in-repo and executed
+# through the same IR interpreter as 'openvino-ir' files
+# (models/ov_topologies.py: face-detection-0204 / face-detection-retail-0004
+# per OMZ model cards; reference detect_face_openvino.py:11-14 + README
+# SqueezeNet-SSD row)
+register(DetectorSpec(
+    "ov-0204", (448, 448),
+    P.PreprocessSpec(size=(448, 448), resize="letterbox"), 0,
+    _build_ov_topology("ov-0204")))
+register(DetectorSpec(
+    "ov-squeezenet-light", (300, 300),
+    P.PreprocessSpec(size=(300, 300), resize="letterbox"), 0,
+    _build_ov_topology("ov-squeezenet-light")))
+
+
 # ---------------- MTCNN ----------------
 
 

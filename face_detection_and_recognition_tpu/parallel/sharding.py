@@ -18,10 +18,30 @@ def batch_sharding(mesh: Mesh, ndim: int, axis: str = "data") -> NamedSharding:
     return NamedSharding(mesh, PS(axis, *([None] * (ndim - 1))))
 
 
+def put_global(array: Any, sharding: NamedSharding) -> jax.Array:
+    """``device_put`` that also works when the sharding spans PROCESSES.
+
+    Single-process meshes take the fast path. On a multi-process mesh
+    (DCN between TPU hosts; the 2-process gloo mesh in tests) every
+    process must pass the SAME global host array — each donates only its
+    addressable shards via ``make_array_from_callback``, exactly how
+    multi-host input pipelines feed pjit programs."""
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return jax.device_put(array, sharding)
+    arr = np.asarray(array)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
+
+
 def replicate_to_mesh(tree: Any, mesh: Mesh) -> Any:
-    """Fully replicate a pytree (model params) across the mesh."""
+    """Fully replicate a pytree (model params) across the mesh — including
+    meshes spanning processes (see :func:`put_global`)."""
     repl = NamedSharding(mesh, PS())
-    return jax.device_put(tree, repl)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, repl)
+    return jax.tree_util.tree_map(lambda x: put_global(x, repl), tree)
 
 
 def data_parallel(

@@ -292,6 +292,152 @@ def make_composite_dataset(
     return ann, images_root
 
 
+def _rotate_patch(patch: np.ndarray, box: np.ndarray, angle: float):
+    """Rotate a face patch (and its box corners) about the patch center,
+    expanding the canvas so nothing clips. Returns (patch, box)."""
+    ph, pw = patch.shape[:2]
+    m = cv2.getRotationMatrix2D((pw / 2, ph / 2), angle, 1.0)
+    cos, sin = abs(m[0, 0]), abs(m[0, 1])
+    nw = int(ph * sin + pw * cos)
+    nh = int(ph * cos + pw * sin)
+    m[0, 2] += nw / 2 - pw / 2
+    m[1, 2] += nh / 2 - ph / 2
+    out = cv2.warpAffine(patch, m, (nw, nh), flags=cv2.INTER_LINEAR,
+                         borderMode=cv2.BORDER_REPLICATE)
+    corners = np.array([[box[0], box[1], 1], [box[2], box[1], 1],
+                        [box[2], box[3], 1], [box[0], box[3], 1]], np.float32)
+    rot = corners @ m.T
+    nb = np.array([rot[:, 0].min(), rot[:, 1].min(),
+                   rot[:, 0].max(), rot[:, 1].max()], np.float32)
+    return out, nb
+
+
+def compose_crowded_image(
+    rng: random.Random,
+    faces: Sequence[Dict[str, np.ndarray]],
+    sources: List[np.ndarray],
+    out_wh: Tuple[int, int] = (640, 640),
+    n_faces: Tuple[int, int] = (16, 64),
+    face_px: Tuple[int, int] = (8, 300),
+    max_overlap: float = 0.3,
+    rot_deg: float = 25.0,
+    max_distractors: int = 6,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """One CROWDED composite: 16-64 faces per frame at 8-300px with
+    rotation, partial overlap (later pastes occlude earlier ones, like a
+    crowd), plus unlabeled distractors — the WIDER regime the reference's
+    eval harness runs (eval/eval_face_detector.py:114-151, frames with up
+    to hundreds of faces), which the 0-4-face training composites never
+    exercise. Returns (img BGR u8, boxes [N,4] xywh pixel GT) with boxes
+    in PASTE ORDER (earlier = more occluded)."""
+    ow, oh = out_wh
+    canvas = _random_background(rng, out_wh, sources).copy()
+    n = rng.randint(*n_faces)
+    placed: List[np.ndarray] = []
+    rows: List[np.ndarray] = []
+    for _ in range(n):
+        f = faces[rng.randrange(len(faces))]
+        patch, box = f["patch"], f["box"]
+        fw = box[2] - box[0]
+        # log-uniform face size: half the draws land under ~sqrt(lo*hi)px,
+        # matching WIDER's small-face-heavy distribution
+        lo, hi = face_px
+        hi = min(hi, int(0.55 * min(ow, oh)))
+        target = float(np.exp(rng.uniform(np.log(lo), np.log(hi))))
+        s = target / fw
+        sw = max(int(patch.shape[1] * s), 4)
+        sh = max(int(patch.shape[0] * s), 4)
+        if sw >= ow or sh >= oh:
+            continue
+        patch_s = cv2.resize(patch, (sw, sh))
+        box_s = box * s
+        if rot_deg and rng.random() < 0.5:
+            patch_s, box_s = _rotate_patch(patch_s, box_s,
+                                           rng.uniform(-rot_deg, rot_deg))
+            sh, sw = patch_s.shape[:2]
+            if sw >= ow or sh >= oh:
+                continue
+        for _attempt in range(8):
+            x0 = rng.randint(0, ow - sw)
+            y0 = rng.randint(0, oh - sh)
+            fb = np.array([x0 + box_s[0], y0 + box_s[1],
+                           x0 + box_s[2], y0 + box_s[3]], np.float32)
+            if all(bbox_iou_xyxy(fb, p) <= max_overlap for p in placed):
+                _paste_feathered(canvas, patch_s, x0, y0,
+                                 border=max(2, int(4 * s)))
+                placed.append(fb)
+                rows.append(np.array(
+                    [fb[0], fb[1], fb[2] - fb[0], fb[3] - fb[1]],
+                    np.float32))
+                break
+    for _ in range(rng.randint(0, max_distractors)):
+        if not sources:
+            break
+        src = sources[rng.randrange(len(sources))]
+        h, w = src.shape[:2]
+        cw = rng.randint(16, max(min(w, ow) // 2, 17))
+        ch = rng.randint(16, max(min(h, oh) // 2, 17))
+        x0s, y0s = rng.randint(0, w - cw), rng.randint(0, h - ch)
+        target = rng.uniform(12, 0.4 * min(ow, oh))
+        s = target / cw
+        sw, sh = max(int(cw * s), 4), max(int(ch * s), 4)
+        if sw >= ow or sh >= oh:
+            continue
+        patch_s = cv2.resize(src[y0s:y0s + ch, x0s:x0s + cw], (sw, sh))
+        for _attempt in range(8):
+            x0 = rng.randint(0, ow - sw)
+            y0 = rng.randint(0, oh - sh)
+            db = np.array([x0, y0, x0 + sw, y0 + sh], np.float32)
+            if all(bbox_iou_xyxy(db, p) < 0.05 for p in placed):
+                _paste_feathered(canvas, patch_s, x0, y0,
+                                 border=max(2, int(4 * s)))
+                break
+    gt = np.stack(rows) if rows else np.zeros((0, 4), np.float32)
+    return canvas, gt
+
+
+def make_crowded_dataset(
+    out_dir: str,
+    n_images: int = 32,
+    out_wh: Tuple[int, int] = (640, 640),
+    seed: int = 0,
+    face_img: str = GOLDEN_IMG,
+    neg_img: str = NEGATIVE_IMG,
+    **compose_kw,
+) -> Tuple[str, str]:
+    """WIDER-format crowded benchmark set (images + gt.txt) — the accuracy
+    evidence for the masked fixed-size NMS formulations near capacity
+    (round-3 VERDICT Missing #4). Returns (ann_file, images_root)."""
+    rng = random.Random(seed)
+    faces = extract_golden_faces(face_img)
+    sources = []
+    neg = cv2.imread(neg_img)
+    if neg is not None:
+        sources.append(neg)
+    gimg = cv2.imread(face_img)
+    if gimg is not None:
+        sources.append(gimg[: int(GOLDEN_BOXES_3[:, 1].min()) - 10])
+    images_root = os.path.join(out_dir, "images")
+    os.makedirs(os.path.join(images_root, "1--Crowded"), exist_ok=True)
+    lines = []
+    for i in range(n_images):
+        img, gt = compose_crowded_image(rng, faces, sources, out_wh,
+                                        **compose_kw)
+        rel = f"1--Crowded/c{i:04d}.jpg"
+        cv2.imwrite(os.path.join(images_root, rel), img,
+                    [cv2.IMWRITE_JPEG_QUALITY, rng.randint(85, 98)])
+        lines.append(f"{rel}\n{len(gt)}\n")
+        if len(gt) == 0:
+            lines.append("0 0 0 0 0 0 0 0 0 0\n")
+        for b in gt:
+            lines.append(f"{int(b[0])} {int(b[1])} {int(round(b[2]))} "
+                         f"{int(round(b[3]))} 0 0 0 0 0 0\n")
+    ann = os.path.join(out_dir, "gt.txt")
+    with open(ann, "w") as f:
+        f.write("".join(lines))
+    return ann, images_root
+
+
 # --------------------------------------------------------------------------
 # accuracy gate + training loop
 # --------------------------------------------------------------------------
@@ -430,7 +576,10 @@ def train_golden(
     from ..core.engine import EngineConfig, FaceEngine
     from .data import AugmentConfig, load_wider_index
 
-    is_ssd = arch.startswith("ssd") or arch == "res10-ssd"
+    is_ov = arch.startswith("ov-")
+    # ssd-family preprocessing conventions: BGR input, no RGB swap (the
+    # OVModel path additionally skips mean subtraction — raw BGR values)
+    is_ssd = arch.startswith("ssd") or arch == "res10-ssd" or is_ov
     ann, images_root = make_composite_dataset(
         os.path.join(work_dir, "golden_ds"), n_images=n_images,
         out_wh=(input_size, input_size), seed=seed)
@@ -455,6 +604,19 @@ def train_golden(
             total_steps=max_steps, ema_decay=0.999, ema_tau=500.0)
         state = create_res10_train_state(cfg, jax.random.PRNGKey(seed))
         make_step = make_res10_train_step_ema
+    elif is_ov:
+        # the EXACT OpenVINO topologies (face-detection-0204 /
+        # retail-0004), trained THROUGH the differentiable IR interpreter
+        # (train/ov_golden.py — the res10 move repeated for OpenVINO)
+        from .ov_golden import (OVGoldenConfig, create_ov_train_state,
+                                make_ov_train_step_ema)
+
+        cfg = OVGoldenConfig(
+            topology=arch, input_size=(input_size, input_size),
+            max_targets=8, lr=lr, warmup_steps=warmup,
+            total_steps=max_steps, ema_decay=0.999, ema_tau=500.0)
+        state = create_ov_train_state(cfg, jax.random.PRNGKey(seed))
+        make_step = make_ov_train_step_ema
     elif is_ssd:
         from .ssd import (SSDTrainConfig, create_ssd_train_state,
                           make_ssd_train_step_ema)
@@ -507,7 +669,7 @@ def train_golden(
         state["ema_params"] = jax.tree_util.tree_map(
             jnp.asarray, prev["params"])
         state["batch_stats"] = jax.tree_util.tree_map(
-            jnp.asarray, prev["batch_stats"])
+            jnp.asarray, prev.get("batch_stats", {}))  # stat-less families
         log(f"[golden] resumed weights from {resume_from}")
 
     # blazeface's input size is fixed by its anchor layout — the registry

@@ -632,3 +632,167 @@ def convert_facenet_keras(stream, net, variables: Mapping) -> Dict:
     (``similar_face_filtering/filter_faces_using_reference.py:131``)."""
     order = execution_module_order(net, variables, (1, 160, 160, 3))
     return structural_import(list(stream), variables, module_order=order)
+
+
+# ---------------------------------------------------------------------------
+# TF-GraphDef flavor of the OpenCV face SSD
+# ---------------------------------------------------------------------------
+
+
+def dequantize_graphdef_consts(consts) -> list:
+    """Collapse TF ``quantize_weights``-transform triplets back to f32.
+
+    The reference's second OpenCV artifact, ``opencv_face_detector_uint8.pb``
+    (``modules/opencv2_dnn/model.py:30-32``), stores each weight tensor as
+    three Consts the way TF's graph-transform tool emits them:
+    ``<stem>_quantized_const`` (uint8), ``<stem>_quantized_min`` and
+    ``<stem>_quantized_max`` (f32 scalars). Dequantization is MIN_COMBINED:
+    ``w = min + q * (max - min) / 255`` — cross-validated against
+    ``tf.quantization.dequantize`` in tests/test_model_formats.py. Plain
+    f32 Consts pass through; the min/max scalars are consumed."""
+    from .model_formats import GraphConst
+
+    by_name = {c.name: c for c in consts}
+    out = []
+    for c in consts:
+        if c.name.endswith("_quantized_min") or c.name.endswith(
+                "_quantized_max"):
+            continue
+        if c.name.endswith("_quantized_const"):
+            stem = c.name[: -len("_quantized_const")]
+            mn = by_name.get(stem + "_quantized_min")
+            mx = by_name.get(stem + "_quantized_max")
+            if mn is None or mx is None:
+                raise ValueError(
+                    f"{c.name}: missing _quantized_min/_quantized_max "
+                    "siblings")
+            lo = float(np.asarray(mn.value).reshape(-1)[0])
+            hi = float(np.asarray(mx.value).reshape(-1)[0])
+            deq = lo + c.value.astype(np.float32) * ((hi - lo) / 255.0)
+            out.append(GraphConst(name=stem, value=deq))
+        else:
+            out.append(c)
+    return out
+
+
+def _gd_name_kind(cname: str):
+    base = cname.lower().rsplit("/", 1)[-1].split(":")[0]
+    if "gamma" in base or base in ("scale", "mul", "w"):
+        return "gamma"
+    if "beta" in base or "offset" in base:
+        return "beta"
+    if "mean" in base:
+        return "mean"
+    if "var" in base:
+        return "var"
+    if "bias" in base or base in ("b",):
+        return "bias"
+    if "weight" in base or "kernel" in base or "conv" in base:
+        return "kernel"
+    return None
+
+
+def convert_res10_graphdef(consts, net) -> Dict:
+    """Pour a TF-GraphDef face-SSD's consts into the res10 deploy graph
+    (``models/res10.py`` — the same net OpenCV builds for BOTH its
+    ``.caffemodel`` and ``.pb`` artifacts, README FPS rows 18 vs 19).
+
+    The artifact class (``opencv_face_detector_uint8.pb``) is a
+    transform-optimized inference graph: weights quantized to uint8
+    triplets (dequantized first, :func:`dequantize_graphdef_consts`) and
+    batch norms FOLDED. So: CONV kernels/biases come from the file —
+    name-prefix match first (``<layer>/...`` or ``<layer>_...``), graph
+    order + shape as fallback; BatchNorm slots default to the identity
+    statistics (mean 0, var 1, sf 1 — also this repo's frozen-BN training
+    convention, train/caffe_golden.py) and Scale slots to the identity
+    affine, unless the graph carries layer-prefixed consts for them
+    (matched by name kind: gamma/beta/mean/var). TF kernels are HWIO;
+    caffe blobs are OIHW — a 4-D const is transposed (3,2,0,1) when that
+    (and not its raw shape) matches the slot. Raises with a per-layer
+    diagnostic table when conv slots cannot fill."""
+    consts = dequantize_graphdef_consts(consts)
+    used = [False] * len(consts)
+    bn_layers = {s.name for s in net.steps if s.op == "batchnorm"}
+    scale_layers = {s.name for s in net.steps if s.op == "scale"}
+
+    def owner_prefix(cname: str, layer: str) -> bool:
+        return (cname == layer or cname.startswith(layer + "/")
+                or cname.startswith(layer + "_"))
+
+    def fit(value: np.ndarray, slot: np.ndarray):
+        """f32 view of ``value`` reshaped/transposed to the slot's layout,
+        or None."""
+        v = np.asarray(value, np.float32)
+        want = tuple(slot.shape)
+        if v.ndim == 4:
+            hwio = np.transpose(v, (3, 2, 0, 1))
+            if tuple(hwio.shape) == want:
+                return hwio
+        if tuple(v.shape) == want:
+            return v
+        if v.size == slot.size and v.ndim <= 1:
+            return v.reshape(want)
+        return None
+
+    def take_prefixed(layer: str, slot, want_kind=None):
+        for j, c in enumerate(consts):
+            if used[j] or not owner_prefix(c.name, layer):
+                continue
+            if want_kind is not None and _gd_name_kind(c.name) != want_kind:
+                continue
+            f = fit(c.value, slot)
+            if f is not None:
+                used[j] = True
+                return f
+        return None
+
+    out: Dict = {}
+    problems = []
+    for layer, ours in net.weights.items():
+        if layer in bn_layers:
+            # blobs [mean, var, scale_factor]: identity statistics unless
+            # the graph carries layer-prefixed mean/var consts (the
+            # scale_factor has no TF counterpart — always 1)
+            blobs = []
+            for slot, kind, ident in zip(ours, ("mean", "var", None),
+                                         (np.zeros, np.ones, np.ones)):
+                v = take_prefixed(layer, slot, kind) if kind else None
+                blobs.append(v if v is not None
+                             else ident(np.shape(slot), np.float32))
+            out[layer] = blobs
+            continue
+        if layer in scale_layers:
+            # blobs [gamma(, beta)]: identity affine unless present
+            blobs = []
+            for slot, kind, ident in zip(ours, ("gamma", "beta"),
+                                         (np.ones, np.zeros)):
+                v = take_prefixed(layer, slot, kind)
+                blobs.append(v if v is not None
+                             else ident(np.shape(slot), np.float32))
+            out[layer] = blobs
+            continue
+        poured = []
+        for si, slot in enumerate(ours):
+            want = "kernel" if np.ndim(slot) == 4 else "bias"
+            f = take_prefixed(layer, slot, want)
+            if f is None:
+                f = take_prefixed(layer, slot)     # prefixed, any kind
+            if f is None:                           # graph order + shape
+                for j, c in enumerate(consts):
+                    if used[j]:
+                        continue
+                    g = fit(c.value, slot)
+                    if g is not None:
+                        used[j] = True
+                        f = g
+                        break
+            if f is None:
+                problems.append(
+                    f"  {layer}: no const left for slot {tuple(slot.shape)}")
+                break
+            poured.append(f)
+        else:
+            out[layer] = poured
+    if problems:
+        raise ValueError("GraphDef pour failed:\n" + "\n".join(problems))
+    return out

@@ -8,6 +8,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.parity  # parity lane (pyproject addopts)
+
 REF = "/root/reference/face_detection_and_extraction"
 
 

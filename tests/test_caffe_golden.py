@@ -13,8 +13,11 @@ import numpy as np
 import pytest
 
 from face_detection_and_recognition_tpu.train.caffe_golden import (
+
     CaffeGoldenConfig, create_res10_train_state, export_trained_caffemodel,
     make_res10_train_step_ema)
+
+pytestmark = pytest.mark.golden  # golden lane (pyproject addopts)
 
 
 @pytest.fixture(scope="module")

@@ -21,6 +21,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.parity  # parity lane (pyproject addopts)
+
 REF = "/root/reference/face_detection_and_extraction"
 
 

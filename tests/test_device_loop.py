@@ -4,9 +4,13 @@ and the buffer builder's shapes/dtypes."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from face_detection_and_recognition_tpu.train import device_loop as DL
 from face_detection_and_recognition_tpu.train.data import flip_lr_targets
+
+pytestmark = pytest.mark.slow  # slow lane (pyproject addopts)
+
 
 
 def test_device_flip_matches_host_convention():

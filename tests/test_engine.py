@@ -94,6 +94,7 @@ def test_engine_yolov5_small_input():
         assert (raw[:, -1] >= 0.0).all()
 
 
+@pytest.mark.slow
 def test_pipeline_cache_bounded_and_locked(rng):
     """Novel resolutions evict LRU entries instead of growing compile state
     without bound; concurrent first-compiles serialize behind the lock

@@ -12,6 +12,8 @@ import pytest
 
 from face_detection_and_recognition_tpu.core.engine import EngineConfig, FaceEngine
 
+pytestmark = pytest.mark.slow  # slow lane (pyproject addopts)
+
 
 @pytest.fixture(scope="module")
 def engine():

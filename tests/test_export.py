@@ -1,5 +1,9 @@
 """StableHLO export of the fused serving ensemble."""
+import pytest
+
 import numpy as np
+
+pytestmark = pytest.mark.slow  # slow lane (pyproject addopts)
 
 def test_export_fused_ensemble_roundtrip(tmp_path, rng):
     """The whole serving ensemble serializes to ONE StableHLO artifact and

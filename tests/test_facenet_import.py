@@ -14,7 +14,10 @@ import numpy as np
 import pytest
 
 from face_detection_and_recognition_tpu.utils.tensor_bundle import (
+
     read_tensor_bundle, write_tensor_bundle)
+
+pytestmark = pytest.mark.parity  # parity lane (pyproject addopts)
 
 
 def test_tensor_bundle_roundtrip(tmp_path, rng):

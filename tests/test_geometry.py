@@ -145,6 +145,7 @@ def test_preprocess_blazeface_range(rng):
     assert -1.0 - 1e-5 <= out.min() and out.max() <= 1.0 + 1e-5
 
 
+@pytest.mark.slow
 def test_letterbox_strategies_match_staged_reference(rng):
     """apply_preprocess picks pad-through-matrix (+ fused where fill) or
     staged resize+canvas by pad fraction; BOTH must match the plain

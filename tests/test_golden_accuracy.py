@@ -16,6 +16,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.golden  # golden lane (pyproject addopts)
+
 CKPT = os.path.join(os.path.dirname(__file__), "data", "golden_yolov5n_ckpt")
 
 

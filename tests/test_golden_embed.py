@@ -16,6 +16,8 @@ import pytest
 
 from face_detection_and_recognition_tpu.train import golden_embed as GE
 
+pytestmark = pytest.mark.golden  # golden lane (pyproject addopts)
+
 CKPT = os.path.join(os.path.dirname(__file__), "data", "golden_embed_ckpt")
 
 

@@ -12,6 +12,8 @@ import cv2
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.golden  # golden lane (pyproject addopts)
+
 DATA = os.path.join(os.path.dirname(__file__), "data")
 DET_CKPT = os.path.join(DATA, "golden_yolov5n_ckpt")
 EMB_CKPT = os.path.join(DATA, "golden_embed_ckpt")

@@ -10,6 +10,8 @@ import pytest
 from face_detection_and_recognition_tpu.models import mobile_facenet as MF
 from face_detection_and_recognition_tpu.utils.weights import convert_mobile_facenet
 
+pytestmark = pytest.mark.parity  # parity lane (pyproject addopts)
+
 REF = "/root/reference/face_detection_and_extraction"
 
 

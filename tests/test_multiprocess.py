@@ -9,6 +9,8 @@ same program shape as DCN crossings between TPU hosts. Asserts:
   * the cross-process loss matches the single-process 8-device run
     (same seeds, same step count) within reduction-order tolerance
 """
+import pytest
+
 import json
 import os
 import socket
@@ -16,6 +18,8 @@ import subprocess
 import sys
 
 import numpy as np
+
+pytestmark = pytest.mark.slow  # slow lane (pyproject addopts)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -85,3 +89,56 @@ def test_two_process_mesh_matches_single_process(tmp_path):
         results[0]["kernel_sum"],
         float(abs(np.asarray(jax.device_get(params["arcface_kernel"]))).sum()),
         rtol=1e-5)
+
+
+def _spawn_mode(procs, pid, coordinator, out, mode):
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    return subprocess.Popen(
+        [sys.executable, "-m",
+         "face_detection_and_recognition_tpu.parallel.mp_demo",
+         "--procs", str(procs), "--pid", str(pid),
+         "--coordinator", coordinator, "--out", out, "--mode", mode],
+        cwd=REPO, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+
+
+def test_two_process_fused_ensemble_matches_single_process(tmp_path):
+    """The serving DCN story EXECUTED: the full fused ensemble (detect ->
+    crop -> embed -> age/gender, ONE pjit program) with its batch axis
+    spanning two OS processes — XLA collectives cross the process boundary
+    exactly as they cross DCN between TPU hosts — produces the same result
+    as the single-process 8-device mesh (round-3 VERDICT next #9)."""
+    coordinator = f"localhost:{_free_port()}"
+    outs = [str(tmp_path / f"e{i}.json") for i in range(2)]
+    workers = [_spawn_mode(2, i, coordinator, outs[i], "ensemble")
+               for i in range(2)]
+    logs = []
+    for w in workers:
+        out, _ = w.communicate(timeout=600)
+        logs.append(out.decode(errors="replace"))
+    assert all(w.returncode == 0 for w in workers), "\n".join(logs)
+    results = [json.load(open(p)) for p in outs]
+
+    # both processes observe the identical (replicated) global summaries
+    assert results[0]["n_devices"] == 8
+    for key in ("boxes_sum", "valid_count", "crops_sum", "emb_sum",
+                "age_sum", "gender_sum"):
+        np.testing.assert_allclose(results[0][key], results[1][key],
+                                   rtol=1e-6, err_msg=key)
+
+    # and the cross-process ensemble equals the single-process 8-device
+    # run of the very same program on the very same frames
+    from face_detection_and_recognition_tpu.parallel.mesh import make_mesh
+    from face_detection_and_recognition_tpu.parallel.mp_demo import (
+        ensemble_inputs, ensemble_summaries, make_ensemble_engine)
+
+    mesh = make_mesh(("data",), (8,))
+    engine = make_ensemble_engine()
+    local = ensemble_summaries(
+        engine.detect_embed_classify_batch(ensemble_inputs(), mesh=mesh))
+    assert local["valid_count"] == results[0]["valid_count"]
+    for key in ("boxes_sum", "crops_sum", "emb_sum", "age_sum",
+                "gender_sum"):
+        np.testing.assert_allclose(results[0][key], local[key],
+                                   rtol=1e-4, err_msg=key)

@@ -7,7 +7,10 @@ import pytest
 
 from face_detection_and_recognition_tpu.parallel.mesh import make_mesh
 from face_detection_and_recognition_tpu.parallel.sharding import (
+
     batch_sharding, data_parallel, replicate_to_mesh, shard_reference_matrix)
+
+pytestmark = pytest.mark.slow  # slow lane (pyproject addopts)
 
 
 def _require_8():

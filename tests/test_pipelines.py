@@ -7,7 +7,10 @@ import numpy as np
 import pytest
 
 from face_detection_and_recognition_tpu.pipelines import (dataset, imdb_wiki,
+
                                                           similarity, tracking)
+
+pytestmark = pytest.mark.slow  # slow lane (pyproject addopts)
 
 
 @pytest.fixture()

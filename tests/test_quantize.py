@@ -8,6 +8,8 @@ import pytest
 from face_detection_and_recognition_tpu.models.layers import ConvBN
 from face_detection_and_recognition_tpu.utils.quantize import quantize_variables
 
+pytestmark = pytest.mark.slow  # slow lane (pyproject addopts)
+
 
 def test_convbn_quantized_matches_f32(rng):
     m = ConvBN(32, 3, 2)

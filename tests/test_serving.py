@@ -9,6 +9,8 @@ import pytest
 
 from face_detection_and_recognition_tpu.serving import FaceService, ServiceConfig
 
+pytestmark = pytest.mark.slow  # slow lane (pyproject addopts)
+
 
 @pytest.fixture(scope="module")
 def service():

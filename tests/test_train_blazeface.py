@@ -1,5 +1,7 @@
 """BlazeFace trainer (train/blazeface.py): encoding is the exact inverse of
 the model's decode, matching rules, and a toy optimization run."""
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -7,6 +9,8 @@ import jax.numpy as jnp
 from face_detection_and_recognition_tpu.models.blazeface import (
     decode_boxes, generate_anchors)
 from face_detection_and_recognition_tpu.train import blazeface as B
+
+pytestmark = pytest.mark.slow  # slow lane (pyproject addopts)
 
 
 def test_encode_is_inverse_of_decode():

@@ -8,6 +8,8 @@ import pytest
 
 from face_detection_and_recognition_tpu.train import data as TD
 
+pytestmark = pytest.mark.slow  # slow lane (pyproject addopts)
+
 
 def test_make_example_geometry(rng):
     img = rng.randint(0, 255, (480, 640, 3)).astype(np.uint8)

@@ -5,6 +5,8 @@ import pytest
 
 from face_detection_and_recognition_tpu.train import detection as D
 
+pytestmark = pytest.mark.slow  # slow lane (pyproject addopts)
+
 
 def test_ciou_identity_and_disjoint():
     a = np.array([[50.0, 50.0, 20.0, 20.0]], np.float32)

@@ -10,6 +10,8 @@ import jax  # noqa: E402
 
 from face_detection_and_recognition_tpu.train import ssd as S  # noqa: E402
 
+pytestmark = pytest.mark.slow  # slow lane (pyproject addopts)
+
 
 def _toy_priors():
     # 4 priors: two at (0.25, 0.25), one at (0.75, 0.25), one at (0.5, 0.75)

@@ -130,6 +130,7 @@ def test_postprocess_suppresses_duplicates():
     np.testing.assert_allclose(kept[0, :4], [75, 70, 125, 130])
 
 
+@pytest.mark.slow
 def test_detect_maps_matches_fullgrid_path(rng):
     """Candidates-first fused path (top-k on raw logits -> gather -> decode
     -> NMS) is bit-identical on valid rows to decode_heads + postprocess,
@@ -161,6 +162,7 @@ def test_detect_maps_matches_fullgrid_path(rng):
         np.testing.assert_array_equal(d1[mask], d2[mask])
 
 
+@pytest.mark.slow
 def test_official_detect_maps_matches_fullgrid_path(rng):
     """Official (multiclass) candidates-first path == decode_heads +
     yolov5_official_postprocess on valid rows."""

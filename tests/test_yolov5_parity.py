@@ -9,6 +9,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.parity  # parity lane (pyproject addopts)
+
 REF_PT = "/root/reference/face_detection_and_extraction/modules/yolov5_face/pytorch"
 
 
