@@ -565,7 +565,10 @@ def make_ov_detect(net: OVGraphNet):
 
     def detect(weights, imgs):
         loc, conf = net.apply(weights, imgs)[net.outputs[0]]
-        b = loc.shape[0]
+        # batch comes from IMGS: the IR's Reshape targets are batch-1
+        # literals ([1,-1]), so loc/conf arrive with batch folded into the
+        # flat axis for B>1 (found the hard way: batch-32 holdout eval)
+        b = imgs.shape[0]
         locs = loc.reshape(b, n, 4)
         probs = conf.reshape(b, n, ncls)[..., 1]
         boxes = decode_variance_priors(locs, priors, variances)

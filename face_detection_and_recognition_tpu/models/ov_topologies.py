@@ -118,7 +118,7 @@ class _IRBuilder:
             "dilations": "1,1"}, dims=[1, cout, oh, ow])
         if bias:
             bv = np.zeros((1, cout, 1, 1), np.float32)
-            if init_gain != 1.0:
+            if 0.0 < init_gain < 1.0:
                 # fold the input MEAN into the bias too (OMZ folds the
                 # whole normalization into conv1): b_c = -sum(W_c) * mean
                 # zero-centers conv1's output over the all-positive raw-BGR
@@ -224,6 +224,7 @@ def face_detection_0204_defs(seed: int = 0
 
     def inv_res(x, cin, cout, stride, t, hw, name):
         mid = cin * t
+        residual = stride == 1 and cin == cout
         y = x
         if t != 1:
             y, _ = b.conv(f"{name}/expand", y, cin, mid, 1, hw)
@@ -231,8 +232,13 @@ def face_detection_0204_defs(seed: int = 0
         y, hw2 = b.conv(f"{name}/dw", y, mid, mid, 3, hw, stride=stride,
                         groups=mid)
         y = b.relu6(f"{name}/dw/relu", y, dims=[1, mid, *hw2])
-        y, _ = b.conv(f"{name}/project", y, mid, cout, 1, hw2)
-        if stride == 1 and cin == cout:
+        # Fixup-style init: residual branches START AT ZERO (project conv
+        # zeroed) so the 19-block no-normalization chain begins as its
+        # short non-residual spine — without this the full-depth plain net
+        # plateaus under any optimizer (0204 froze at loss 4.3)
+        y, _ = b.conv(f"{name}/project", y, mid, cout, 1, hw2,
+                      init_gain=0.0 if residual else 1.0)
+        if residual:
             y = b.add("Add", f"{name}/residual", [y, x],
                       dims=[1, cout, *hw2])
         return y, hw2

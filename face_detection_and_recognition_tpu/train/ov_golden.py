@@ -82,11 +82,14 @@ def create_ov_train_state(cfg: OVGoldenConfig,
     # Adam, not the family-standard SGD: these IR graphs carry NO
     # normalization layers (real IRs ship BN folded into convs), and a
     # 20-deep plain net under SGD plateaus immediately (loss froze at 4.1
-    # for 8000 steps). Adam's per-parameter scaling stands in for the
-    # missing normalization; the global-norm clip guards the raw-BGR
-    # input's spiky early loc gradients (one bad step NaN'd a run).
+    # for 8000 steps). Clipping is PER LEAF (block RMS), never global:
+    # conv1's gradient rides the raw-BGR input scale (dL/dW ~ 115x other
+    # layers, measured norm 3406 vs ~10), so a global-norm clip silently
+    # rescales every OTHER layer's gradient by ~0.003 — that plateaued
+    # ov-0204 twice. Per-leaf RMS tames conv1 and loss spikes (an
+    # unclipped SGD step NaN'd a run) without touching healthy layers.
     tx = optax.chain(
-        optax.clip_by_global_norm(10.0),
+        optax.clip_by_block_rms(1.0),
         optax.add_decayed_weights(cfg.weight_decay, mask=decay),
         optax.adam(lr_schedule(cfg)),
     )
