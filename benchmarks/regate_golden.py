@@ -139,6 +139,13 @@ def main():
         run("res10-deploy-graph (band)", det_gate(
             "res10-ssd", "golden_res10_ckpt", band=True))
     run("blazeface-front", det_gate("blazeface-front", "golden_blaze_ckpt"))
+    if os.path.isdir(os.path.join(D, "golden_blaze_back_ckpt")):
+        run("blazeface-back", det_gate("blazeface-back",
+                                       "golden_blaze_back_ckpt",
+                                       iou_bar=0.8))
+    if os.path.isdir(os.path.join(D, "golden_yolov5n_crowded_ckpt")):
+        run("yolov5n-crowded (band)", det_gate(
+            "yolov5n", "golden_yolov5n_crowded_ckpt", band=True))
     run("mtcnn-cascade", det_gate("mtcnn", "golden_mtcnn_ckpt"))
     run("age-gender-cascade", ag_gate)
     run("mobile_facenet-512d", embed_gate("mobile_facenet",

@@ -41,6 +41,11 @@ def main(argv=None) -> int:
     ap.add_argument("--export-ir", default=None,
                     help="(ov-* only) also write the trained weights into "
                          "a REAL model.xml (+ sibling .bin) at this path")
+    ap.add_argument("--crowded", action="store_true",
+                    help="mix 16-48-face crowded composites (rotation/"
+                         "overlap/8-300px) into training and widen the "
+                         "target buffer — the WIDER-regime checkpoint for "
+                         "tests/test_crowded_accuracy.py")
     args = ap.parse_args(argv)
     if args.export_caffemodel and args.arch != "res10-ssd":
         ap.error("--export-caffemodel applies to --arch res10-ssd only")
@@ -55,7 +60,8 @@ def main(argv=None) -> int:
         batch_size=args.batch, max_steps=args.steps,
         eval_every=args.eval_every, n_images=args.images, lr=args.lr,
         seed=args.seed, resume_from=args.resume_from,
-        gate_det_thres=args.gate_dt, gate_margin=args.gate_margin)
+        gate_det_thres=args.gate_dt, gate_margin=args.gate_margin,
+        crowded=args.crowded)
     print(f"golden gate: ok={r['ok']} reload_ok={r.get('reload_ok')} "
           f"ious={['%.3f' % i for i in r['ious']]} steps={r.get('steps')}")
     if r["ok"] and r.get("reload_ok"):

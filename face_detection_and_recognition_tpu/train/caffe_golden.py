@@ -69,11 +69,47 @@ def _blob_masks(net, weights):
     return decay, bn_names
 
 
+def _lsuv_rescale(net, weights, input_size, seed=0,
+                  target_std=1.0) -> None:
+    """LSUV init over EVERY conv layer of the deploy graph (in place).
+
+    The deploy graph's BN is frozen at identity statistics, so nothing
+    ever normalizes the raw ±120 mean-subtracted input scale: trunk
+    activations run at std 50-130 end to end and the He-init heads emit
+    O(50-100) conf LOGITS — a saturated softmax with no usable gradient
+    (training froze at conf=0.5 for 8000 steps; per-head rescale alone
+    still plateaued because the TRUNK's scale wrecks conditioning). LSUV
+    (Mishkin & Matas 2015): forward a real-statistics batch, rescale each
+    conv's kernel+bias so its output std is ~``target_std``, sequentially
+    so each layer is measured against its already-rescaled upstream. Topology
+    and weight SHAPES are untouched — this is still the exact public
+    res10 deploy graph, only better-conditioned random init."""
+    convs = [s for s in net.steps if s.op == "conv"]
+    w, h = input_size
+    x = jnp.asarray(
+        np.random.RandomState(seed).randint(0, 255, (2, h, w, 3))
+        .astype(np.float32) - np.asarray(OPENCV_SSD_MEAN, np.float32))
+    # SEQUENTIAL, input to output: rescaling layer i changes every
+    # downstream std by the same factor, so the all-at-once variant
+    # compounds corrections and oscillates between inf and 0 — each layer
+    # must be measured against its already-rescaled upstream (one forward
+    # per conv; ~30 forwards once at state creation).
+    for s in convs:
+        std = float(jnp.std(net.apply(weights, x,
+                                      taps=(s.output,))[s.output]))
+        if np.isfinite(std) and std > 1e-12:
+            g = float(np.clip(target_std / std, 1e-4, 1e4))
+            weights[s.name] = [np.asarray(b, np.float32) * g
+                               for b in weights[s.name]]
+
+
 def create_res10_train_state(cfg: CaffeGoldenConfig,
                              rng: jax.Array) -> Dict[str, Any]:
     from ..models.res10 import build_res10
 
     net, weights, _ = build_res10(rng=rng)
+    _lsuv_rescale(net, weights, cfg.input_size)
+    net.weights = weights
     corners = np.asarray(net.priors, np.float32)             # [N, 4] xyxy
     priors = np.stack([
         (corners[:, 0] + corners[:, 2]) / 2,
@@ -87,9 +123,16 @@ def create_res10_train_state(cfg: CaffeGoldenConfig,
     assert np.allclose(variances, variances[0]), "non-uniform prior variances"
 
     decay, bn_names = _blob_masks(net, weights)
+    # Adam + PER-LEAF clipping, the no-normalization-training recipe
+    # proven on the OV topologies (train/ov_golden.py): the deploy graph's
+    # BN stays frozen at identity, so under SGD the deep plain chain
+    # plateaus (conf logits froze at 0 for 8000 steps); conv1's gradient
+    # rides the ±120 mean-subtracted input scale, so clipping must be per
+    # leaf — a global-norm clip would crush every other layer with it.
     tx = optax.chain(
+        optax.clip_by_block_rms(1.0),
         optax.add_decayed_weights(cfg.weight_decay, mask=decay),
-        optax.sgd(lr_schedule(cfg), momentum=cfg.momentum),
+        optax.adam(lr_schedule(cfg)),
     )
     params = {k: [jnp.asarray(b) for b in v] for k, v in weights.items()}
     return {

@@ -170,9 +170,11 @@ def compose_image(
         ph, pw = patch.shape[:2]
         fw = box[2] - box[0]
         # target face width 28..55% of min(ow,oh) worth of pixels; at small
-        # train resolutions (blazeface 128/256) the gate image letterboxes
-        # the golden faces down to ~8-11% of the frame, so the floor scales
-        lo = min(28.0, max(10.0, 0.08 * min(ow, oh)))
+        # train resolutions the floor must reach the GATE's face scale —
+        # blazeface-front letterboxes the golden faces to 7.6-15.8px at its
+        # 128px input, so a 10px floor would train on faces the gate never
+        # shows (round-4: 0.05*min side, floor 6)
+        lo = min(28.0, max(6.0, 0.05 * min(ow, oh)))
         target = rng.uniform(lo, 0.55 * min(ow, oh))
         s = target / fw
         sw, sh = max(int(pw * s), 8), max(int(ph * s), 8)
@@ -228,9 +230,15 @@ def make_composite_dataset(
     face_img: str = GOLDEN_IMG,
     neg_img: str = NEGATIVE_IMG,
     include_real: bool = True,
+    n_crowded: int = 0,
 ) -> Tuple[str, str]:
     """Write a WIDER-format synthetic dataset (images + gt.txt) built from
-    the golden faces. Returns (ann_file, images_root) for load_wider_index."""
+    the golden faces. Returns (ann_file, images_root) for load_wider_index.
+
+    ``n_crowded`` additionally mixes in crowded frames (16-48 faces at
+    8-300px with rotation/overlap, :func:`compose_crowded_image`) so a
+    checkpoint can train INTO the WIDER-like regime the crowded benchmark
+    evaluates."""
     rng = random.Random(seed)
     faces = extract_golden_faces(face_img)
     sources = []
@@ -244,8 +252,12 @@ def make_composite_dataset(
     images_root = os.path.join(out_dir, "images")
     os.makedirs(os.path.join(images_root, "0--Golden"), exist_ok=True)
     lines = []
-    for i in range(n_images):
-        img, gt = compose_image(rng, faces, sources, out_wh)
+    for i in range(n_images + n_crowded):
+        if i < n_images:
+            img, gt = compose_image(rng, faces, sources, out_wh)
+        else:
+            img, gt = compose_crowded_image(rng, faces, sources, out_wh,
+                                            n_faces=(16, 48))
         rel = f"0--Golden/c{i:04d}.jpg"
         cv2.imwrite(os.path.join(images_root, rel), img,
                     [cv2.IMWRITE_JPEG_QUALITY, rng.randint(80, 98)])
@@ -557,6 +569,7 @@ def train_golden(
     resume_from: Optional[str] = None,
     gate_det_thres: float = 0.5,
     gate_margin: float = 0.05,
+    crowded: bool = False,
     log=print,
 ) -> Dict[str, object]:
     """Full loop: composites -> augmented batches -> EMA training -> golden
@@ -580,9 +593,13 @@ def train_golden(
     # ssd-family preprocessing conventions: BGR input, no RGB swap (the
     # OVModel path additionally skips mean subtraction — raw BGR values)
     is_ssd = arch.startswith("ssd") or arch == "res10-ssd" or is_ov
+    # crowded mode: half the composites are 16-48-face WIDER-regime frames
+    # (rotation/overlap/8-300px) and the target buffer widens to hold them
+    max_targets = 48 if crowded else 8
     ann, images_root = make_composite_dataset(
         os.path.join(work_dir, "golden_ds"), n_images=n_images,
-        out_wh=(input_size, input_size), seed=seed)
+        out_wh=(input_size, input_size), seed=seed,
+        n_crowded=n_images // 2 if crowded else 0)
     index = load_wider_index(ann, images_root)
     log(f"[golden] dataset: {len(index)} composites at {input_size}px")
 
@@ -600,7 +617,7 @@ def train_golden(
             raise ValueError("res10-ssd runs the fixed 300x300 deploy "
                              "graph — pass --size 300")
         cfg = CaffeGoldenConfig(
-            max_targets=8, lr=lr, warmup_steps=warmup,
+            max_targets=max_targets, lr=lr, warmup_steps=warmup,
             total_steps=max_steps, ema_decay=0.999, ema_tau=500.0)
         state = create_res10_train_state(cfg, jax.random.PRNGKey(seed))
         make_step = make_res10_train_step_ema
@@ -613,7 +630,7 @@ def train_golden(
 
         cfg = OVGoldenConfig(
             topology=arch, input_size=(input_size, input_size),
-            max_targets=8, lr=lr, warmup_steps=warmup,
+            max_targets=max_targets, lr=lr, warmup_steps=warmup,
             total_steps=max_steps, ema_decay=0.999, ema_tau=500.0)
         state = create_ov_train_state(cfg, jax.random.PRNGKey(seed))
         make_step = make_ov_train_step_ema
@@ -622,7 +639,7 @@ def train_golden(
                           make_ssd_train_step_ema)
 
         cfg = SSDTrainConfig(
-            backbone=arch.split("-", 1)[1], max_targets=8, lr=lr,
+            backbone=arch.split("-", 1)[1], max_targets=max_targets, lr=lr,
             input_size=(input_size, input_size), warmup_steps=warmup,
             total_steps=max_steps, ema_decay=0.999, ema_tau=500.0)
         state = create_ssd_train_state(cfg, jax.random.PRNGKey(seed))
@@ -632,7 +649,7 @@ def train_golden(
                                 make_blaze_train_step_ema)
 
         cfg = BlazeTrainConfig(
-            back_model=arch.endswith("back"), max_targets=8, lr=lr,
+            back_model=arch.endswith("back"), max_targets=max_targets, lr=lr,
             warmup_steps=warmup, total_steps=max_steps,
             ema_decay=0.999, ema_tau=500.0)
         if (input_size, input_size) != cfg.input_size:
@@ -654,7 +671,7 @@ def train_golden(
             arch=arch[: -len("-official")] if official else arch,
             nc=80 if official else 1, with_landmarks=not official,
             input_size=(input_size, input_size),
-            max_targets=8, lr=lr, warmup_steps=warmup,
+            max_targets=max_targets, lr=lr, warmup_steps=warmup,
             total_steps=max_steps, ema_decay=0.999, ema_tau=500.0)
         state = create_det_train_state(cfg, jax.random.PRNGKey(seed))
         make_step = make_det_train_step_ema
