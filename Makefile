@@ -42,7 +42,8 @@ accuracy-blaze:
 accuracy-blaze-back:
 	python -m face_detection_and_recognition_tpu.cli.train_golden \
 		--out tests/data/golden_blaze_back_ckpt --arch blazeface-back \
-		--size 256 --batch 32 --steps 12000 --eval-every 400 --lr 0.002
+		--size 256 --batch 32 --steps 12000 --eval-every 400 --lr 0.002 \
+		--gate-iou 0.8
 
 # executed RECOGNITION accuracy: train the ArcFace embedder until the
 # similar-face filter's own math separates the golden identities on

@@ -28,8 +28,15 @@ DETECTORS = [
     ("blazeface-front", "BlazeFace front pytorch", 21.0, 256, False),
     ("blazeface-back", "BlazeFace back onnx", 30.0, 256, False),
     ("ssd-resnet10", "OpenCV SSD caffemodel", 18.0, 256, False),
-    ("ssd-mobilenetv2", "OpenVINO MobileNetV2-SSD", 25.0, 128, False),
-    ("ssd-squeezenet", "OpenVINO SqueezeNet-SSD", 28.0, 256, False),
+    ("ssd-mobilenetv2", "OpenVINO class-of MobileNetV2-SSD", 25.0, 128, False),
+    ("ssd-squeezenet", "OpenVINO class-of SqueezeNet-SSD", 28.0, 256, False),
+    # the EXACT encoded OMZ topologies (models/ov_topologies.py) through
+    # the IR interpreter — the reference's real face-detection-0204 /
+    # face-detection-retail-0004 rows, not class-of stand-ins
+    ("ov-0204", "OpenVINO face-detection-0204 (exact topology)", 25.0, 64,
+     False),
+    ("ov-squeezenet-light", "OpenVINO face-detection-retail-0004 (exact "
+     "topology)", 28.0, 128, False),
     ("mtcnn", "MTCNN", 2.0, 64, False),
 ]
 
@@ -212,6 +219,10 @@ def main():
         for ref_row, name, base, batch, fps in rows:
             f.write(f"| {ref_row} (`{name}`) | {base:.0f} | "
                     f"{fps:.0f} (b{batch}) | {fps/base:.0f}x |\n")
+        f.write('\n("class-of": same architecture family and input size '
+                "as the reference's IR models; the exact encoded "
+                "topologies are the ov-0204 / ov-squeezenet-light rows — "
+                "see PARITY.md.)\n")
         f.write("\n| Embedder | crops/s (112-160px, batch 256) |\n|---|---|\n")
         for name, fps in emb_rows:
             f.write(f"| {name} | {fps:.0f} |\n")

@@ -35,6 +35,10 @@ def main(argv=None) -> int:
     ap.add_argument("--gate-margin", type=float, default=0.05,
                     help="gate must also hold at gate-dt +/- this "
                          "(0.6/0.15 covers the CLI's default --dt 0.70)")
+    ap.add_argument("--gate-iou", type=float, default=0.5,
+                    help="per-box IoU the gate requires (0.8 = the "
+                         "reference harness's own matcher bar; training "
+                         "early-stops only once every box clears it)")
     ap.add_argument("--export-caffemodel", default=None,
                     help="(res10-ssd only) also write the trained blobs "
                          "into a REAL binary .caffemodel at this path")
@@ -61,7 +65,7 @@ def main(argv=None) -> int:
         eval_every=args.eval_every, n_images=args.images, lr=args.lr,
         seed=args.seed, resume_from=args.resume_from,
         gate_det_thres=args.gate_dt, gate_margin=args.gate_margin,
-        crowded=args.crowded)
+        gate_iou=args.gate_iou, crowded=args.crowded)
     print(f"golden gate: ok={r['ok']} reload_ok={r.get('reload_ok')} "
           f"ious={['%.3f' % i for i in r['ious']]} steps={r.get('steps')}")
     if r["ok"] and r.get("reload_ok"):

@@ -43,7 +43,13 @@ from .ssd import OPENCV_SSD_MEAN, encode_ssd_targets, ssd_multibox_loss
 class CaffeGoldenConfig:
     input_size: Tuple[int, int] = (300, 300)
     max_targets: int = 8
-    iou_pos: float = 0.5
+    # 0.35, not the SSD paper's 0.5: the deploy graph's prior ladder is
+    # SPEC-pinned at min 30px, but the golden faces land at 18-19px at the
+    # 300px input — IoU(18px face, 30px prior) = 0.36, so at 0.5 each
+    # small face matches only its single bipartite-forced prior and the
+    # 8000-step run learned the big face alone. 0.35 gives the small
+    # faces a positive set without touching the graph.
+    iou_pos: float = 0.35
     neg_ratio: int = 3
     loc_gain: float = 1.0
     lr: float = 0.002

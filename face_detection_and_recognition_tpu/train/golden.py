@@ -569,6 +569,7 @@ def train_golden(
     resume_from: Optional[str] = None,
     gate_det_thres: float = 0.5,
     gate_margin: float = 0.05,
+    gate_iou: float = 0.5,
     crowded: bool = False,
     log=print,
 ) -> Dict[str, object]:
@@ -704,7 +705,7 @@ def train_golden(
     warm = {k: jax.device_get(v) for k, v in
             (("params", state["params"]),
              ("batch_stats", state["batch_stats"])) if v}
-    r0 = evaluate_golden(engine, variables=warm,
+    r0 = evaluate_golden(engine, variables=warm, iou_thres=gate_iou,
                          det_thres=gate_det_thres, margin=gate_margin)
     log(f"[golden] eval warmup ok (pos={r0['n_pos']} neg={r0['n_neg']})")
 
@@ -735,6 +736,7 @@ def train_golden(
         for tag, variables in (("ema", _strip_empty(ema_vars)),
                                ("live", _strip_empty(live_vars))):
             r = evaluate_golden(engine, variables=variables,
+                                iou_thres=gate_iou,
                                 det_thres=gate_det_thres, margin=gate_margin)
             log(f"[golden] eval@{done}/{tag}: pos={r['n_pos']} "
                 f"neg={r['n_neg']} ious={['%.2f' % x for x in r['ious']]} "
@@ -761,7 +763,7 @@ def train_golden(
         "batch_stats": jax.device_get(state["ema_batch_stats"])})
     if not result.get("ok"):
         # keep the best-effort weights anyway for inspection
-        result = evaluate_golden(engine, variables=cand,
+        result = evaluate_golden(engine, variables=cand, iou_thres=gate_iou,
                                  det_thres=gate_det_thres, margin=gate_margin)
         result["steps"] = max_steps
 
@@ -774,7 +776,7 @@ def train_golden(
                                       detector_overrides=overrides))
     engine2.load_weights(ckpt_out)
     reload_result = evaluate_golden(engine2, det_thres=gate_det_thres,
-                                    margin=gate_margin)
+                                    margin=gate_margin, iou_thres=gate_iou)
     result["reload_ok"] = reload_result["ok"]
     result["reload_ious"] = reload_result["ious"]
     log(f"[golden] reload gate: {reload_result['ok']} "
