@@ -782,12 +782,18 @@ class FaceEngine:
                 # the cascade's +-5px crop padding
                 # (modules/opencv2_dnn/model.py:148-152)
                 padded = pad_boxes(post.boxes, (-5, -5, 5, 5), img_wh=(w, h))
-                agc = crop_batch(padded, (227, 227)).reshape(
-                    bsz * k, 227, 227, 3)
+                # the 227^2 crops are the ensemble's largest tensor
+                # (b32 x 32 slots = 633 MB in f32) and exist only to feed
+                # the classifier: store them at the ENGINE dtype (bf16 in
+                # production) — halves the crop stage's HBM bytes; the
+                # mean-subtract below upcasts to f32 so the net sees the
+                # same numeric regime as the reference's fp16 TRT ensemble
+                agc = crop_batch(padded, (227, 227)).astype(
+                    pre_dtype).reshape(bsz * k, 227, 227, 3)
 
                 def fn_ag(xc):
                     return self._classify_ag(ag_vars[0], ag_vars[1],
-                                             xc - ag_mean)
+                                             xc.astype(jnp.float32) - ag_mean)
 
                 if chunked:
                     a, g = self._masked_chunked_net(fn_ag, agc, valid_flat)

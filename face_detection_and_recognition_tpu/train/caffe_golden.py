@@ -50,7 +50,12 @@ class CaffeGoldenConfig:
     # 8000-step run learned the big face alone. 0.35 gives the small
     # faces a positive set without touching the graph.
     iou_pos: float = 0.35
-    neg_ratio: int = 3
+    # 7:1, not the SSD paper's 3:1 — the 0.35 matching above admits
+    # lower-quality positives, and at 3:1/5:1 the trained net cleared all
+    # three golden boxes (0.93/0.85/0.80) but kept firing false alarms on
+    # the 0-face negative; the low-lr polish resume with heavier mining
+    # buys the clean negative back without disturbing the boxes
+    neg_ratio: int = 7
     loc_gain: float = 1.0
     lr: float = 0.002
     momentum: float = 0.9
