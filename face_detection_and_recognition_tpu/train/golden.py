@@ -298,6 +298,30 @@ def make_composite_dataset(
             else:
                 lines.append(f"{rel}\n{len(gt_rows)}\n"
                              + "\n".join(gt_rows) + "\n")
+    # the negative image AS THE GATE RENDERS IT: evaluate_golden resizes
+    # the 0-face image to the positive frame's shape (one compiled
+    # pipeline for both gate images), a stretched rendering the original-
+    # aspect copies above never produce — res10 hallucinated 4-6 faces on
+    # exactly that rendering while training clean on the unstretched one.
+    # The gate contract is "no faces on this image at any rendering", so
+    # train on it too.
+    if n_real and os.path.isfile(neg_img) and os.path.isfile(face_img):
+        pos_im = cv2.imread(face_img)
+        neg_im = cv2.imread(neg_img)
+        if pos_im is not None and neg_im is not None:
+            stretch = cv2.resize(neg_im, (pos_im.shape[1], pos_im.shape[0]))
+            rel = "0--Golden/real_neg_stretch.jpg"
+            cv2.imwrite(os.path.join(images_root, rel), stretch,
+                        [cv2.IMWRITE_JPEG_QUALITY, 95])
+            for j in range(n_real):
+                rel_j = f"0--Golden/real_neg_stretch_{j:02d}.jpg"
+                if j:
+                    dst = os.path.join(images_root, rel_j)
+                    if not os.path.exists(dst):
+                        os.link(os.path.join(images_root, rel), dst)
+                else:
+                    rel_j = rel
+                lines.append(f"{rel_j}\n0\n0 0 0 0 0 0 0 0 0 0\n")
     ann = os.path.join(out_dir, "gt.txt")
     with open(ann, "w") as f:
         f.write("".join(lines))
