@@ -143,6 +143,7 @@ class CaffeGraphNet:
         shapes: Dict[str, Tuple[int, ...]] = {"data": (1, in_channels, h, w)}
         prior_parts: List[Tuple[np.ndarray, np.ndarray]] = []
         prior_tops: set = set()  # tensors that exist only at build time
+        permuted_tops: set = set()  # logically channels-last (post-Permute)
         det_inputs: List[str] = []
 
         for L in self.layer_defs:
@@ -283,14 +284,27 @@ class CaffeGraphNet:
                 if order and order != [0, 2, 3, 1]:
                     raise NotImplementedError(
                         f"Permute order {order} (only NCHW->NHWC used by SSD)")
-                # executor runs NHWC: permute(0,2,3,1) is a no-op marker
+                # executor runs NHWC: permute(0,2,3,1) is a no-op marker —
+                # but the top is now LOGICALLY channels-last (see Flatten)
                 shapes[top] = tuple(np.asarray(shapes[bot])[order]) \
                     if order else shapes[bot]
+                permuted_tops.add(top)
                 self.steps.append(_Step("identity", L.name, [bot], top, {}))
             elif lt == "Flatten":
                 b_ = shapes[bot][0]
                 shapes[top] = (b_, int(np.prod(shapes[bot][1:])))
-                self.steps.append(_Step("flatten", L.name, [bot], top, {}))
+                # caffe flattens the tensor's LOGICAL axis order: a plain
+                # feature map is NCHW (channel-major flat), but the SSD
+                # heads' Permute(0,2,3,1)+Flatten chain is cell-major
+                # (h, w, c) — flattening our physically-NHWC array directly.
+                # Getting this wrong is invisible to self-consistent
+                # training (the net learns the layout it is given) but
+                # scrambles REAL caffemodel weights, whose head channels
+                # assume the spec order (found via the prior-bias shift
+                # arriving at the wrong softmax pairs).
+                self.steps.append(_Step(
+                    "flatten", L.name, [bot], top,
+                    {"permuted": bot in permuted_tops}))
             elif lt == "Reshape":
                 dims = L.params.get("reshape", {}).get("shape", [])
                 b_ = shapes[bot][0]
@@ -515,8 +529,11 @@ class CaffeGraphNet:
                     jnp.sum(x * x, axis=-1, keepdims=True) + 1e-10)
                 env[s.output] = x / denom * g
             elif s.op == "flatten":
-                # caffe flattens NCHW; NHWC feature maps must transpose first
-                if x.ndim == 4:
+                # caffe flattens the LOGICAL layout: plain maps are NCHW
+                # (transpose our NHWC first); post-Permute(0,2,3,1) maps
+                # are channels-last already — flatten directly (cell-major,
+                # the SSD head order real caffemodels assume)
+                if x.ndim == 4 and not s.attrs.get("permuted"):
                     x = jnp.transpose(x, (0, 3, 1, 2))
                 env[s.output] = x.reshape(x.shape[0], -1)
             elif s.op == "reshape":

@@ -114,12 +114,33 @@ def _lsuv_rescale(net, weights, input_size, seed=0,
                                for b in weights[s.name]]
 
 
+def apply_background_prior_bias(net, weights, logit: float = 2.0) -> None:
+    """RetinaNet-style prior bias on the conf heads (in place): background
+    +logit, face -logit per prior, so every prior STARTS at p(face)~0.02.
+
+    Without it, hard-negative mining only ever touches the top
+    ``neg_ratio * n_pos`` of 8732 priors per step — the long tail stays at
+    its softmax-neutral init and a trained net shows a wall of ~0.5-conf
+    junk that floods the gate band's 0.45 edge (res10 measured 64
+    detections at dt<=0.5 with a PERFECT 3/0 result at dt>=0.6). Conf
+    channel layout is (prior, class) with class 0 = background, so even
+    channels get +logit, odd get -logit."""
+    for s in net.steps:
+        if s.op == "conv" and "mbox_conf" in s.name:
+            blobs = [np.array(b, np.float32) for b in weights[s.name]]
+            if len(blobs) > 1 and blobs[1].ndim == 1:
+                blobs[1][0::2] += logit
+                blobs[1][1::2] -= logit
+                weights[s.name] = blobs
+
+
 def create_res10_train_state(cfg: CaffeGoldenConfig,
                              rng: jax.Array) -> Dict[str, Any]:
     from ..models.res10 import build_res10
 
     net, weights, _ = build_res10(rng=rng)
     _lsuv_rescale(net, weights, cfg.input_size)
+    apply_background_prior_bias(net, weights)
     net.weights = weights
     corners = np.asarray(net.priors, np.float32)             # [N, 4] xyxy
     priors = np.stack([

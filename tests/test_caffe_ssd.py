@@ -396,3 +396,65 @@ def test_res10_build_respects_dtype(rng):
     dets, valid = detect(weights, x)
     assert dets.dtype == jnp.float32      # decode upcasts
     assert np.isfinite(np.asarray(dets)).all()
+
+
+def test_permute_flatten_is_cell_major():
+    """The SSD head flatten order is SPEC-pinned: Permute(0,2,3,1) +
+    Flatten must emit (h, w, channel) cell-major order — the order real
+    caffemodels' head weights assume — while a plain Flatten stays
+    channel-major (NCHW). Round 4 found the heads flattening
+    channel-major: invisible to self-consistent training, fatal to real
+    vendor weights (a conf-bias shift arrived at the wrong softmax
+    pairs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from face_detection_and_recognition_tpu.models.caffe_ssd import (
+        CaffeGraphNet)
+    from face_detection_and_recognition_tpu.utils.caffe_graph import (
+        CaffeLayerDef)
+
+    defs = [
+        CaffeLayerDef(name="convA", type="Convolution", bottoms=["data"],
+                      tops=["convA"],
+                      params={"conv": {"num_output": 4, "bias_term": False,
+                                       "pad": [0], "kernel": [1],
+                                       "stride": [1], "group": 1,
+                                       "dilation": [1]}}),
+        CaffeLayerDef(name="perm", type="Permute", bottoms=["convA"],
+                      tops=["perm"],
+                      params={"permute": {"order": [0, 2, 3, 1]}}),
+        CaffeLayerDef(name="flat_cell", type="Flatten", bottoms=["perm"],
+                      tops=["flat_cell"], params={"flatten": {"axis": 1}}),
+        CaffeLayerDef(name="flat_chan", type="Flatten", bottoms=["convA"],
+                      tops=["flat_chan"], params={"flatten": {"axis": 1}}),
+    ]
+    net = CaffeGraphNet(defs, input_size=(2, 2), rng=jax.random.PRNGKey(0))
+    # identity-pick kernel: out channel c = in channel c (1x1 conv, eye)
+    w = np.zeros((4, 3, 1, 1), np.float32)
+    for c in range(3):
+        w[c, c, 0, 0] = 1.0
+    weights = {"convA": [w]}
+    # labeled input: value encodes (channel, y, x) as c*100 + y*10 + x
+    x = np.zeros((1, 2, 2, 3), np.float32)
+    for y in range(2):
+        for x_ in range(2):
+            for c in range(3):
+                x[0, y, x_, c] = c * 100 + y * 10 + x_
+    env = net.apply(weights, jnp.asarray(x),
+                    taps=("flat_cell", "flat_chan"))
+    cell = np.asarray(env["flat_cell"])[0]
+    chan = np.asarray(env["flat_chan"])[0]
+    # cell-major: (y0,x0: c0,c1,c2,c3), (y0,x1: ...), ...
+    expect_cell = []
+    for y in range(2):
+        for x_ in range(2):
+            expect_cell += [c * 100 + y * 10 + x_ for c in range(3)] + [0.0]
+    np.testing.assert_allclose(cell, expect_cell)
+    # channel-major: (c0: all cells), (c1: all cells), ...
+    expect_chan = []
+    for c in range(3):
+        expect_chan += [c * 100 + y * 10 + x_
+                        for y in range(2) for x_ in range(2)]
+    expect_chan += [0.0] * 4
+    np.testing.assert_allclose(chan, expect_chan)
