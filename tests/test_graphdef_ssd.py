@@ -107,11 +107,20 @@ def res10_engine_weights():
     return eng
 
 
+def _blobs_of(eng):
+    """Flat {layer: [blobs]} view — an orbax-loaded tree wraps it as
+    {'params': ...} (the same convention the interpreter's apply unwraps)."""
+    v = eng.variables
+    if isinstance(v.get("params"), dict):
+        v = v["params"]
+    return {k: [np.asarray(b) for b in bl] for k, bl in v.items()}
+
+
 def test_graphdef_pour_unquantized_is_exact(res10_engine_weights, tmp_path):
     """f32 GraphDef -> pour == source blobs bit-for-bit, despite shuffled
     const order and the HWIO->OIHW transpose."""
     eng = res10_engine_weights
-    src = {k: [np.asarray(b) for b in v] for k, v in eng.variables.items()}
+    src = _blobs_of(eng)
     pb = tmp_path / "res10_f32.pb"
     pb.write_bytes(_graphdef_from_blobs(eng.net, src, quantize=False))
     poured = convert_res10_graphdef(read_tf_graphdef(str(pb)), eng.net)
@@ -124,7 +133,7 @@ def test_graphdef_pour_unquantized_is_exact(res10_engine_weights, tmp_path):
 def test_graphdef_pour_rejects_truncated_stream(res10_engine_weights,
                                                 tmp_path):
     eng = res10_engine_weights
-    src = {k: [np.asarray(b) for b in v] for k, v in eng.variables.items()}
+    src = _blobs_of(eng)
     consts = read_tf_graphdef(_graphdef_from_blobs(
         eng.net, src, quantize=False))
     with pytest.raises(ValueError, match="no const left"):
@@ -144,8 +153,7 @@ def test_quantized_graphdef_load_and_regate(res10_engine_weights, tmp_path):
     from face_detection_and_recognition_tpu.train.golden import (
         evaluate_golden)
 
-    src = {k: [np.asarray(b) for b in v]
-           for k, v in res10_engine_weights.variables.items()}
+    src = _blobs_of(res10_engine_weights)
     pb = tmp_path / "opencv_face_detector_uint8.pb"
     pb.write_bytes(_graphdef_from_blobs(
         res10_engine_weights.net, src, quantize=True))
