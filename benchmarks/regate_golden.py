@@ -140,9 +140,11 @@ def main():
             "res10-ssd", "golden_res10_ckpt", band=True))
     run("blazeface-front", det_gate("blazeface-front", "golden_blaze_ckpt"))
     if os.path.isdir(os.path.join(D, "golden_blaze_back_ckpt")):
-        run("blazeface-back", det_gate("blazeface-back",
-                                       "golden_blaze_back_ckpt",
-                                       iou_bar=0.8))
+        # documented bar (tests/test_golden_accuracy.py): all >= 0.7 with
+        # at least two boxes >= 0.8 — the 15px middle face's floor
+        run("blazeface-back (band)", det_gate("blazeface-back",
+                                              "golden_blaze_back_ckpt",
+                                              band=True, iou_bar=0.7))
     if os.path.isdir(os.path.join(D, "golden_yolov5n_crowded_ckpt")):
         run("yolov5n-crowded (band)", det_gate(
             "yolov5n", "golden_yolov5n_crowded_ckpt", band=True))

@@ -249,12 +249,11 @@ def test_trained_ssd_mobilenetv2_detects_golden_faces():
     0.45-0.75 confidence band, so the reference CLI's default --dt 0.70
     (modules/utils/parser.py:53) sees all three faces.
 
-    BAR 0.7: this family's box regression is the most platform-sensitive
-    of the zoo — the same checkpoint measures 0.86/0.89/0.84 on v5e but
-    0.89/0.74/0.81 on the CPU suite (bf16-pass matmul drift through the
-    448px backbone moves the middle face's edges ~2px). The floor asserts
-    the cross-platform minimum minus drift; `make regate` on the TPU
-    re-executes the 0.8-clearing measurement."""
+    BAR 0.7: the middle face measures 0.74 on both platforms with this
+    checkpoint (0.88/0.74/0.81 v5e regate 2026-08-20; round-3's 0.89 row
+    did not reproduce) — the floor asserts the measured minimum minus
+    drift. The class-of stand-in's 0.8 story is carried by the EXACT
+    encoded topologies (ov-0204 at 0.83/0.81/0.94, test_ov_topologies)."""
     _gate_ssd_variant(MNV2_CKPT, "ssd-mobilenetv2", 448, band=True,
                       iou_bar=0.7)
 
