@@ -139,9 +139,21 @@ def run_ensemble_worker(num_processes: int, process_id: int,
 
     import jax
 
+    import numpy as np
+    import jax.numpy as jnp
+
+    from .sharding import batch_sharding, put_global
+
     n = num_processes * local_devices
     assert len(jax.devices()) == n, (len(jax.devices()), n)
     mesh = make_mesh(("data",), (n,))
+    # establish the gloo context with a TRIVIAL collective before the
+    # multi-minute ensemble compile: gloo's key-value bootstrap has a 30 s
+    # deadline, and per-worker compile skew (cold cache on a loaded host)
+    # otherwise eats it — worker 0 starts executing while worker 1 still
+    # compiles, and the first cross-process pair connect times out
+    tiny = put_global(np.ones((n,), np.float32), batch_sharding(mesh, 1))
+    assert float(jnp.sum(tiny)) == float(n)
     engine = make_ensemble_engine()
     result = engine.detect_embed_classify_batch(ensemble_inputs(), mesh=mesh)
     out = ensemble_summaries(result)

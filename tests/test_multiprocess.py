@@ -109,13 +109,27 @@ def test_two_process_fused_ensemble_matches_single_process(tmp_path):
     spanning two OS processes — XLA collectives cross the process boundary
     exactly as they cross DCN between TPU hosts — produces the same result
     as the single-process 8-device mesh (round-3 VERDICT next #9)."""
+    # single-process 8-device reference FIRST: it also warms the
+    # persistent compile cache, so the two workers below compile the big
+    # fused program from cache in seconds — without this, compile skew on
+    # a loaded 1-core host can exceed the distributed runtime's SHUTDOWN
+    # barrier deadline (one worker exits while the other still compiles)
+    from face_detection_and_recognition_tpu.parallel.mesh import make_mesh
+    from face_detection_and_recognition_tpu.parallel.mp_demo import (
+        ensemble_inputs, ensemble_summaries, make_ensemble_engine)
+
+    mesh = make_mesh(("data",), (8,))
+    engine = make_ensemble_engine()
+    local = ensemble_summaries(
+        engine.detect_embed_classify_batch(ensemble_inputs(), mesh=mesh))
+
     coordinator = f"localhost:{_free_port()}"
     outs = [str(tmp_path / f"e{i}.json") for i in range(2)]
     workers = [_spawn_mode(2, i, coordinator, outs[i], "ensemble")
                for i in range(2)]
     logs = []
     for w in workers:
-        out, _ = w.communicate(timeout=600)
+        out, _ = w.communicate(timeout=900)
         logs.append(out.decode(errors="replace"))
     assert all(w.returncode == 0 for w in workers), "\n".join(logs)
     results = [json.load(open(p)) for p in outs]
@@ -129,14 +143,6 @@ def test_two_process_fused_ensemble_matches_single_process(tmp_path):
 
     # and the cross-process ensemble equals the single-process 8-device
     # run of the very same program on the very same frames
-    from face_detection_and_recognition_tpu.parallel.mesh import make_mesh
-    from face_detection_and_recognition_tpu.parallel.mp_demo import (
-        ensemble_inputs, ensemble_summaries, make_ensemble_engine)
-
-    mesh = make_mesh(("data",), (8,))
-    engine = make_ensemble_engine()
-    local = ensemble_summaries(
-        engine.detect_embed_classify_batch(ensemble_inputs(), mesh=mesh))
     assert local["valid_count"] == results[0]["valid_count"]
     for key in ("boxes_sum", "crops_sum", "emb_sum", "age_sum",
                 "gender_sum"):
