@@ -76,6 +76,19 @@ def test_yolov5n_base_crowded_ap_floor(crowded_set):
     assert m["AP50"] >= 0.08, m
 
 
+Y5S_CKPT = os.path.join(DATA, "golden_yolov5s_ckpt")
+
+
+@pytest.mark.skipif(not os.path.isdir(Y5S_CKPT),
+                    reason="golden checkpoint not trained: make accuracy-s")
+def test_yolov5s_base_crowded_ap_floor(crowded_set):
+    """BASE yolov5s under the same shift: measures AP50 0.135 — floor
+    asserts measured-minus-drift."""
+    ann, images_root = crowded_set
+    m = _eval("yolov5s", Y5S_CKPT, ann, images_root)
+    assert m["AP50"] >= 0.09, m
+
+
 @pytest.mark.skipif(not os.path.isdir(SSD_CKPT),
                     reason="golden checkpoint not trained: make accuracy-ssd")
 def test_ssd_resnet10_base_crowded_ap_floor(crowded_set):
