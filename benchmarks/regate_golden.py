@@ -138,7 +138,8 @@ def main():
     if os.path.isdir(os.path.join(D, "golden_res10_ckpt")):
         run("res10-deploy-graph (band)", det_gate(
             "res10-ssd", "golden_res10_ckpt", band=True))
-    run("blazeface-front", det_gate("blazeface-front", "golden_blaze_ckpt"))
+    run("blazeface-front (band)", det_gate("blazeface-front",
+                                           "golden_blaze_ckpt", band=True))
     if os.path.isdir(os.path.join(D, "golden_blaze_back_ckpt")):
         # documented bar (tests/test_golden_accuracy.py): all >= 0.7 with
         # at least two boxes >= 0.8 — the 15px middle face's floor

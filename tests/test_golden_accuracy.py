@@ -148,13 +148,14 @@ def test_trained_blazeface_checkpoint_detects_golden_faces():
     # the 1024-wide golden image letterboxes by 1/8, putting the three
     # faces at 8.0/7.6/15.8 px — IoU 0.8 on a ~8px box needs every edge
     # within ~0.44 px AT INPUT RES (3.5 source px), beyond what the 16x16
-    # stride-8 anchor head regresses from 8px of face signal. The
-    # committed checkpoint measures 0.55/0.50/0.85 (make regate): the
-    # floor asserts measured-minus-drift on the two ~8px faces, and the
-    # 15.8px face must clear the reference's own 0.8 bar (that IS the
-    # per-face regime blaze-BACK at 256px sees for all three — and that
-    # family asserts 0.8 on every box below).
-    assert all(iou >= 0.45 for iou in r["ious"]), r["ious"]
+    # stride-8 anchor head regresses from 8px of face signal. The round-4
+    # checkpoint (trained with the composite face floor lowered to the
+    # gate's 6.4px scale) measures 0.56/0.77/0.99: the 15.8px face clears
+    # the reference's own 0.8 bar decisively, the 7.6px face reaches
+    # 0.77, and the smallest-signal 8px face holds its measured 0.5
+    # floor — no silent bars.
+    assert all(iou >= 0.5 for iou in r["ious"]), r["ious"]
+    assert sorted(r["ious"])[1] >= 0.7, r["ious"]
     assert max(r["ious"]) >= 0.8, r["ious"]
 
 BLAZE_BACK_CKPT = os.path.join(os.path.dirname(__file__), "data",
