@@ -114,10 +114,14 @@ class FaceEngine:
         # closes over; entries that take variables as call arguments carry
         # an empty set and survive rebinds
         self._baked_groups: Dict[Any, frozenset] = {}
-        # monotonic stamp bumped on EVERY weight rebind; baked cache keys
-        # carry it so a stale compiled program can never be served even if
-        # an invalidation path is missed (advisor r2 finding #1)
-        self._weights_version = 0
+        # PER-GROUP monotonic stamps bumped on each group's rebind; baked
+        # cache keys carry the version(s) of only the group(s) they close
+        # over, so a stale compiled program can never be served even if an
+        # invalidation path is missed (advisor r2 finding #1) — and
+        # rebinding embed/ag weights leaves baked DETECT pipelines
+        # reachable instead of forcing a multi-minute recompile
+        # (advisor r4 finding #1)
+        self._weights_versions = {"det": 0, "embed": 0, "ag": 0}
         self._scalar_cache: Dict[float, Any] = {}
         import threading
 
@@ -170,7 +174,8 @@ class FaceEngine:
         compiled pipelines bake the pytree into their closures, so the only
         way to change weights is assignment through this setter (or
         ``load_weights``) — which invalidates the baked programs and bumps
-        ``_weights_version``. In-place mutation of the returned tree raises
+        the "det" weights version. In-place mutation of the returned tree
+        raises
         ``TypeError``; copy with ``utils.frozen.thaw`` first."""
         return self._variables
 
@@ -213,9 +218,12 @@ class FaceEngine:
         ensembles take variables as call arguments and survive (e.g. the
         golden-ag train loop rebinds ag_vars per eval; its detect pipeline
         must not re-pay a multi-minute axon compile each time). Also bumps
-        the weights version so baked keys built before this rebind can
-        never hit again (belt-and-braces against missed invalidation)."""
-        self._weights_version += 1
+        THIS group's version so baked keys stamped with it before this
+        rebind can never hit again (belt-and-braces against missed
+        invalidation) — and pops exactly those now-unreachable entries so
+        stale programs don't occupy LRU slots. Other groups' versions (and
+        their baked programs) are untouched."""
+        self._weights_versions[group] += 1
         for key in [k for k, g in self._baked_groups.items() if group in g]:
             self._pipeline_cache.pop(key, None)
             self._baked_groups.pop(key, None)
@@ -288,8 +296,16 @@ class FaceEngine:
                 consts = W.dequantize_graphdef_consts(
                     MF.read_tf_graphdef(path))
                 # TF kernels are HWIO — already the flax layout the
-                # structural importer expects
-                arrays = [np.asarray(c.value, np.float32) for c in consts]
+                # structural importer expects. Filter to FLOAT ndim>=1
+                # tensors first: a transform-optimized GraphDef also
+                # carries non-weight consts (reshape shape vectors,
+                # priorbox tables as int32) whose element count could
+                # happen to match a 1-D bias slot and pour silently as
+                # garbage (advisor r4 finding #2)
+                arrays = [np.asarray(c.value, np.float32) for c in consts
+                          if np.issubdtype(np.asarray(c.value).dtype,
+                                           np.floating)
+                          and np.asarray(c.value).ndim >= 1]
                 variables = W.structural_import(
                     arrays, self.variables,
                     module_order=self._execution_order())
@@ -447,10 +463,11 @@ class FaceEngine:
         ThreadingHTTPServer pattern) serialize compilation behind a lock,
         and an adversarial client cycling novel resolutions evicts LRU
         entries instead of growing compile state without limit."""
-        # baked (with_vars=False) entries key on the weights version: a
-        # program compiled against rebound-away weights can never be served
+        # baked (with_vars=False) entries key on the DET weights version: a
+        # program compiled against rebound-away weights can never be
+        # served, while embed/ag rebinds leave these keys reachable
         key = (shape, with_vars,
-               None if with_vars else self._weights_version)
+               None if with_vars else self._weights_versions["det"])
         hit = self._pipeline_cache.get(key)
         if hit is not None:
             with self._compile_lock:  # LRU touch
@@ -675,7 +692,9 @@ class FaceEngine:
         (``models/yolov5_face_postprocess/1/model.py:32-114`` +
         ``ensemble_yolov5_face/config.pbtxt``)."""
         key = ("ens", shape, crop_hw, embed_offsets, want_embed, want_ag,
-               sharded, None if sharded else self._weights_version)
+               sharded, None if sharded else (self._weights_versions["det"],
+                                              self._weights_versions["embed"],
+                                              self._weights_versions["ag"]))
         hit = self._pipeline_cache.get(key)
         if hit is not None:
             return hit

@@ -365,6 +365,17 @@ class OVGraphNet:
         if (isinstance(weights, dict) and "params" not in self.weights
                 and isinstance(weights.get("params"), dict)):
             # trainer/orbax convention wraps the flat dict as {"params": .}
+            # — unwrap ONLY the exact wrapper shape (advisor r4 finding #4:
+            # silently dropping sibling keys would partially consume a
+            # malformed tree; a graph that names a const "params" is
+            # excluded by the `not in self.weights` guard above)
+            extra = set(weights) - {"params", "batch_stats"}
+            if extra:
+                raise ValueError(
+                    "OVGraphNet.apply: weight tree looks like a {'params': "
+                    f"...}} wrapper but carries unexpected sibling keys "
+                    f"{sorted(extra)} — pass either the flat const dict or "
+                    "exactly {'params': consts}")
             weights = weights["params"]
         env: Dict[str, jnp.ndarray] = {self.input_key or "data": imgs}
         hwc_logical: set = {self.input_key or "data"}  # 4D already-NHWC keys

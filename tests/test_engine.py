@@ -168,11 +168,11 @@ def test_weights_rebind_only_contract(rng):
         eng.variables["params"].clear()
 
     # 2) edit-then-rebind serves fresh weights through the cached pipeline
-    v0 = eng._weights_version
+    v0 = eng._weights_versions["det"]
     new = thaw(eng.variables)
     new = jax.tree_util.tree_map(lambda x: np.zeros_like(x), new)
     eng.variables = new
-    assert eng._weights_version > v0
+    assert eng._weights_versions["det"] > v0
     post = eng.detect_image(img)  # all-zero weights -> no detections
     assert int(np.asarray(post.boxes).shape[0]) == 0
 
@@ -180,7 +180,7 @@ def test_weights_rebind_only_contract(rng):
     # remains in the cache with the old version
     for key in eng._pipeline_cache:
         if key in eng._baked_groups and "det" in eng._baked_groups[key]:
-            assert key[-1] == eng._weights_version
+            assert key[-1] == eng._weights_versions["det"]
 
     # 4) frozen trees still jit/tree-op like plain dicts, and tree ops
     # yield mutable copies (the documented escape hatch)
@@ -188,3 +188,36 @@ def test_weights_rebind_only_contract(rng):
         eng.variables)
     assert not isinstance(out, FrozenVars)
     out["params"] = {}  # mutable
+
+
+def test_group_selective_invalidation_keeps_other_groups_baked(rng):
+    """Advisor r4 finding #1: rebinding embed/ag weights must NOT make
+    baked detect pipelines unreachable (the group-selective invalidation
+    the engine promises). Per-group version counters stamp each baked key
+    with only the group(s) it closes over, so the golden-ag pattern —
+    rebinding ag_vars per eval — keeps hitting the compiled detect
+    program instead of re-paying a multi-minute TPU compile."""
+    from face_detection_and_recognition_tpu.core.engine import (
+        EngineConfig, FaceEngine)
+
+    eng = FaceEngine(EngineConfig(detector="blazeface-front", det_thres=0.3,
+                                  max_det=4, embedder="mobile_facenet",
+                                  with_age_gender=True))
+    img = rng.randint(0, 255, (64, 64, 3)).astype(np.uint8)
+    eng.detect_image(img)                      # bake a det-only pipeline
+    det_keys = [k for k, g in eng._baked_groups.items() if g == {"det"}]
+    assert det_keys, eng._baked_groups
+    baked_det_program = eng._pipeline_cache[det_keys[0]]
+
+    # rebind the OTHER groups: det-baked entries must survive untouched
+    eng.embed_vars = dict(eng.embed_vars)
+    eng.ag_vars = tuple(eng.ag_vars)
+    assert det_keys[0] in eng._pipeline_cache
+    assert eng._pipeline_cache[det_keys[0]] is baked_det_program
+    # and the engine still serves that exact program (same key, cache hit)
+    assert eng._pipeline_for(tuple(img.shape)) is baked_det_program
+
+    # a det rebind still evicts it (no stale entries occupying LRU slots)
+    eng.variables = dict(eng.variables)
+    assert det_keys[0] not in eng._pipeline_cache
+    assert det_keys[0] not in eng._baked_groups
