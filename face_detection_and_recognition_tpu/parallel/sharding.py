@@ -70,3 +70,89 @@ def shard_reference_matrix(refs, mesh: Mesh, axis: str = "model"):
     """Shard an [M, D] reference-embedding matrix over classes/rows (TP for
     the similarity engine's E @ refs.T matmul)."""
     return jax.device_put(refs, NamedSharding(mesh, PS(axis, None)))
+
+
+def topk_gallery_sharded(
+    queries,
+    gallery,
+    mesh: Mesh,
+    k: int = 5,
+    axis: str = "model",
+    use_pallas: bool = False,
+):
+    """Distributed cosine/inner-product top-k over a row-sharded gallery —
+    the multi-chip search path SURVEY §2.7 names ("multi-chip embedding
+    gather and top-k merge") and the mesh pairing the Pallas kernel's
+    docstring promises (ops/pallas_kernels.py).
+
+    The bandwidth-correct formulation: each shard scores its own gallery
+    rows ([N, M/S] matmul on the MXU, or the VMEM-streaming Pallas kernel),
+    takes a LOCAL top-k with global index offsets, and the shards exchange
+    only the [N, k'] candidate lists (one ``all_gather`` riding ICI) before
+    a k-way merge — S*N*k' * 8 bytes of collective traffic instead of the
+    [N, M] score matrix a naive ``lax.top_k`` over a sharded product would
+    force XLA to all-gather.
+
+    Exactness under padding: the gallery pads to a multiple of the axis
+    size with zero rows at the global end, and every shard over-fetches
+    ``k' = min(k + pad, rows_per_shard)`` local candidates. At most ``pad``
+    padded rows exist in total, so after masking them to -inf each shard
+    still contributes its full real top-k to the merge pool — the result
+    is bit-identical to a single-device top-k (up to index order among
+    exactly-tied scores).
+
+    queries: [N, D] (replicated). gallery: [M, D] host array or an already
+    row-sharded ``shard_reference_matrix`` product. Returns
+    (scores [N, k], global indices [N, k]) replicated on every shard.
+    """
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    s = mesh.shape[axis]
+    q = np.asarray(queries, np.float32)
+    g = np.asarray(gallery, np.float32)
+    n, d = q.shape
+    m = g.shape[0]
+    if k > m:
+        raise ValueError(f"k={k} exceeds gallery size {m}")
+    pad = (-m) % s
+    if pad:
+        g = np.concatenate([g, np.zeros((pad, d), np.float32)])
+    rows = g.shape[0] // s
+    kloc = min(k + pad, rows)
+
+    def local_topk(q_rep, g_loc):
+        i = jax.lax.axis_index(axis)
+        offset = i * rows
+        if use_pallas:
+            from ..ops.pallas_kernels import topk_gallery_pallas
+
+            sc, li = topk_gallery_pallas(q_rep, g_loc, k=kloc,
+                                         block_m=min(512, rows))
+        else:
+            sc, li = jax.lax.top_k(
+                jnp.dot(q_rep, g_loc.T,
+                        preferred_element_type=jnp.float32), kloc)
+        gi = offset + li                                    # global indices
+        sc = jnp.where(gi < m, sc, -jnp.inf)                # mask padding
+        # exchange only the candidate lists: [S, N, kloc] over ICI
+        sc_all = jax.lax.all_gather(sc, axis)
+        gi_all = jax.lax.all_gather(gi, axis)
+        pool_sc = jnp.transpose(sc_all, (1, 0, 2)).reshape(n, s * kloc)
+        pool_gi = jnp.transpose(gi_all, (1, 0, 2)).reshape(n, s * kloc)
+        fs, fi = jax.lax.top_k(pool_sc, k)                  # k-way merge
+        return fs, jnp.take_along_axis(pool_gi, fi, axis=1)
+
+    shard_map = getattr(jax, "shard_map", None)
+    if shard_map is None:  # pre-0.8 jax
+        from jax.experimental.shard_map import shard_map
+    fn = shard_map(
+        local_topk, mesh=mesh,
+        in_specs=(PS(), PS(axis, None)),
+        out_specs=(PS(), PS()),
+        check_vma=False,  # outputs are replicated BY the all_gather+merge
+    )
+    run = jax.jit(fn)
+    return run(put_global(q, NamedSharding(mesh, PS())),
+               put_global(g, NamedSharding(mesh, PS(axis, None))))

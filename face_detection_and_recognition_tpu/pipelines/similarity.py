@@ -69,7 +69,7 @@ def filter_embeddings(
 
 def topk_similar(
     embeddings: np.ndarray, gallery: np.ndarray, k: int = 5,
-    use_pallas: bool = False,
+    use_pallas: bool = False, mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Cosine top-k against a gallery.
 
@@ -77,6 +77,13 @@ def topk_similar(
     kernel (ops/pallas_kernels.topk_gallery_pallas) so the full [N, M]
     similarity matrix never hits HBM — the production path for very large
     galleries. Default is one XLA matmul + lax.top_k.
+
+    mesh: a jax.sharding.Mesh with a "model" axis routes the search through
+    the DISTRIBUTED path (parallel.sharding.topk_gallery_sharded): gallery
+    rows sharded across chips, per-shard top-k, and a k-way merge that
+    exchanges only [N, k'] candidate lists over ICI — never the [N, M]
+    score matrix. Composes with use_pallas (each shard streams its rows
+    through the VMEM kernel).
     """
 
     def normalize(a):
@@ -84,6 +91,12 @@ def topk_similar(
 
     e = normalize(np.asarray(embeddings, np.float32))
     g = normalize(np.asarray(gallery, np.float32))
+    if mesh is not None:
+        from ..parallel.sharding import topk_gallery_sharded
+
+        scores, idx = topk_gallery_sharded(e, g, mesh, k=k,
+                                           use_pallas=use_pallas)
+        return np.asarray(scores), np.asarray(idx)
     if use_pallas:
         from ..ops.pallas_kernels import topk_gallery_pallas
 

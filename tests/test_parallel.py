@@ -92,3 +92,46 @@ def test_replicate_roundtrip():
     tree = {"w": np.ones((4, 4), np.float32)}
     placed = replicate_to_mesh(tree, mesh)
     np.testing.assert_allclose(np.asarray(placed["w"]), tree["w"])
+
+
+def test_sharded_gallery_topk_merge_matches_single_device():
+    """SURVEY §2.7 item 2 ("multi-chip embedding gather and top-k merge"):
+    the distributed per-shard-top-k + k-way merge over a row-sharded
+    gallery must equal the single-device answer exactly — scores AND
+    global indices — including a gallery size that does NOT divide the
+    mesh axis (padding masked) and k larger than one shard's contribution
+    pool would naively supply."""
+    _require_8()
+    from face_detection_and_recognition_tpu.parallel.sharding import (
+        topk_gallery_sharded)
+    from face_detection_and_recognition_tpu.pipelines.similarity import (
+        topk_similar)
+
+    mesh = make_mesh(("model",))
+    rng = np.random.RandomState(3)
+    q = rng.randn(16, 64).astype(np.float32)
+
+    for m, k in ((1003, 7), (64, 9), (24, 24)):
+        g = rng.randn(m, 64).astype(np.float32)
+        ref_scores = np.sort(q @ g.T, axis=1)[:, ::-1][:, :k]
+        ref_idx = np.argsort(-(q @ g.T), kind="stable", axis=1)[:, :k]
+        sc, gi = topk_gallery_sharded(q, g, mesh, k=k)
+        np.testing.assert_allclose(np.asarray(sc), ref_scores, atol=1e-5)
+        # random gaussian scores are distinct w.p. 1 -> indices must agree
+        np.testing.assert_array_equal(np.asarray(gi), ref_idx)
+
+    # the Pallas per-shard path (VMEM-streaming kernel inside shard_map)
+    g = rng.randn(515, 64).astype(np.float32)
+    sc, gi = topk_gallery_sharded(q, g, mesh, k=5, use_pallas=True)
+    ref_idx = np.argsort(-(q @ g.T), kind="stable", axis=1)[:, :5]
+    np.testing.assert_array_equal(np.asarray(gi), ref_idx)
+
+    # and the pipeline-level entry point routes through the mesh
+    s1, i1 = topk_similar(q, g, k=5)
+    s2, i2 = topk_similar(q, g, k=5, mesh=mesh)
+    np.testing.assert_allclose(s1, s2, atol=1e-5)
+    np.testing.assert_array_equal(i1, i2)
+
+    # k > gallery raises loudly instead of returning padded garbage
+    with pytest.raises(ValueError, match="exceeds gallery"):
+        topk_gallery_sharded(q, g[:3], mesh, k=5)
