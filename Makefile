@@ -1,4 +1,4 @@
-.PHONY: test test-all bench native clean regate accuracy accuracy-crowded accuracy-blaze-back accuracy-ssd accuracy-ssd-mnv2 accuracy-ssd-sq accuracy-ov-sq accuracy-ov-0204 accuracy-res10 accuracy-blaze accuracy-ag accuracy-mtcnn accuracy-embed accuracy-s accuracy-official accuracy-int8 accuracy-facenet accuracy-reid accuracy-facenet512 accuracy-all
+.PHONY: test test-all bench native clean regate accuracy accuracy-crowded accuracy-crowded-s6 accuracy-blaze-back accuracy-blaze-back-finetune accuracy-ssd accuracy-ssd-mnv2 accuracy-ssd-sq accuracy-ov-sq accuracy-ov-0204 accuracy-res10 accuracy-blaze accuracy-ag accuracy-mtcnn accuracy-embed accuracy-s accuracy-official accuracy-int8 accuracy-facenet accuracy-reid accuracy-facenet512 accuracy-all
 
 test:	# FAST lane (default -m filter in pyproject); see README Testing
 	python -m pytest tests/ -q
@@ -38,19 +38,29 @@ accuracy-blaze:
 
 # blazeface-back at its fixed 256px — the reference README's best blaze
 # variant (30 FPS row); golden faces land at 15-32px, the reference's own
-# 0.8 IoU bar is reachable and asserted
+# 0.8 IoU bar is reachable and asserted. Round-5 recipe: a base run plus a
+# fine-tune pass with composite faces CONCENTRATED on the gate's evaluated
+# 12-45px band (the uniform 12.8-140px draw starves the sub-cell
+# regression signal the 15px middle face needs)
 accuracy-blaze-back:
 	python -m face_detection_and_recognition_tpu.cli.train_golden \
 		--out tests/data/golden_blaze_back_ckpt --arch blazeface-back \
 		--size 256 --batch 32 --steps 12000 --eval-every 400 --lr 0.002 \
 		--gate-iou 0.8
 
+accuracy-blaze-back-finetune:
+	python -m face_detection_and_recognition_tpu.cli.train_golden \
+		--out tests/data/golden_blaze_back_ckpt --arch blazeface-back \
+		--resume-from tests/data/golden_blaze_back_ckpt \
+		--size 256 --batch 32 --steps 8000 --eval-every 400 --lr 0.0005 \
+		--face-px 12,45 --gate-iou 0.8
+
 # executed RECOGNITION accuracy: train the ArcFace embedder until the
 # similar-face filter's own math separates the golden identities on
 # held-out probes, checkpoint -> engine.load_embed_weights -> regate.
 accuracy-embed:
 	python -m face_detection_and_recognition_tpu.cli.train_golden_embed \
-		--out tests/data/golden_embed_ckpt
+		--out tests/data/golden_embed_ckpt --identities 16 --steps 1200
 
 bench-all:
 	python benchmarks/bench_all.py
@@ -87,20 +97,20 @@ accuracy-mtcnn:
 accuracy-facenet:
 	python -m face_detection_and_recognition_tpu.cli.train_golden_embed \
 		--out tests/data/golden_facenet_ckpt --embedder facenet \
-		--steps 3000 --lr 0.003 --batch 32 --train-per-id 192
+		--steps 3000 --lr 0.003 --batch 32 --train-per-id 192 --identities 16
 
 # the OpenVINO face-reid MobileNetV2 256-d slot through the filter gate
 accuracy-reid:
 	python -m face_detection_and_recognition_tpu.cli.train_golden_embed \
 		--out tests/data/golden_reid_ckpt --embedder reid-mnv2 \
-		--steps 3000 --lr 0.005 --batch 32 --train-per-id 192
+		--steps 3000 --lr 0.005 --batch 32 --train-per-id 192 --identities 16
 
 # the OpenVINO facenet_20180408 512-d slot — the fifth and last feat-net
 # type of the reference's Net loader — through the filter gate
 accuracy-facenet512:
 	python -m face_detection_and_recognition_tpu.cli.train_golden_embed \
 		--out tests/data/golden_facenet512_ckpt --embedder facenet-512 \
-		--steps 3000 --lr 0.003 --batch 32 --train-per-id 192
+		--steps 3000 --lr 0.003 --batch 32 --train-per-id 192 --identities 16
 
 # the HEADLINE bench arch (bench.py) through the same executed gate;
 # trained to the 0.45-0.75 band so the CLI's reference-default --dt 0.70
@@ -149,6 +159,17 @@ accuracy-crowded:
 		--out tests/data/golden_yolov5n_crowded_ckpt --arch yolov5n \
 		--steps 10000 --eval-every 400 --crowded \
 		--gate-dt 0.6 --gate-margin 0.15
+
+# the HIGH-RESOLUTION crowded checkpoint (round-5 VERDICT #1): yolov5s6's
+# P6 stride-64 head at a 960px canvas, crowd-trained so the sub-10px
+# rotated tail of the crowded regime keeps 1.5x the pixels yolov5n@640
+# sees; evaluated by tests/test_crowded_accuracy.py at input 960 over the
+# same seed-11 640px benchmark set
+accuracy-crowded-s6:
+	python -m face_detection_and_recognition_tpu.cli.train_golden \
+		--out tests/data/golden_yolov5s6_crowded_ckpt --arch yolov5s6 \
+		--size 960 --batch 8 --steps 12000 --eval-every 500 --lr 0.01 \
+		--crowded --gate-dt 0.6 --gate-margin 0.15 --gate-iou 0.99
 
 # the reference's REAL OpenVINO topologies (models/ov_topologies.py:
 # face-detection-0204 / face-detection-retail-0004 per the OMZ model cards),

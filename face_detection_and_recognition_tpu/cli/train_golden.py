@@ -45,6 +45,11 @@ def main(argv=None) -> int:
     ap.add_argument("--export-ir", default=None,
                     help="(ov-* only) also write the trained weights into "
                          "a REAL model.xml (+ sibling .bin) at this path")
+    ap.add_argument("--face-px", default=None,
+                    help="'lo,hi' pixel band for composite face sizes "
+                         "(overrides the default 0.05*side..0.55*side "
+                         "draw — e.g. a fine-tune concentrated on the "
+                         "gate's evaluated face scale)")
     ap.add_argument("--crowded", action="store_true",
                     help="mix 16-48-face crowded composites (rotation/"
                          "overlap/8-300px) into training and widen the "
@@ -65,7 +70,9 @@ def main(argv=None) -> int:
         eval_every=args.eval_every, n_images=args.images, lr=args.lr,
         seed=args.seed, resume_from=args.resume_from,
         gate_det_thres=args.gate_dt, gate_margin=args.gate_margin,
-        gate_iou=args.gate_iou, crowded=args.crowded)
+        gate_iou=args.gate_iou, crowded=args.crowded,
+        face_px=(tuple(float(x) for x in args.face_px.split(","))
+                 if args.face_px else None))
     print(f"golden gate: ok={r['ok']} reload_ok={r.get('reload_ok')} "
           f"ious={['%.3f' % i for i in r['ious']]} steps={r.get('steps')}")
     if r["ok"] and r.get("reload_ok"):

@@ -33,6 +33,12 @@ def main(argv=None) -> int:
                     "facenet-512 = the OV facenet_20180408 512-d slot")
     ap.add_argument("--aug-scale", type=float, default=1.6)
     ap.add_argument("--center-gain", type=float, default=0.02)
+    ap.add_argument("--identities", type=int, default=3,
+                    help=">3 trains on the N-identity synthetic population "
+                         "(fixed identity transforms over the donors) and "
+                         "additionally gates on rank-1 retrieval + N-class "
+                         "filter math (train/golden_embed.py "
+                         "evaluate_retrieval)")
     args = ap.parse_args(argv)
 
     from ..train.golden_embed import train_golden_embedder
@@ -41,10 +47,17 @@ def main(argv=None) -> int:
         args.out, batch_size=args.batch, max_steps=args.steps,
         eval_every=args.eval_every, n_train_per_id=args.train_per_id,
         lr=args.lr, seed=args.seed, embedder=args.embedder,
-        aug_scale=args.aug_scale, center_gain=args.center_gain)
+        aug_scale=args.aug_scale, center_gain=args.center_gain,
+        n_identities=args.identities)
     print(f"golden-embed gate: ok={r['ok']} reload_ok={r.get('reload_ok')} "
           f"same={r['same_acc']:.2f} cross={r['cross_acc']:.2f} "
           f"margin={r['margin']:.3f} steps={r.get('steps')}")
+    if "reload_retrieval" in r:
+        rr = r["reload_retrieval"]
+        print(f"retrieval@{rr['n_identities']}: rank1={rr['rank1']:.3f} "
+              f"same={rr['same_acc']:.3f} cross={rr['cross_acc']:.3f} "
+              f"margins min/med/max={rr['margin_min']:.3f}/"
+              f"{rr['margin_median']:.3f}/{rr['margin_max']:.3f}")
     return 0 if (r["ok"] and r.get("reload_ok")) else 1
 
 

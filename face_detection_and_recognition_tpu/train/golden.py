@@ -150,6 +150,7 @@ def compose_image(
     max_faces: int = 4,
     empty_prob: float = 0.15,
     max_distractors: int = 3,
+    face_px: Optional[Tuple[float, float]] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """One composite: 0..max_faces golden-face patches feather-pasted onto a
     face-free background at random scales/positions (non-overlapping), PLUS
@@ -174,8 +175,14 @@ def compose_image(
         # blazeface-front letterboxes the golden faces to 7.6-15.8px at its
         # 128px input, so a 10px floor would train on faces the gate never
         # shows (round-4: 0.05*min side, floor 6)
-        lo = min(28.0, max(6.0, 0.05 * min(ow, oh)))
-        target = rng.uniform(lo, 0.55 * min(ow, oh))
+        if face_px is not None:
+            # explicit band (e.g. a fine-tune concentrated on the GATE's
+            # evaluated face scale — round-5 blaze-back recipe)
+            lo, hi = face_px
+        else:
+            lo = min(28.0, max(6.0, 0.05 * min(ow, oh)))
+            hi = 0.55 * min(ow, oh)
+        target = rng.uniform(lo, hi)
         s = target / fw
         sw, sh = max(int(pw * s), 8), max(int(ph * s), 8)
         if sw >= ow or sh >= oh:
@@ -231,6 +238,7 @@ def make_composite_dataset(
     neg_img: str = NEGATIVE_IMG,
     include_real: bool = True,
     n_crowded: int = 0,
+    face_px: Optional[Tuple[float, float]] = None,
 ) -> Tuple[str, str]:
     """Write a WIDER-format synthetic dataset (images + gt.txt) built from
     the golden faces. Returns (ann_file, images_root) for load_wider_index.
@@ -254,7 +262,8 @@ def make_composite_dataset(
     lines = []
     for i in range(n_images + n_crowded):
         if i < n_images:
-            img, gt = compose_image(rng, faces, sources, out_wh)
+            img, gt = compose_image(rng, faces, sources, out_wh,
+                                    face_px=face_px)
         else:
             img, gt = compose_crowded_image(rng, faces, sources, out_wh,
                                             n_faces=(16, 48))
@@ -595,6 +604,7 @@ def train_golden(
     gate_margin: float = 0.05,
     gate_iou: float = 0.5,
     crowded: bool = False,
+    face_px: Optional[Tuple[float, float]] = None,
     log=print,
 ) -> Dict[str, object]:
     """Full loop: composites -> augmented batches -> EMA training -> golden
@@ -624,7 +634,7 @@ def train_golden(
     ann, images_root = make_composite_dataset(
         os.path.join(work_dir, "golden_ds"), n_images=n_images,
         out_wh=(input_size, input_size), seed=seed,
-        n_crowded=n_images // 2 if crowded else 0)
+        n_crowded=n_images // 2 if crowded else 0, face_px=face_px)
     index = load_wider_index(ann, images_root)
     log(f"[golden] dataset: {len(index)} composites at {input_size}px")
 

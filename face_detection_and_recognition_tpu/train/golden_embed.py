@@ -82,6 +82,159 @@ def make_identity_crops(
     return out
 
 
+# --------------------------------------------------------------------------
+# N-identity synthetic population (round-5 VERDICT #3): each identity is a
+# donor face under a FIXED, identity-defining transform — a deterministic
+# (channel permutation, rotation, gamma) triple from disjoint table slots —
+# with per-sample augmentation jittering AROUND that fixed appearance. 3
+# donors x 6 variants = 18 distinct identities available; variant 0 is the
+# pure donor, so identities 0..2 coincide with the legacy 3-identity world.
+# --------------------------------------------------------------------------
+
+_ID_CHANNEL_PERMS = ((0, 1, 2), (0, 2, 1), (1, 0, 2),
+                     (1, 2, 0), (2, 0, 1), (2, 1, 0))
+_ID_ROTATIONS = (0.0, -10.0, 10.0, -18.0, 18.0, 6.0)
+_ID_GAMMAS = (1.0, 0.82, 1.22, 1.1, 0.9, 1.0)
+MAX_IDENTITIES = len(_ID_CHANNEL_PERMS) * 3
+
+
+def apply_identity_transform(crop_u8: np.ndarray, identity: int) -> np.ndarray:
+    """The fixed appearance of synthetic identity ``identity`` (variant
+    ``identity // 3`` of donor ``identity % 3``): BGR channel permutation +
+    rotation + gamma, all deterministic. Variant 0 is the identity map."""
+    v = identity // 3
+    crop = crop_u8[..., _ID_CHANNEL_PERMS[v]]
+    if _ID_ROTATIONS[v]:
+        h, w = crop.shape[:2]
+        m = cv2.getRotationMatrix2D((w / 2, h / 2), _ID_ROTATIONS[v], 1.0)
+        crop = cv2.warpAffine(crop, m, (w, h),
+                              borderMode=cv2.BORDER_REPLICATE)
+    if _ID_GAMMAS[v] != 1.0:
+        lut = np.clip(((np.arange(256) / 255.0) ** _ID_GAMMAS[v]) * 255.0,
+                      0, 255).astype(np.uint8)
+        crop = cv2.LUT(crop, lut)
+    return np.ascontiguousarray(crop)
+
+
+def make_multi_identity_crops(
+    seed: int,
+    n_per_id: int,
+    size: int = 112,
+    n_identities: int = 16,
+    img_path: str = GOLDEN_IMG,
+    aug_scale: float = 1.0,
+) -> List[List[np.ndarray]]:
+    """Augmented BGR uint8 crop sets for ``n_identities`` synthetic
+    identities (<= :data:`MAX_IDENTITIES`). Per-sample augmentation (crop
+    window jitter, small HSV jitter, sensor noise — but NO flip and no hue
+    rotation large enough to alias the identity-defining channel perms)
+    varies WITHIN each fixed identity appearance; distinct seeds give
+    disjoint gallery/probe/train sets of the same population."""
+    if n_identities > MAX_IDENTITIES:
+        raise ValueError(f"{n_identities} > {MAX_IDENTITIES} identities")
+    rng = random.Random(seed)
+    faces = extract_golden_faces(img_path)
+    a = aug_scale
+    out: List[List[np.ndarray]] = []
+    for identity in range(n_identities):
+        f = faces[identity % len(faces)]
+        patch, box = f["patch"], f["box"]
+        ph, pw = patch.shape[:2]
+        cx, cy = (box[0] + box[2]) / 2, (box[1] + box[3]) / 2
+        side0 = max(box[2] - box[0], box[3] - box[1])
+        crops = []
+        for _ in range(n_per_id):
+            s = side0 * rng.uniform(1.0, 1.0 + 0.4 * a)
+            jx = cx + rng.uniform(-0.07 * a, 0.07 * a) * s
+            jy = cy + rng.uniform(-0.07 * a, 0.07 * a) * s
+            half = s / 2
+            x1 = int(np.clip(jx - half, 0, pw - 2))
+            y1 = int(np.clip(jy - half, 0, ph - 2))
+            x2 = int(np.clip(jx + half, x1 + 2, pw))
+            y2 = int(np.clip(jy + half, y1 + 2, ph))
+            crop = cv2.resize(patch[y1:y2, x1:x2], (size, size))
+            crop = apply_identity_transform(crop, identity)
+            # per-sample photometric jitter, small vs the identity deltas
+            crop = augment_hsv(crop, rng, 0.006 * a,
+                               min(0.25 * a, 0.6), min(0.2 * a, 0.6))
+            sigma = rng.uniform(0.0, 5.0 * a)
+            if sigma > 0.5:
+                noise = np.random.RandomState(
+                    rng.randrange(1 << 31)).normal(0, sigma, crop.shape)
+                crop = np.clip(crop.astype(np.float32) + noise,
+                               0, 255).astype(np.uint8)
+            crops.append(crop)
+        out.append(crops)
+    return out
+
+
+def evaluate_retrieval(
+    embed_u8_fn,
+    n_identities: int = 16,
+    gallery_seed: int = 303,
+    probe_seed: int = 404,
+    n_gallery: int = 8,
+    n_probe: int = 8,
+    size: int = 112,
+    use_pallas: bool = False,
+    mesh=None,
+) -> Dict[str, object]:
+    """Rank-1 retrieval + N-class filter math over the synthetic identity
+    population — the round-5 recognition evidence (reference analog: the
+    similar-face filter sweeping whole class directories,
+    ``filter_faces_using_reference.py:183-197``).
+
+    * gallery: ``n_identities x n_gallery`` crops; probes a disjoint draw.
+      Rank-1 goes through :func:`pipelines.similarity.topk_similar` (the
+      production search path — matmul, Pallas, or mesh-sharded variant).
+    * filter math at N classes: per-class mean + max-ref-distance
+      threshold (``:71-100``), probes routed same/cross.
+    * margin distribution: per-identity ``min cross dist - max same dist``
+      over the filter geometry, published as min/median/max.
+    """
+    from ..pipelines.similarity import ref_mean_and_threshold, topk_similar
+
+    gal_sets = make_multi_identity_crops(gallery_seed, n_gallery, size=size,
+                                         n_identities=n_identities)
+    probe_sets = make_multi_identity_crops(probe_seed, n_probe, size=size,
+                                           n_identities=n_identities)
+    gal = np.concatenate([embed_u8_fn(np.stack(c)) for c in gal_sets])
+    gal_ids = np.repeat(np.arange(n_identities), n_gallery)
+    probes = np.concatenate([embed_u8_fn(np.stack(c)) for c in probe_sets])
+    probe_ids = np.repeat(np.arange(n_identities), n_probe)
+
+    _, idx = topk_similar(probes, gal, k=1, use_pallas=use_pallas, mesh=mesh)
+    rank1 = float((gal_ids[idx[:, 0]] == probe_ids).mean())
+
+    # N-class filter math + margin distribution
+    means, thres = [], []
+    for cid in range(n_identities):
+        m, t = ref_mean_and_threshold(gal[gal_ids == cid])
+        means.append(m)
+        thres.append(t)
+    means = np.stack(means)
+    thres = np.asarray(thres, np.float32)
+    d = np.linalg.norm(probes[:, None] - means[None], axis=-1)  # [P, N]
+    same = d[np.arange(len(probes)), probe_ids]
+    same_acc = float((same <= thres[probe_ids]).mean())
+    cross_mask = probe_ids[:, None] != np.arange(n_identities)[None]
+    cross_acc = float((d > thres[None])[cross_mask].mean())
+    margins = []
+    for cid in range(n_identities):
+        rows = probe_ids == cid
+        margins.append(float(d[rows][:, np.arange(n_identities) != cid].min()
+                             - same[rows].max()))
+    margins = np.asarray(margins)
+    ok = rank1 == 1.0 and same_acc == 1.0 and cross_acc == 1.0 \
+        and margins.min() > 0
+    return {"ok": bool(ok), "rank1": rank1, "same_acc": same_acc,
+            "cross_acc": cross_acc, "n_identities": n_identities,
+            "margin_min": float(margins.min()),
+            "margin_median": float(np.median(margins)),
+            "margin_max": float(margins.max()),
+            "margins": [float(x) for x in margins]}
+
+
 def _normalize_half_bgr(crops_u8: np.ndarray) -> np.ndarray:
     """mobile_facenet's input recipe: BGR, (x - 127.5)/127.5
     (EmbedderSpec 'half', rgb=False — mobile_facenet/utils.py:5-18)."""
@@ -153,6 +306,7 @@ def train_golden_embedder(
     embedder: str = "mobile_facenet",
     aug_scale: float = 1.6,
     center_gain: float = 0.02,
+    n_identities: int = 3,
     log=print,
 ) -> Dict[str, object]:
     """Full loop: identity crops -> ArcFace training -> filter gate ->
@@ -177,19 +331,27 @@ def train_golden_embedder(
             spec, np.asarray(crops_u8, np.float32)))
 
     # wider-than-eval augmentation (see make_identity_crops aug_scale)
-    train_sets = make_identity_crops(seed + 1, n_train_per_id, size=size,
-                                     aug_scale=aug_scale)
+    if n_identities > N_IDENTITIES:
+        # round-5 N-identity population: fixed identity transforms over
+        # the donors; identities 0..2 are the pure donors so the legacy
+        # 3-identity filter gate stays meaningful on the same checkpoint
+        train_sets = make_multi_identity_crops(
+            seed + 1, n_train_per_id, size=size,
+            n_identities=n_identities, aug_scale=aug_scale)
+    else:
+        train_sets = make_identity_crops(seed + 1, n_train_per_id,
+                                         size=size, aug_scale=aug_scale)
     xs = np.concatenate([normalize(np.stack(c)) for c in train_sets])
     ys = np.concatenate([np.full(n_train_per_id, cid, np.int32)
-                         for cid in range(N_IDENTITIES)])
-    log(f"[golden-embed] train crops: {len(xs)} over {N_IDENTITIES} ids "
+                         for cid in range(len(train_sets))])
+    log(f"[golden-embed] train crops: {len(xs)} over {len(train_sets)} ids "
         f"({embedder}, {size}px, {spec.dim}-d)")
 
     # s=16 keeps the ArcFace CE un-saturated on few-identity data so it
     # retains inter-class pressure while the (small) center term compacts
     # clusters — with s=64 the CE hits exactly 0 and a center loss alone
     # slowly collapses the classes into each other
-    cfg = ArcFaceTrainConfig(num_classes=N_IDENTITIES, lr=lr,
+    cfg = ArcFaceTrainConfig(num_classes=len(train_sets), lr=lr,
                              embedder=embedder, embedding_size=spec.dim,
                              s=16.0, center_gain=center_gain)
     state = create_train_state(cfg, jax.random.PRNGKey(seed))
@@ -217,12 +379,25 @@ def train_golden_embedder(
             r = evaluate_identity_filter(embed_u8, size=size)
             log(f"[golden-embed] eval@{i+1}: same={r['same_acc']:.2f} "
                 f"cross={r['cross_acc']:.2f} margin={r['margin']:.3f}")
+            if r["ok"] and n_identities > N_IDENTITIES:
+                rr = evaluate_retrieval(embed_u8, size=size,
+                                        n_identities=n_identities)
+                log(f"[golden-embed]   retrieval@{i+1}: "
+                    f"rank1={rr['rank1']:.3f} same={rr['same_acc']:.2f} "
+                    f"cross={rr['cross_acc']:.2f} "
+                    f"margin_min={rr['margin_min']:.3f}")
+                r["retrieval"] = rr
+                r["ok"] = r["ok"] and rr["ok"]
             if r["ok"]:
                 result = r
                 result["steps"] = i + 1
                 break
     if not result.get("ok"):
         result = evaluate_identity_filter(embed_u8, size=size)
+        if n_identities > N_IDENTITIES:
+            result["retrieval"] = evaluate_retrieval(
+                embed_u8, size=size, n_identities=n_identities)
+            result["ok"] = result["ok"] and result["retrieval"]["ok"]
         result["steps"] = max_steps
 
     from ..utils.checkpoint import save_variables
@@ -232,6 +407,15 @@ def train_golden_embedder(
     save_variables(ckpt_out, jax.tree_util.tree_map(
         lambda a: jax.device_get(a).astype(jnp.bfloat16),
         {"params": p["net"], "batch_stats": bs}))
+    # sidecar metadata: the retrieval gates (tests/test_retrieval_accuracy
+    # .py) only run against checkpoints trained on the N-identity
+    # population — the identity count is a training-time fact the weights
+    # alone don't carry
+    import json
+
+    with open(os.path.join(ckpt_out, "golden_meta.json"), "w") as fh:
+        json.dump({"embedder": embedder, "n_identities": n_identities,
+                   "steps": int(result.get("steps", max_steps))}, fh)
     log(f"[golden-embed] checkpoint saved to {ckpt_out}")
 
     # the real gate: a fresh ENGINE loads the checkpoint and its serving
@@ -244,6 +428,14 @@ def train_golden_embedder(
     reload_result = evaluate_identity_filter(eng.embed_crops, size=size)
     result["reload_ok"] = reload_result["ok"]
     result["reload_margin"] = reload_result["margin"]
-    log(f"[golden-embed] reload gate: {reload_result['ok']} "
+    if n_identities > N_IDENTITIES:
+        rr = evaluate_retrieval(eng.embed_crops, size=size,
+                                n_identities=n_identities)
+        result["reload_retrieval"] = rr
+        result["reload_ok"] = result["reload_ok"] and rr["ok"]
+        log(f"[golden-embed] reload retrieval: rank1={rr['rank1']:.3f} "
+            f"margin min/med/max={rr['margin_min']:.3f}/"
+            f"{rr['margin_median']:.3f}/{rr['margin_max']:.3f}")
+    log(f"[golden-embed] reload gate: {result['reload_ok']} "
         f"margin={reload_result['margin']:.3f}")
     return result
