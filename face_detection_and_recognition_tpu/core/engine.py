@@ -753,11 +753,11 @@ class FaceEngine:
             crop_m = ("pallas" if not sharded
                       and _on_tpu() else "auto")
 
-            def crop_batch(boxes, out_hw):
+            def crop_block(boxes, out_hw, vl):
                 out = jax.vmap(
-                    lambda im, bx, vl: crop_and_resize(im, bx, out_hw, vl,
-                                                       method=crop_m)
-                )(imgs_f, boxes, post.valid)
+                    lambda im, bx, v: crop_and_resize(im, bx, out_hw, v,
+                                                      method=crop_m)
+                )(imgs_f, boxes, vl)
                 # pixel-range clamp: exact bilinear is convex (cannot leave
                 # [0, 255]), but the pallas kernel's MXU bf16 pass can round
                 # a 255-neighborhood sample to 256.0 — which the serving
@@ -770,58 +770,124 @@ class FaceEngine:
             # crops fed onward, never to the reported boxes
             crop_boxes = (pad_boxes(post.boxes, embed_offsets, img_wh=(w, h))
                           if embed_offsets is not None else post.boxes)
-            crops = crop_batch(crop_boxes, crop_hw)
 
-            emb = age = gender = None
-            valid_flat = post.valid.reshape(bsz * k)
-            # the padded face slots (Triton contract: max_det per frame) are
-            # mostly invalid on real video — run the embed/age-gender nets
-            # only on validity-sorted chunks that contain work (invalid
-            # slots: zeros). Sharded programs keep the dense form (a global
-            # validity sort would shuffle rows across devices).
-            chunked = not sharded
             if do_embed:
                 ew, eh = embed_spec.input_size
-                ecrops = (crops if (eh, ew) == crop_hw
-                          else crop_batch(crop_boxes, (eh, ew)))
-                eflat = ecrops.reshape(bsz * k, eh, ew, 3)
 
                 def fn_embed(xc):
                     return self._embed(embed_vars,
                                        preprocess_crops(embed_spec, xc))
-
-                if chunked:
-                    emb = self._masked_chunked_net(fn_embed, eflat,
-                                                   valid_flat)
-                else:
-                    emb = jnp.where(valid_flat[:, None],
-                                    fn_embed(eflat), 0.0)
-                emb = emb.reshape(bsz, k, -1)
             if do_ag:
                 # the cascade's +-5px crop padding
                 # (modules/opencv2_dnn/model.py:148-152)
-                padded = pad_boxes(post.boxes, (-5, -5, 5, 5), img_wh=(w, h))
-                # the 227^2 crops are the ensemble's largest tensor
-                # (b32 x 32 slots = 633 MB in f32) and exist only to feed
-                # the classifier: store them at the ENGINE dtype (bf16 in
-                # production) — halves the crop stage's HBM bytes; the
-                # mean-subtract below upcasts to f32 so the net sees the
-                # same numeric regime as the reference's fp16 TRT ensemble
-                agc = crop_batch(padded, (227, 227)).astype(
-                    pre_dtype).reshape(bsz * k, 227, 227, 3)
+                ag_boxes = pad_boxes(post.boxes, (-5, -5, 5, 5),
+                                     img_wh=(w, h))
 
                 def fn_ag(xc):
                     return self._classify_ag(ag_vars[0], ag_vars[1],
                                              xc.astype(jnp.float32) - ag_mean)
 
-                if chunked:
-                    a, g = self._masked_chunked_net(fn_ag, agc, valid_flat)
-                else:
+            emb = age = gender = None
+            if not sharded:
+                # COLUMN-BLOCK slot skipping (round-5 VERDICT #5): NMS
+                # emits survivors front-compacted per frame, so the padded
+                # face slots (Triton contract: max_det per frame) are live
+                # only in the first ceil(faces/kc) slot columns on real
+                # video. A lax.scan over kc-wide column blocks gates EVERY
+                # slot-sized tensor — the crop kernels, the crop writes,
+                # AND the embed/age-gender nets — behind one lax.cond per
+                # block, so crop compute and data movement scale with
+                # FACES, not with b*max_det (the round-4 roofline's
+                # 16.2 ms of glue cropped all 1024 slots and then sorted/
+                # gathered them). Exact for any validity pattern: a block
+                # is skipped only when every slot in it is invalid.
+                kc = min(4, k)
+                nb = -(-k // kc)
+                kp = nb * kc - k
+
+                def padk(x):
+                    if kp == 0:
+                        return x
+                    return jnp.concatenate(
+                        [x, jnp.zeros((bsz, kp) + x.shape[2:], x.dtype)], 1)
+
+                cb = padk(crop_boxes)
+                vv = padk(post.valid)
+                ab = padk(ag_boxes) if do_ag else None
+                block_live = vv.reshape(bsz, nb, kc).any(axis=(0, 2))
+
+                def live_fn(j):
+                    bx = jax.lax.dynamic_slice_in_dim(cb, j * kc, kc, 1)
+                    vl = jax.lax.dynamic_slice_in_dim(vv, j * kc, kc, 1)
+                    crops_j = crop_block(bx, crop_hw, vl)
+                    out = [crops_j]
+                    if do_embed:
+                        ecr = (crops_j if (eh, ew) == crop_hw
+                               else crop_block(bx, (eh, ew), vl))
+                        e = fn_embed(ecr.reshape(bsz * kc, eh, ew, 3))
+                        e = jnp.where(vl.reshape(-1)[:, None], e, 0.0)
+                        out.append(e.reshape(bsz, kc, -1))
+                    if do_ag:
+                        abx = jax.lax.dynamic_slice_in_dim(ab, j * kc, kc, 1)
+                        # the 227^2 crops are the ensemble's largest tensor
+                        # and exist only to feed the classifier: stored at
+                        # the ENGINE dtype (bf16 in production), upcast in
+                        # fn_ag — the reference's fp16 TRT numeric regime
+                        agc = crop_block(abx, (227, 227), vl).astype(
+                            pre_dtype).reshape(bsz * kc, 227, 227, 3)
+                        a, g = fn_ag(agc)
+                        vf = vl.reshape(-1)[:, None]
+                        out.append(jnp.where(vf, a, 0.0).reshape(bsz, kc, -1))
+                        out.append(jnp.where(vf, g, 0.0).reshape(bsz, kc, -1))
+                    return tuple(out)
+
+                out_sd = jax.eval_shape(live_fn, jnp.int32(0))
+
+                def blk(carry, j_live):
+                    j, live = j_live
+                    return carry, jax.lax.cond(
+                        live, live_fn,
+                        lambda _j: jax.tree_util.tree_map(
+                            lambda s: jnp.zeros(s.shape, s.dtype), out_sd),
+                        j)
+
+                _, outs = jax.lax.scan(
+                    blk, 0, (jnp.arange(nb, dtype=jnp.int32), block_live))
+
+                def unblk(o):  # [nb, bsz, kc, ...] -> [bsz, k, ...]
+                    o = jnp.swapaxes(o, 0, 1).reshape(
+                        (bsz, nb * kc) + o.shape[3:])
+                    return o[:, :k]
+
+                outs = [unblk(o) for o in outs]
+                crops, rest = outs[0], outs[1:]
+                if do_embed:
+                    emb, rest = rest[0], rest[1:]
+                if do_ag:
+                    age, gender = rest
+            else:
+                # sharded programs keep the dense form: GSPMD cannot gate
+                # per-shard work behind a global liveness scalar without
+                # collectives, and crops partition cleanly on the batch axis
+                crops = crop_block(crop_boxes, crop_hw, post.valid)
+                valid_flat = post.valid.reshape(bsz * k)
+                if do_embed:
+                    ecrops = (crops if (eh, ew) == crop_hw
+                              else crop_block(crop_boxes, (eh, ew),
+                                              post.valid))
+                    emb = jnp.where(
+                        valid_flat[:, None],
+                        fn_embed(ecrops.reshape(bsz * k, eh, ew, 3)), 0.0)
+                    emb = emb.reshape(bsz, k, -1)
+                if do_ag:
+                    agc = crop_block(ag_boxes, (227, 227),
+                                     post.valid).astype(
+                        pre_dtype).reshape(bsz * k, 227, 227, 3)
                     a, g = fn_ag(agc)
-                    a = jnp.where(valid_flat[:, None], a, 0.0)
-                    g = jnp.where(valid_flat[:, None], g, 0.0)
-                age = a.reshape(bsz, k, -1)
-                gender = g.reshape(bsz, k, -1)
+                    age = jnp.where(valid_flat[:, None], a,
+                                    0.0).reshape(bsz, k, -1)
+                    gender = jnp.where(valid_flat[:, None], g,
+                                       0.0).reshape(bsz, k, -1)
             return post, crops, emb, age, gender
 
         if sharded:
