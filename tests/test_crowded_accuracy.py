@@ -200,3 +200,53 @@ def test_nms_saturation_keeps_top_confidence_subset(crowded_set):
     for bb, cc in zip(b8, c8):
         best = max(bbox_iou_xyxy(bb, g) for g in gts)
         assert best >= 0.4, (bb, cc, best)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 VERDICT Missing #3: the remaining golden-gated detector families,
+# measured on the SAME seed-11 crowded set. These are documented FLOORS
+# under honest distribution shift (none of these base checkpoints trained
+# on the crowded regime); the capability claims live with the crowd-trained
+# checkpoints above/below. Measured via benchmarks/crowded_all.py.
+# Marked slow+golden: five extra engine compiles (~20 min CPU) would bloat
+# the golden lane the round-4 tier split protects.
+# ---------------------------------------------------------------------------
+
+BLAZE_CKPT = os.path.join(DATA, "golden_blaze_ckpt")
+BLAZE_BACK_CKPT = os.path.join(DATA, "golden_blaze_back_ckpt")
+N6_CKPT = os.path.join(DATA, "golden_yolov5n6_ckpt")
+OV0204_CKPT = os.path.join(DATA, "golden_ov_0204_ckpt")
+OVSQ_CKPT = os.path.join(DATA, "golden_ov_sq_ckpt")
+
+_FLOOR_FAMILIES = [
+    # (id, detector, ckpt, overrides, measured AP50, floor)
+    # blaze letterboxes 640 crowds to 128/256: the log-uniform 8-300px draw
+    # lands half the faces BELOW one anchor cell — measured 0.063/0.091
+    ("blazeface-front", "blazeface-front", BLAZE_CKPT, {}, 0.063, 0.03),
+    ("blazeface-back", "blazeface-back", BLAZE_BACK_CKPT, {}, 0.091, 0.05),
+    # P6 graph at 640: same regime as yolov5n (0.116) minus the extra
+    # stride-64 level's parameter share at n-width — measured 0.149
+    ("yolov5n6", "yolov5n6", N6_CKPT, {}, 0.149, 0.09),
+    # the exact IR topologies at their deploy resolutions — measured
+    # 0.169 (448px) / 0.125 (300px)
+    ("ov-0204", "ov-0204", OV0204_CKPT, {}, 0.169, 0.10),
+    ("ov-squeezenet-light", "ov-squeezenet-light", OVSQ_CKPT, {}, 0.125,
+     0.07),
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("fam,det,ckpt,ov,measured,floor",
+                         _FLOOR_FAMILIES,
+                         ids=[f[0] for f in _FLOOR_FAMILIES])
+def test_remaining_family_crowded_ap_floors(crowded_set, fam, det, ckpt,
+                                            ov, measured, floor):
+    """Every golden-gated detector family now has a crowded-regime number
+    (reference regime: eval/eval_face_detector.py:114-151). Floors assert
+    measured-minus-drift; the measured values are in _FLOOR_FAMILIES and
+    PARITY.md's crowded table."""
+    if not os.path.isdir(ckpt):
+        pytest.skip(f"not trained: {os.path.basename(ckpt)}")
+    ann, images_root = crowded_set
+    m = _eval(det, ckpt, ann, images_root, overrides=ov)
+    assert m["AP50"] >= floor, (fam, m)
