@@ -552,10 +552,16 @@ class OVGraphNet:
         return out
 
 
-def make_ov_detect(net: OVGraphNet):
+def make_ov_detect(net: OVGraphNet, compute_dtype=None):
     """Fused detect(weights, imgs_nhwc) -> (dets [B,K,5] normalized
     xyxy+conf, valid) from a DetectionOutput IR — same postprocess as the
-    caffe executor (the DetectionOutput spec is shared)."""
+    caffe executor (the DetectionOutput spec is shared).
+
+    ``compute_dtype=jnp.bfloat16`` runs the interpreter's conv ladder on
+    the MXU in bf16 (the executor casts weights to the activation dtype at
+    each use, so casting the input once converts the whole ladder); loc/conf
+    are upcast to f32 BEFORE prior decoding and thresholding, so box
+    arithmetic keeps full precision — the round-5 ov-0204 roofline lever."""
     from .caffe_ssd import decode_variance_priors
     from ..ops.nms import greedy_nms, sort_by_score
 
@@ -575,7 +581,11 @@ def make_ov_detect(net: OVGraphNet):
     top_k = min(dc["top_k"], n)
 
     def detect(weights, imgs):
+        if compute_dtype is not None:
+            imgs = imgs.astype(compute_dtype)
         loc, conf = net.apply(weights, imgs)[net.outputs[0]]
+        loc = loc.astype(jnp.float32)
+        conf = conf.astype(jnp.float32)
         # batch comes from IMGS: the IR's Reshape targets are batch-1
         # literals ([1,-1]), so loc/conf arrive with batch folded into the
         # flat axis for B>1 (found the hard way: batch-32 holdout eval)

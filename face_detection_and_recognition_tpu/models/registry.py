@@ -266,9 +266,12 @@ def _build_ov_topology(topology: str):
 
         kw.pop("input_size", None)  # sizing comes from the topology
         seed = int(jax.random.randint(rng, (), 0, 2**31 - 1)) if rng is not None else 0
-        # He-init weights are baked into the topology's Const layers
+        # He-init weights are baked into the topology's Const layers.
+        # The ENGINE dtype now reaches the interpreter (round-5 ov-0204
+        # lever): bf16 engines run the conv ladder on the MXU in bf16,
+        # with loc/conf upcast before prior decode (make_ov_detect)
         net = OVGraphNet(build_ov_topology(topology, seed=seed))
-        detect = jax.jit(make_ov_detect(net))
+        detect = jax.jit(make_ov_detect(net, compute_dtype=dtype))
         return net, net.init_variables(), detect
 
     return build
