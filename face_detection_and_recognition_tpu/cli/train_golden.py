@@ -50,6 +50,11 @@ def main(argv=None) -> int:
                          "(overrides the default 0.05*side..0.55*side "
                          "draw — e.g. a fine-tune concentrated on the "
                          "gate's evaluated face scale)")
+    ap.add_argument("--loss-override", action="append", default=[],
+                    metavar="KEY=VAL",
+                    help="family-config LOSS knob override (repeatable), "
+                         "e.g. --loss-override box_gain=4.0 for a "
+                         "localization-weighted fine-tune")
     ap.add_argument("--crowded", action="store_true",
                     help="mix 16-48-face crowded composites (rotation/"
                          "overlap/8-300px) into training and widen the "
@@ -72,7 +77,10 @@ def main(argv=None) -> int:
         gate_det_thres=args.gate_dt, gate_margin=args.gate_margin,
         gate_iou=args.gate_iou, crowded=args.crowded,
         face_px=(tuple(float(x) for x in args.face_px.split(","))
-                 if args.face_px else None))
+                 if args.face_px else None),
+        loss_overrides={k: float(v) for k, v in
+                        (s.split("=", 1) for s in args.loss_override)}
+        or None)
     print(f"golden gate: ok={r['ok']} reload_ok={r.get('reload_ok')} "
           f"ious={['%.3f' % i for i in r['ious']]} steps={r.get('steps')}")
     if r["ok"] and r.get("reload_ok"):

@@ -605,6 +605,7 @@ def train_golden(
     gate_iou: float = 0.5,
     crowded: bool = False,
     face_px: Optional[Tuple[float, float]] = None,
+    loss_overrides: Optional[Dict[str, float]] = None,
     log=print,
 ) -> Dict[str, object]:
     """Full loop: composites -> augmented batches -> EMA training -> golden
@@ -710,6 +711,16 @@ def train_golden(
             total_steps=max_steps, ema_decay=0.999, ema_tau=500.0)
         state = create_det_train_state(cfg, jax.random.PRNGKey(seed))
         make_step = make_det_train_step_ema
+    if loss_overrides:
+        # LOSS-term knobs only (box_gain etc.) for targeted fine-tunes:
+        # the step factory reads cfg from the state, so a replace here
+        # reaches the loss; optimizer hyperparams (lr schedule) were
+        # already baked into state["tx"] and stay as built
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, **loss_overrides)
+        state["cfg"] = cfg
+        log(f"[golden] loss overrides: {loss_overrides}")
     if resume_from:
         # continue a previous golden run: pour its EMA weights into BOTH the
         # live params and the EMA shadow (optimizer momentum restarts cold)
