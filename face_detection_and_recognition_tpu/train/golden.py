@@ -133,13 +133,21 @@ def _random_background(
 
 
 def _paste_feathered(canvas: np.ndarray, patch: np.ndarray,
-                     x0: int, y0: int, border: int) -> None:
+                     x0: int, y0: int, border: int,
+                     writer: Optional[np.ndarray] = None,
+                     idx: int = -1) -> None:
     sh, sw = patch.shape[:2]
     alpha = _feather_mask(sh, sw, border=border)
     region = canvas[y0:y0 + sh, x0:x0 + sw].astype(np.float32)
     canvas[y0:y0 + sh, x0:x0 + sw] = (
         patch.astype(np.float32) * alpha + region * (1 - alpha)
     ).astype(np.uint8)
+    if writer is not None:
+        # occupancy map for visibility accounting: this paste owns the
+        # pixels where its alpha dominates (crowded-composer labels drop
+        # faces later pastes bury — see compose_crowded_image)
+        w_region = writer[y0:y0 + sh, x0:x0 + sw]
+        w_region[alpha[..., 0] > 0.5] = idx
 
 
 def compose_image(
@@ -367,6 +375,7 @@ def compose_crowded_image(
     max_overlap: float = 0.3,
     rot_deg: float = 25.0,
     max_distractors: int = 6,
+    min_visible: float = 0.4,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """One CROWDED composite: 16-64 faces per frame at 8-300px with
     rotation, partial overlap (later pastes occlude earlier ones, like a
@@ -374,12 +383,40 @@ def compose_crowded_image(
     eval harness runs (eval/eval_face_detector.py:114-151, frames with up
     to hundreds of faces), which the 0-4-face training composites never
     exercise. Returns (img BGR u8, boxes [N,4] xywh pixel GT) with boxes
-    in PASTE ORDER (earlier = more occluded)."""
+    in PASTE ORDER (earlier = more occluded).
+
+    VISIBILITY-HONEST LABELS (round 5): box IoU <= ``max_overlap`` still
+    let a later paste's RECTANGULAR patch bury an earlier small face
+    completely — the round-4 set carried GT with mean 61% coverage on the
+    never-detected faces, a label-noise ceiling (~0.41 AP50) no detector
+    could cross, and one real WIDER doesn't have (annotators can't label
+    invisible faces). Two guards: a candidate position is rejected when
+    its patch rect would cover more than ``1 - min_visible`` of any
+    already-placed face box, and after composition each face's TRUE
+    visible fraction (occupancy map of feathered-alpha winners) must be
+    >= ``min_visible`` or its label is dropped (the pixels stay — an
+    unlabeled mostly-buried face is a hard distractor, like WIDER's
+    ignore regions)."""
     ow, oh = out_wh
     canvas = _random_background(rng, out_wh, sources).copy()
+    writer = np.full((oh, ow), -1, np.int32)
     n = rng.randint(*n_faces)
     placed: List[np.ndarray] = []
     rows: List[np.ndarray] = []
+    paste_ids: List[int] = []
+    next_idx = 0
+
+    def rect_covers(x0, y0, pw, ph):
+        """Max fraction of any placed face box covered by this rect."""
+        worst = 0.0
+        for p in placed:
+            ix = max(0.0, min(x0 + pw, p[2]) - max(x0, p[0]))
+            iy = max(0.0, min(y0 + ph, p[3]) - max(y0, p[1]))
+            area = (p[2] - p[0]) * (p[3] - p[1])
+            if area > 0:
+                worst = max(worst, ix * iy / area)
+        return worst
+
     for _ in range(n):
         f = faces[rng.randrange(len(faces))]
         patch, box = f["patch"], f["box"]
@@ -407,13 +444,17 @@ def compose_crowded_image(
             y0 = rng.randint(0, oh - sh)
             fb = np.array([x0 + box_s[0], y0 + box_s[1],
                            x0 + box_s[2], y0 + box_s[3]], np.float32)
-            if all(bbox_iou_xyxy(fb, p) <= max_overlap for p in placed):
+            if (all(bbox_iou_xyxy(fb, p) <= max_overlap for p in placed)
+                    and rect_covers(x0, y0, sw, sh) <= 1.0 - min_visible):
                 _paste_feathered(canvas, patch_s, x0, y0,
-                                 border=max(2, int(4 * s)))
+                                 border=max(2, int(4 * s)),
+                                 writer=writer, idx=next_idx)
                 placed.append(fb)
                 rows.append(np.array(
                     [fb[0], fb[1], fb[2] - fb[0], fb[3] - fb[1]],
                     np.float32))
+                paste_ids.append(next_idx)
+                next_idx += 1
                 break
     for _ in range(rng.randint(0, max_distractors)):
         if not sources:
@@ -433,11 +474,30 @@ def compose_crowded_image(
             x0 = rng.randint(0, ow - sw)
             y0 = rng.randint(0, oh - sh)
             db = np.array([x0, y0, x0 + sw, y0 + sh], np.float32)
-            if all(bbox_iou_xyxy(db, p) < 0.05 for p in placed):
+            # IoU < 0.05 alone lets a LARGE distractor bury a small face
+            # (tiny IoU, full coverage) — the rect_covers guard applies
+            # to distractors too
+            if (all(bbox_iou_xyxy(db, p) < 0.05 for p in placed)
+                    and rect_covers(x0, y0, sw, sh) <= 1.0 - min_visible):
                 _paste_feathered(canvas, patch_s, x0, y0,
-                                 border=max(2, int(4 * s)))
+                                 border=max(2, int(4 * s)),
+                                 writer=writer, idx=next_idx)
+                next_idx += 1
                 break
-    gt = np.stack(rows) if rows else np.zeros((0, 4), np.float32)
+    # visibility-honest labels: drop faces whose surviving alpha-owned
+    # pixel fraction fell below min_visible (cumulative burial by several
+    # <=1-min_visible pastes); their pixels remain as hard distractors
+    kept = []
+    for row, pid in zip(rows, paste_ids):
+        x1, y1 = int(row[0]), int(row[1])
+        x2 = int(np.ceil(row[0] + row[2]))
+        y2 = int(np.ceil(row[1] + row[3]))
+        x1, y1 = max(x1, 0), max(y1, 0)
+        x2, y2 = min(x2, ow), min(y2, oh)
+        region = writer[y1:y2, x1:x2]
+        if region.size and (region == pid).mean() >= min_visible:
+            kept.append(row)
+    gt = np.stack(kept) if kept else np.zeros((0, 4), np.float32)
     return canvas, gt
 
 

@@ -173,7 +173,7 @@ def evaluate_retrieval(
     n_identities: int = 16,
     gallery_seed: int = 303,
     probe_seed: int = 404,
-    n_gallery: int = 8,
+    n_gallery: int = 16,
     n_probe: int = 8,
     size: int = 112,
     use_pallas: bool = False,
@@ -341,11 +341,18 @@ def train_golden_embedder(
     else:
         train_sets = make_identity_crops(seed + 1, n_train_per_id,
                                          size=size, aug_scale=aug_scale)
-    xs = np.concatenate([normalize(np.stack(c)) for c in train_sets])
-    ys = np.concatenate([np.full(n_train_per_id, cid, np.int32)
-                         for cid in range(len(train_sets))])
+    # DEVICE-RESIDENT training buffer: the per-step batch is gathered on
+    # device from one up-front transfer. Streaming xs[sel] from host cost
+    # ~7 MB/step through the ~12 MB/s tunnel (0.6+ s/step — the round-5
+    # embed retrains timed out on it); now the per-step host traffic is
+    # 48 int32 indices.
+    xs = jnp.asarray(np.concatenate(
+        [normalize(np.stack(c)) for c in train_sets]))
+    ys = jnp.asarray(np.concatenate(
+        [np.full(n_train_per_id, cid, np.int32)
+         for cid in range(len(train_sets))]))
     log(f"[golden-embed] train crops: {len(xs)} over {len(train_sets)} ids "
-        f"({embedder}, {size}px, {spec.dim}-d)")
+        f"({embedder}, {size}px, {spec.dim}-d, device-resident)")
 
     # s=16 keeps the ArcFace CE un-saturated on few-identity data so it
     # retains inter-class pressure while the (small) center term compacts
@@ -370,9 +377,10 @@ def train_golden_embedder(
     rng = np.random.RandomState(seed)
     result: Dict[str, object] = {"ok": False}
     for i in range(max_steps):
-        sel = rng.choice(len(xs), batch_size, replace=False)
-        p, bs, opt, loss = step(p, bs, opt, jnp.asarray(xs[sel]),
-                                jnp.asarray(ys[sel]))
+        # device-side gather: only the index vector crosses the tunnel
+        sel = jnp.asarray(rng.choice(len(xs), batch_size, replace=False))
+        p, bs, opt, loss = step(p, bs, opt, jnp.take(xs, sel, axis=0),
+                                jnp.take(ys, sel, axis=0))
         if (i + 1) % 25 == 0:
             log(f"[golden-embed] step {i+1} loss {float(loss):.4f}")
         if (i + 1) % eval_every == 0 or i + 1 == max_steps:

@@ -168,13 +168,12 @@ def test_trained_blazeface_back_checkpoint_detects_golden_faces():
     """BlazeFace-BACK (256px — the reference README's best blaze variant,
     30 FPS row) through the executed gate, band-wide.
 
-    BAR: all >= 0.7 and at least two boxes >= 0.8. The committed
-    checkpoint measures 0.90/0.76/0.96: the two larger golden faces
-    (16/32px at the 256 input) clear the reference harness's 0.8 bar;
-    the middle face (15x20px, the same per-face pixel budget as
-    blaze-front's LARGE face) oscillated 0.74-0.86 across training evals
-    and its saved value sits just under — asserted at the measured floor
-    rather than silently dropped to 0.5."""
+    BAR: the reference harness's own 0.8 on EVERY box
+    (tests/image_tests/test_blazeface.py's matcher) — the round-4 0.7
+    band-bar exception is GONE. The round-5 fine-tune (resume the round-4
+    checkpoint; composite faces concentrated on the gate's evaluated
+    13-40px band via --face-px; box_gain 4.0 via --loss-override; lr
+    3e-4) cleared it in 1200 steps: reload gate 0.92/0.83/0.96."""
     from face_detection_and_recognition_tpu.core.engine import (
         EngineConfig, FaceEngine)
     from face_detection_and_recognition_tpu.train.golden import evaluate_golden
@@ -185,8 +184,7 @@ def test_trained_blazeface_back_checkpoint_detects_golden_faces():
     assert r["ok"], r
     assert r["n_pos"] == 3, f"expected 3 golden faces, got {r['n_pos']}"
     assert r["n_neg"] == 0, f"0-face image produced {r['n_neg']} detections"
-    assert all(iou >= 0.7 for iou in r["ious"]), r["ious"]
-    assert sum(iou >= 0.8 for iou in r["ious"]) >= 2, r["ious"]
+    assert all(iou >= 0.8 for iou in r["ious"]), r["ious"]
 
 AG_CKPT = os.path.join(os.path.dirname(__file__), "data", "golden_ag_ckpt")
 
