@@ -341,18 +341,24 @@ def train_golden_embedder(
     else:
         train_sets = make_identity_crops(seed + 1, n_train_per_id,
                                          size=size, aug_scale=aug_scale)
-    # DEVICE-RESIDENT training buffer: the per-step batch is gathered on
-    # device from one up-front transfer. Streaming xs[sel] from host cost
-    # ~7 MB/step through the ~12 MB/s tunnel (0.6+ s/step — the round-5
-    # embed retrains timed out on it); now the per-step host traffic is
-    # 48 int32 indices.
+    # DEVICE-RESIDENT training buffer, stored UINT8: the per-step batch is
+    # gathered + normalized on device. Streaming normalized f32 crops from
+    # host cost ~7 MB/step through the ~12 MB/s tunnel (0.6+ s/step — the
+    # first round-5 embed retrains timed out on it), and even a one-shot
+    # f32 buffer is 944 MB for the 160px slots (~80 min through the same
+    # tunnel). u8 is 4x smaller and normalization is a function of the u8
+    # pixels, so it moves into the device-side gather.
     xs = jnp.asarray(np.concatenate(
-        [normalize(np.stack(c)) for c in train_sets]))
+        [np.stack(c) for c in train_sets]).astype(np.uint8))
     ys = jnp.asarray(np.concatenate(
         [np.full(n_train_per_id, cid, np.int32)
          for cid in range(len(train_sets))]))
+    gather_norm = jax.jit(lambda buf, sel, labels: (
+        preprocess_crops(spec, jnp.take(buf, sel, axis=0).astype(
+            jnp.float32)),
+        jnp.take(labels, sel, axis=0)))
     log(f"[golden-embed] train crops: {len(xs)} over {len(train_sets)} ids "
-        f"({embedder}, {size}px, {spec.dim}-d, device-resident)")
+        f"({embedder}, {size}px, {spec.dim}-d, u8 device-resident)")
 
     # s=16 keeps the ArcFace CE un-saturated on few-identity data so it
     # retains inter-class pressure while the (small) center term compacts
@@ -377,10 +383,10 @@ def train_golden_embedder(
     rng = np.random.RandomState(seed)
     result: Dict[str, object] = {"ok": False}
     for i in range(max_steps):
-        # device-side gather: only the index vector crosses the tunnel
+        # device-side gather+normalize: only the indices cross the tunnel
         sel = jnp.asarray(rng.choice(len(xs), batch_size, replace=False))
-        p, bs, opt, loss = step(p, bs, opt, jnp.take(xs, sel, axis=0),
-                                jnp.take(ys, sel, axis=0))
+        bx, by = gather_norm(xs, sel, ys)
+        p, bs, opt, loss = step(p, bs, opt, bx, by)
         if (i + 1) % 25 == 0:
             log(f"[golden-embed] step {i+1} loss {float(loss):.4f}")
         if (i + 1) % eval_every == 0 or i + 1 == max_steps:
