@@ -84,35 +84,44 @@ def make_identity_crops(
 
 # --------------------------------------------------------------------------
 # N-identity synthetic population (round-5 VERDICT #3): each identity is a
-# donor face under a FIXED, identity-defining transform — a deterministic
-# (channel permutation, rotation, gamma) triple from disjoint table slots —
+# donor face under a FIXED, identity-defining GEOMETRIC transform — a
+# deterministic (flip, rotation, gamma) triple from disjoint table slots —
 # with per-sample augmentation jittering AROUND that fixed appearance. 3
 # donors x 6 variants = 18 distinct identities available; variant 0 is the
 # pure donor, so identities 0..2 coincide with the legacy 3-identity world.
+#
+# The transforms are GEOMETRY-led on purpose: a first formulation used BGR
+# channel permutations, and ArcFace promptly learned color-dominant
+# features that separated the 16 synthetic classes perfectly while
+# COLLAPSING donor-vs-donor margins (the legacy 3-identity filter gate
+# regressed to cross-acc 0.82). Flip/rotation variants preserve each
+# donor's color statistics, so donor separation and variant separation use
+# complementary features.
 # --------------------------------------------------------------------------
 
-_ID_CHANNEL_PERMS = ((0, 1, 2), (0, 2, 1), (1, 0, 2),
-                     (1, 2, 0), (2, 0, 1), (2, 1, 0))
-_ID_ROTATIONS = (0.0, -10.0, 10.0, -18.0, 18.0, 6.0)
-_ID_GAMMAS = (1.0, 0.82, 1.22, 1.1, 0.9, 1.0)
-MAX_IDENTITIES = len(_ID_CHANNEL_PERMS) * 3
+_ID_FLIPS = (False, True, False, False, True, True)
+_ID_ROTATIONS = (0.0, 0.0, -14.0, 14.0, -14.0, 14.0)
+_ID_GAMMAS = (1.0, 1.0, 1.0, 1.0, 0.85, 1.2)
+MAX_IDENTITIES = len(_ID_FLIPS) * 3
 
 
 def apply_identity_transform(crop_u8: np.ndarray, identity: int) -> np.ndarray:
     """The fixed appearance of synthetic identity ``identity`` (variant
-    ``identity // 3`` of donor ``identity % 3``): BGR channel permutation +
+    ``identity // 3`` of donor ``identity % 3``): horizontal flip +
     rotation + gamma, all deterministic. Variant 0 is the identity map."""
     v = identity // 3
-    crop = crop_u8[..., _ID_CHANNEL_PERMS[v]]
+    crop = crop_u8
+    if _ID_FLIPS[v]:
+        crop = np.fliplr(crop)
     if _ID_ROTATIONS[v]:
         h, w = crop.shape[:2]
         m = cv2.getRotationMatrix2D((w / 2, h / 2), _ID_ROTATIONS[v], 1.0)
-        crop = cv2.warpAffine(crop, m, (w, h),
+        crop = cv2.warpAffine(np.ascontiguousarray(crop), m, (w, h),
                               borderMode=cv2.BORDER_REPLICATE)
     if _ID_GAMMAS[v] != 1.0:
         lut = np.clip(((np.arange(256) / 255.0) ** _ID_GAMMAS[v]) * 255.0,
                       0, 255).astype(np.uint8)
-        crop = cv2.LUT(crop, lut)
+        crop = cv2.LUT(np.ascontiguousarray(crop), lut)
     return np.ascontiguousarray(crop)
 
 
