@@ -64,9 +64,10 @@ def test_identity_transforms_are_distinct_and_variant0_is_pure():
             assert not np.array_equal(same_donor[i], same_donor[j]), (i, j)
 
 
-def _oracle_from_seeds(n_identities=16, n=8):
+def _oracle_from_seeds(n_identities=16):
+    # evaluator defaults: gallery seed 303 x 16/id, probe seed 404 x 8/id
     ident = {}
-    for seed in (303, 404):
+    for seed, n in ((303, 16), (404, 8)):
         sets = GE.make_multi_identity_crops(seed, n,
                                             n_identities=n_identities)
         for cid, crops in enumerate(sets):
