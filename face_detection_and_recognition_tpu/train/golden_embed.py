@@ -182,7 +182,7 @@ def evaluate_retrieval(
     n_identities: int = 16,
     gallery_seed: int = 303,
     probe_seed: int = 404,
-    n_gallery: int = 16,
+    n_gallery: int = 32,
     n_probe: int = 8,
     size: int = 112,
     use_pallas: bool = False,
@@ -234,7 +234,14 @@ def evaluate_retrieval(
         margins.append(float(d[rows][:, np.arange(n_identities) != cid].min()
                              - same[rows].max()))
     margins = np.asarray(margins)
-    ok = rank1 == 1.0 and same_acc == 1.0 and cross_acc == 1.0 \
+    # ok criterion: rank-1, cross rejection and per-identity margins are
+    # the HARD claims (1.0 / 1.0 / all positive). Same-id routing uses the
+    # reference's max-of-32-refs threshold (MAX_N_REF_IMGS) — a max
+    # statistic a fresh probe exceeds w.p. ~1/33 even from an identical
+    # distribution, so demanding 1.00 over n_identities*n_probe probes
+    # would gate on sampling luck; >= 0.95 is the honest bar (the
+    # reference's filter is a cleaning heuristic, not a verifier).
+    ok = rank1 == 1.0 and same_acc >= 0.95 and cross_acc == 1.0 \
         and margins.min() > 0
     return {"ok": bool(ok), "rank1": rank1, "same_acc": same_acc,
             "cross_acc": cross_acc, "n_identities": n_identities,

@@ -51,8 +51,8 @@ def test_multi_identity_crops_shapes_and_determinism():
 
 
 def test_identity_transforms_are_distinct_and_variant0_is_pure():
-    """The identity-defining transforms must actually differ (channel perm
-    x rotation x gamma table) and variant 0 must be the identity map, so
+    """The identity-defining transforms must actually differ (flip x
+    rotation x gamma table) and variant 0 must be the identity map, so
     identities 0..2 coincide with the legacy 3-donor world."""
     crop = np.random.RandomState(0).randint(0, 255, (64, 64, 3), np.uint8)
     outs = [GE.apply_identity_transform(crop, i) for i in range(16)]
@@ -65,9 +65,9 @@ def test_identity_transforms_are_distinct_and_variant0_is_pure():
 
 
 def _oracle_from_seeds(n_identities=16):
-    # evaluator defaults: gallery seed 303 x 16/id, probe seed 404 x 8/id
+    # evaluator defaults: gallery seed 303 x 32/id, probe seed 404 x 8/id
     ident = {}
-    for seed, n in ((303, 16), (404, 8)):
+    for seed, n in ((303, 32), (404, 8)):
         sets = GE.make_multi_identity_crops(seed, n,
                                             n_identities=n_identities)
         for cid, crops in enumerate(sets):
@@ -128,9 +128,12 @@ def _ckpt_identities(ckpt: str) -> int:
 def test_committed_checkpoint_rank1_retrieval_16_identities(
         embedder, ckpt_name, size):
     """Every committed embedder slot must hit rank-1 == 1.0 over the
-    16-identity probe/gallery split through BOTH topk_similar paths, pass
-    the 16-class filter routing perfectly, and hold a positive margin on
-    every identity. Margin distribution printed for PARITY.md."""
+    16-identity probe/gallery split through BOTH topk_similar paths,
+    reject every cross-identity probe, route >= 95% of same-id probes
+    through the reference's max-of-32-refs thresholds (a max statistic a
+    fresh probe exceeds w.p. ~1/33 — see evaluate_retrieval), and hold a
+    positive margin on every identity. Margin distribution printed for
+    PARITY.md."""
     ckpt = os.path.join(DATA, ckpt_name)
     if not os.path.isdir(ckpt):
         pytest.skip(f"checkpoint not trained: {ckpt_name}")
@@ -150,6 +153,8 @@ def test_committed_checkpoint_rank1_retrieval_16_identities(
           f"{r['margin_max']:.3f}")
     assert r["ok"], r
     assert r["rank1"] == 1.0
+    assert r["cross_acc"] == 1.0 and r["same_acc"] >= 0.95, r
+    assert r["margin_min"] > 0, r
 
     # the Pallas search path must agree on real embeddings, not just
     # shape/parity fixtures (round-4 Weak #3)
