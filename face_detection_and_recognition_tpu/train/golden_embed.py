@@ -359,6 +359,16 @@ def train_golden_embedder(
         train_sets = make_multi_identity_crops(
             seed + 1, n_train_per_id, size=size,
             n_identities=n_identities, aug_scale=aug_scale)
+        # donor emphasis: the legacy 3-identity gate demands PERFECT
+        # same/cross routing on the pure donors, but 16-way training
+        # spreads a big net's capacity evenly — give the donor classes
+        # 1.5x the samples so their clusters stay as compact as the
+        # 3-identity-only recipe made them
+        extra = make_multi_identity_crops(
+            seed + 7, n_train_per_id // 2, size=size,
+            n_identities=N_IDENTITIES, aug_scale=aug_scale)
+        for cid in range(N_IDENTITIES):
+            train_sets[cid] = list(train_sets[cid]) + list(extra[cid])
     else:
         train_sets = make_identity_crops(seed + 1, n_train_per_id,
                                          size=size, aug_scale=aug_scale)
@@ -372,8 +382,8 @@ def train_golden_embedder(
     xs = jnp.asarray(np.concatenate(
         [np.stack(c) for c in train_sets]).astype(np.uint8))
     ys = jnp.asarray(np.concatenate(
-        [np.full(n_train_per_id, cid, np.int32)
-         for cid in range(len(train_sets))]))
+        [np.full(len(c), cid, np.int32)
+         for cid, c in enumerate(train_sets)]))
     gather_norm = jax.jit(lambda buf, sel, labels: (
         preprocess_crops(spec, jnp.take(buf, sel, axis=0).astype(
             jnp.float32)),
