@@ -60,7 +60,8 @@ accuracy-blaze-back-finetune:
 # held-out probes, checkpoint -> engine.load_embed_weights -> regate.
 accuracy-embed:
 	python -m face_detection_and_recognition_tpu.cli.train_golden_embed \
-		--out tests/data/golden_embed_ckpt --identities 16 --steps 1200
+		--out tests/data/golden_embed_ckpt --identities 16 --steps 5000 \
+		--batch 64 --aug-scale 2.0 --center-gain 0.03 --eval-every 250
 
 bench-all:
 	python benchmarks/bench_all.py
@@ -97,20 +98,23 @@ accuracy-mtcnn:
 accuracy-facenet:
 	python -m face_detection_and_recognition_tpu.cli.train_golden_embed \
 		--out tests/data/golden_facenet_ckpt --embedder facenet \
-		--steps 3000 --lr 0.003 --batch 32 --train-per-id 192 --identities 16
+		--steps 5000 --lr 0.003 --batch 48 --train-per-id 192 \
+		--identities 16 --aug-scale 2.0 --eval-every 250
 
 # the OpenVINO face-reid MobileNetV2 256-d slot through the filter gate
 accuracy-reid:
 	python -m face_detection_and_recognition_tpu.cli.train_golden_embed \
 		--out tests/data/golden_reid_ckpt --embedder reid-mnv2 \
-		--steps 3000 --lr 0.005 --batch 32 --train-per-id 192 --identities 16
+		--steps 3500 --lr 0.005 --batch 48 --train-per-id 192 \
+		--identities 16 --aug-scale 2.0 --eval-every 250
 
 # the OpenVINO facenet_20180408 512-d slot — the fifth and last feat-net
 # type of the reference's Net loader — through the filter gate
 accuracy-facenet512:
 	python -m face_detection_and_recognition_tpu.cli.train_golden_embed \
 		--out tests/data/golden_facenet512_ckpt --embedder facenet-512 \
-		--steps 3000 --lr 0.003 --batch 32 --train-per-id 192 --identities 16
+		--steps 3000 --lr 0.003 --batch 32 --train-per-id 192 \
+		--identities 16 --eval-every 200
 
 # the HEADLINE bench arch (bench.py) through the same executed gate;
 # trained to the 0.45-0.75 band so the CLI's reference-default --dt 0.70
